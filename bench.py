@@ -1,0 +1,55 @@
+"""Headline benchmark: time the bench-tagged catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once as a warm-up-free cold run after a shared
+session spin-up (session build time excluded — it is amortized fleet-wide
+in a real deployment).  ``value`` is the sum of per-query wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from event_streaming_spark.plans import REGISTRY  # noqa: E402
+from event_streaming_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="est-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n, q in REGISTRY.items() if q.bench]
+    timings: dict[str, float] = {}
+    for name in names:
+        q = REGISTRY[name]
+        t0 = time.monotonic()
+        df = q.fn(spark, sf_dir)
+        # noop sink: full execution + column materialization, no driver collect
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    out = {
+        "metric": "catalog_bench_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

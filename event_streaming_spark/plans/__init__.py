@@ -1,0 +1,12 @@
+"""Named query catalog — the engine's public query surface.
+
+``catalog.REGISTRY`` maps query name → (spark plan builder, oracle SQL).
+``__spark_entry__.py`` exposes it to the driver; ``bench.py`` times it;
+``tests/`` differentially checks it against DuckDB.
+"""
+
+from event_streaming_spark.plans.catalog import REGISTRY, register, load  # noqa: F401
+
+# Importing these modules populates REGISTRY via @register.
+from event_streaming_spark.plans import relational  # noqa: F401,E402
+from event_streaming_spark.plans import events  # noqa: F401,E402

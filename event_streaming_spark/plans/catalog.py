@@ -1,0 +1,71 @@
+"""Query registry: one place where every named query + its ANSI oracle live.
+
+Each registered function takes ``(spark, sf_dir)`` and returns a
+DataFrame; its ``oracle`` is the equivalent DuckDB SQL over the same
+parquet tables (pre-registered views).  Column names are aliased
+identically on both sides — the driver sorts columns by name before
+value-hashing.
+
+Queries whose semantics are not ANSI-SQL-expressible (streaming state,
+approximate sketches) register ``oracle=None`` → the driver records a
+weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from event_streaming_spark.session import tune_session
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@dataclass(frozen=True)
+class CatalogQuery:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default=())
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, CatalogQuery] = {}
+
+
+def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Defensive: the driver hands us its own session; pin the SQL
+            # confs our semantics rely on (UTC, AQE). Runtime-settable only.
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = CatalogQuery(name, wrapped, oracle, tuple(tags), bench)
+        return wrapped
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Parquet scan for one of the test tables (columnar, pushdown-capable).
+
+    ``events.ts`` is TIMESTAMP(NANOS) on disk; with ``nanosAsLong`` it scans
+    as epoch-nanos LONG and we rebuild a (µs) timestamp via integer
+    division — the same floor-truncation DuckDB applies on its ns→µs cast.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,254 @@
+"""Event-stream queries — the reference's data plane as batch analytics.
+
+The reference's events are schemaless JSON documents on topics
+(/root/reference/include/events-agency.h:8,29,51-52); its consumers do
+keyed lookups, JSON field extraction and category routing.  These queries
+exercise that vocabulary over the ``events`` table: schema-on-read JSON
+(O38), category filter/route (O42/O43), enum dictionary (O46), time
+formatting (O35/O36), tumbling windows, and sessionization.
+
+Scale: events is THE 100 TB table in this engine's target deployment.
+Every query below is a single scan → (optional) single shuffle on the
+group/session key; the JSON extraction is JVM-side `get_json_object`
+(no Python).  The event store (sources/store.py) date-partitions this
+table so time-bounded variants prune partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from event_streaming_spark.functions.numeric import exact_avg, exact_sum, sql_exact_avg, sql_exact_sum
+from event_streaming_spark.plans.catalog import load, register
+
+# ---------------------------------------------------------------------------
+# Flagship (SURVEY §7.1): daily tumbling count+avg per event_type.
+# Exercises scan → JSON extract → category filter → time bucket → agg → sort
+# in one plan: the reference's entire data-plane vocabulary.
+# ---------------------------------------------------------------------------
+
+_DAILY_ORACLE = f"""
+SELECT CAST(ts AS DATE) AS event_date,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       {sql_exact_sum('value')} AS total_value,
+       {sql_exact_avg('value')} AS avg_value,
+       {sql_exact_avg("cast(json_extract_string(props, '$.k') as int)", 6)} AS avg_k
+FROM events
+WHERE event_type IN ('click', 'purchase', 'view', 'signup', 'error')
+GROUP BY CAST(ts AS DATE), event_type
+"""
+
+
+@register("events_daily_type_rollup", _DAILY_ORACLE, tags=("events", "agg", "json"), bench=True)
+def events_daily_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase", "view", "signup", "error"))
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy(F.to_date("ts").alias("event_date"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            exact_sum("value").alias("total_value"),
+            exact_avg("value").alias("avg_value"),
+            exact_avg("k", 6).alias("avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema-on-read JSON extraction with default (SURVEY O38/O39): the
+# reference's json_get_value(jobj, type, key, default) macro family.
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_id,
+       coalesce(cast(json_extract_string(props, '$.k') as int), -1) AS k,
+       coalesce(cast(json_extract_string(props, '$.missing') as int), -1) AS missing_with_default
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+@register("events_json_get_with_default", _JSON_ORACLE, tags=("events", "json"))
+def events_json_get_with_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.coalesce(F.get_json_object("props", "$.k").cast("int"), F.lit(-1)).alias("k"),
+        F.coalesce(F.get_json_object("props", "$.missing").cast("int"), F.lit(-1)).alias(
+            "missing_with_default"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# enum↔string dictionary (SURVEY O46) + category routing (O42/O43):
+# conditional aggregation routes values into per-category columns.
+# ---------------------------------------------------------------------------
+
+_ROUTE_ORACLE = f"""
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       {sql_exact_sum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS purchase_value,
+       max(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'signup' THEN 3
+                           WHEN 'purchase' THEN 4 WHEN 'error' THEN 5 ELSE 0 END) AS max_type_code
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("events_route_by_category", _ROUTE_ORACLE, tags=("events", "agg"))
+def events_route_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    type_code = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "error", 5)
+        .otherwise(0)
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+        exact_sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))
+        ).alias("purchase_value"),
+        F.max(type_code).alias("max_type_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time formatting (SURVEY O35/O36): strftime-equivalent formatting, GMT.
+# Note RFC-2822 day/month names are exercised in unit tests, not here —
+# DuckDB %a/%b are locale-stable but the hash compare is stricter in tests.
+# ---------------------------------------------------------------------------
+
+_TIMEFMT_ORACLE = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_fmt,
+       strftime(ts, '%Y-%m-%d') AS ts_date,
+       cast(extract(hour FROM ts) as int) AS ts_hour,
+       epoch_ms(date_trunc('millisecond', ts)) AS ts_ms
+FROM events
+WHERE user_id < 10
+"""
+
+
+@register("events_time_formatting", _TIMEFMT_ORACLE, tags=("events", "scalar"))
+def events_time_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("user_id") < 10).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_fmt"),
+        F.date_format("ts", "yyyy-MM-dd").alias("ts_date"),
+        F.hour("ts").cast("int").alias("ts_hour"),
+        F.unix_millis(F.date_trunc("millisecond", F.col("ts"))).alias("ts_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization — gap-based sessions (30 min) via lag + cumulative flag.
+# Batch analogue of streaming session_window (SURVEY §2.4); one shuffle on
+# user_id, all window functions over the same partitioning.
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, cast(session_id as int) AS session_id,
+       count(*) AS n_events,
+       epoch_ms(date_trunc('millisecond', min(ts))) AS session_start_ms,
+       round(cast(epoch_ms(max(ts)) - epoch_ms(min(ts)) as double) / 1000.0, 3) AS duration_s,
+       {sql_exact_sum('value')} AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionize_30m", _SESSION_ORACLE, tags=("events", "window", "session"), bench=True)
+def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_s = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_s <= 30 * 60 * 1000, F.lit(0)).otherwise(F.lit(1)),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run).cast("int"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_millis(F.date_trunc("millisecond", F.min("ts"))).alias("session_start_ms"),
+        F.round(
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).cast("double") / 1000.0, 3
+        ).alias("duration_s"),
+        exact_sum("value").alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (SURVEY §2.4): for each purchase, the most recent prior click
+# by the same user.  Spark-first: union the two streams tagged, one window
+# pass carries the last click forward — a single shuffle on user_id, no
+# range cross-join.  (The applyInPandas merge_asof variant lives in
+# operators/joins.py for the general case.)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(click_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+  FROM tagged
+)
+SELECT event_id AS purchase_id,
+       user_id,
+       epoch_ms(date_trunc('millisecond', ts)) AS purchase_ms,
+       epoch_ms(date_trunc('millisecond', last_click_ts)) AS last_click_ms
+FROM carried
+WHERE event_type = 'purchase'
+"""
+
+
+@register("events_asof_last_click_before_purchase", _ASOF_ORACLE, tags=("events", "join", "asof"), bench=True)
+def events_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    tagged = ev.withColumn(
+        "click_ts", F.when(F.col("event_type") == "click", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_millis(F.date_trunc("millisecond", F.col("ts"))).alias("purchase_ms"),
+        F.unix_millis(F.date_trunc("millisecond", F.col("last_click_ts"))).alias("last_click_ms"),
+    )
