@@ -10,3 +10,6 @@ from event_streaming_spark.plans.catalog import REGISTRY, register, load  # noqa
 # Importing these modules populates REGISTRY via @register.
 from event_streaming_spark.plans import relational  # noqa: F401,E402
 from event_streaming_spark.plans import events  # noqa: F401,E402
+from event_streaming_spark.plans import reference_ops  # noqa: F401,E402
+from event_streaming_spark.plans import llm_text  # noqa: F401,E402
+from event_streaming_spark.plans import llm_similarity  # noqa: F401,E402

@@ -1,0 +1,251 @@
+"""Near-dup + similarity-search queries over documents/embeddings (SURVEY §2.5).
+
+Scale design, per query, is in the docstrings — the common theme: candidate
+generation is always an equi-join on a derived key (LSH band, hyperplane
+bucket, source partition), never an O(n²) cross join; the only cross join
+is the brute-force baseline whose small side is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from event_streaming_spark.functions.numeric import cosine
+from event_streaming_spark.operators import similarity as S
+from event_streaming_spark.plans.catalog import load, register
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (k=16 permutations over 3-token shingles).
+# Stateless projection — pipelines into the scan, no shuffle.
+# ---------------------------------------------------------------------------
+
+_SIG_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id, {S.sql_shingle_hashes('text')} AS hs FROM documents
+)
+SELECT doc_id, {', '.join(S.sql_minhash_exprs('hs'))}
+FROM hs
+"""
+
+
+@register("minhash_signatures", _SIG_ORACLE, tags=("llm", "dedup", "hash"))
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hs = docs.select("doc_id", S.shingle_hashes(F.col("text")).alias("hs"))
+    return hs.select("doc_id", *S.minhash_cols(F.col("hs")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup pairs: band signatures into LSH_BANDS buckets, join
+# on (band_idx, band_hash) to generate candidates, verify with the estimated
+# Jaccard (fraction of equal minhashes), keep est >= 0.3.
+# Scale: the band self-join shuffles on band hash — candidates only; with
+# b bands of r rows the false-candidate rate is tunable, and skewed buckets
+# split under AQE.  This is the canonical 100 TB near-dup plan.
+# ---------------------------------------------------------------------------
+
+_EQ_SUM = " + ".join(
+    f"(CASE WHEN sa.mh{i:02d} = sb.mh{i:02d} THEN 1 ELSE 0 END)" for i in range(S.MINHASH_K)
+)
+
+_LSH_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id, {S.sql_shingle_hashes('text')} AS hs FROM documents
+), sig AS (
+  SELECT doc_id, {', '.join(S.sql_minhash_exprs('hs'))} FROM hs
+), banded AS (
+  SELECT doc_id, {', '.join(S.sql_band_hash_exprs())} FROM sig
+), bands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {j} AS band_idx, band{j} AS bh FROM banded" for j in range(S.LSH_BANDS))}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard FROM (
+  SELECT doc_a, doc_b,
+         round(cast({_EQ_SUM} as double) / {S.MINHASH_K}, 6) AS est_jaccard
+  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+) WHERE est_jaccard >= 0.3
+"""
+
+
+@register("minhash_lsh_near_dup_pairs", _LSH_ORACLE, tags=("llm", "dedup", "join"), bench=True)
+def minhash_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hs = docs.select("doc_id", S.shingle_hashes(F.col("text")).alias("hs"))
+    sig = hs.select("doc_id", *S.minhash_cols(F.col("hs")))
+    banded = sig.select("doc_id", *S.band_hash_cols())
+    bands = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{j}") for j in range(S.LSH_BANDS)])).alias(
+            "band_idx", "bh"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", S.minhash_est_jaccard("sa", "sb").alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard within a blocking key (same source): the verification
+# step of a dedup pipeline.  Scale: blocking key join, never all-pairs.
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, source, {S.sql_shingle_hashes('text')} AS sh FROM documents
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(cast(len(list_intersect(a.sh, b.sh)) as double)
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.12
+"""
+
+
+@register("ngram_jaccard_same_source_pairs", _JACCARD_ORACLE, tags=("llm", "dedup", "join"))
+def ngram_jaccard_same_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "source", S.shingle_hashes(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k: the ANN correctness baseline.
+# Scale: the query side (10 vectors) broadcasts; the corpus streams through
+# ONE scan; per-query rank via window on the broadcast key.  At 100 TB the
+# corpus never shuffles — only the (tiny) scored candidates do.
+# ---------------------------------------------------------------------------
+
+_COS_TOPK_ORACLE = """
+SELECT qid, neighbor_id, cos_sim, rn FROM (
+  SELECT qid, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+  )
+) WHERE rn <= 5
+"""
+
+
+@register("emb_cosine_topk_bruteforce", _COS_TOPK_ORACLE, tags=("llm", "ann"), bench=True)
+def emb_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN: bucket every vector by the sign pattern of
+# HYPERPLANES projections; search only within the query's bucket.
+# Scale: candidate generation = equi-join on bucket id (shuffle on a
+# 2^HYPERPLANES-ary key), corpus scanned once; the recall/speed trade comes
+# from the plane count — the classic SimHash ANN layout.
+# ---------------------------------------------------------------------------
+
+_B = S.sql_hyperplane_bucket("embedding")
+_LSH_ANN_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_B} AS bucket FROM embeddings
+)
+SELECT qid, neighbor_id, bucket, cos_sim, rn FROM (
+  SELECT qid, neighbor_id, bucket, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS neighbor_id, q.bucket AS bucket,
+           round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos_sim
+    FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+  )
+) WHERE rn <= 3
+"""
+
+
+@register("emb_lsh_ann_topk", _LSH_ANN_ORACLE, tags=("llm", "ann", "lsh"))
+def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.withColumn("bucket", S.hyperplane_bucket(F.col("embedding")))
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cand = b.join(
+        F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("qid"))
+    ).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qb").alias("bucket"),
+        F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids (IVF coarse-quantizer building block): exact decimal
+# mean per (label, dim) — long format, one shuffle on (label, dim).
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+SELECT label, d AS dim,
+       round(cast(sum(cast(embedding[d + 1] as decimal(30,10))) as double) / count(*), 6)
+         AS centroid_val
+FROM embeddings, range(64) t(d)
+GROUP BY label, d
+"""
+
+
+@register("emb_centroid_per_label", _CENTROID_ORACLE, tags=("llm", "ann", "agg"))
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(30,10)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("centroid_val")
+        )
+    )

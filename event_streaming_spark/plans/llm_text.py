@@ -1,0 +1,139 @@
+"""LLM training-data text-analysis queries over ``documents`` (SURVEY §2.5).
+
+Each query pairs the JVM-side operator from operators/text.py with an
+oracle generated from the SAME constants/expression builders, so engine
+and oracle cannot drift.
+
+Scale: every operator here is a stateless projection — pipelines into the
+scan, no shuffle (exact dedup being the one hash-shuffle, on the digest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streaming_spark.functions.hashing import normalize_text, sql_normalize_text
+from event_streaming_spark.operators import text as T
+from event_streaming_spark.plans.catalog import load, register
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       {T.sql_ws_token_count('text')} AS n_ws_tokens,
+       {T.sql_bpe_token_count('text')} AS n_bpe_tokens,
+       len(text) AS n_chars_actual,
+       n_chars AS n_chars_declared
+FROM documents
+"""
+
+
+@register("text_token_counts", _TOKENS_ORACLE, tags=("llm", "text"), bench=True)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.col("n_chars").alias("n_chars_declared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_QF = T.sql_quality_features("text")
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       {_QF['alpha_ratio']} AS alpha_ratio,
+       {_QF['stopword_ratio']} AS stopword_ratio,
+       {_QF['mean_token_len']} AS mean_token_len,
+       {_QF['n_tokens']} AS n_tokens
+FROM documents
+"""
+
+
+@register("text_quality_features", _QUALITY_ORACLE, tags=("llm", "text"))
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    feats = T.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id", *[feats[k].alias(k) for k in ("alpha_ratio", "stopword_ratio", "mean_token_len", "n_tokens")]
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (marker-word heuristic) + accuracy vs declared lang
+# ---------------------------------------------------------------------------
+
+_LANGID_ORACLE = f"""
+SELECT predicted_lang, count(*) AS n_docs
+FROM (SELECT {T.sql_lang_id('text')} AS predicted_lang FROM documents)
+GROUP BY predicted_lang
+"""
+
+
+@register("text_lang_id_distribution", _LANGID_ORACLE, tags=("llm", "text"))
+def text_lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(T.lang_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting: whole-doc md5 + simhash
+# ---------------------------------------------------------------------------
+
+_FP_ORACLE = f"""
+WITH staged AS (
+  SELECT doc_id, {T.sql_content_md5('text')} AS content_md5,
+         {T.sql_token_hashes('text')} AS hs
+  FROM documents
+)
+SELECT doc_id, content_md5, {T.sql_simhash_over('hs')} AS simhash32
+FROM staged
+"""
+
+
+@register("text_fingerprints", _FP_ORACLE, tags=("llm", "text", "hash"))
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.content_md5(F.col("text")).alias("content_md5"),
+        T.simhash(F.col("text")).alias("simhash32"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (SURVEY §2.5 row 1): sha256 over normalized text; one row per
+# distinct digest with copy count + canonical representative (min doc_id).
+# Scale: map-side partial agg → one shuffle on digest; this is THE pattern
+# for exact dedup at 100 TB (no sort, no window).
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = f"""
+SELECT sha256({sql_normalize_text('text')}) AS digest,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact_sha256", _EXACT_DEDUP_ORACLE, tags=("llm", "dedup"), bench=True)
+def dedup_exact_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2(normalize_text(F.col("text")), 256).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
