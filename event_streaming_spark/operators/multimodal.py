@@ -1,0 +1,96 @@
+"""Multimodal (image/audio/video) column operators — SURVEY §2.5.
+
+Design: media rides through the engine as an opaque ``content: BINARY``
+column plus typed metadata (the ``binaryFile`` source shape —
+sources/readers.py).  Per-item decode / feature-extraction runs as
+Arrow-batched ``mapInPandas`` so bytes stay in columnar batches end to
+end; at 100 TB the decode stage is embarrassingly parallel and pipelines
+into the scan with no shuffle.
+
+The actual codecs (Pillow/librosa/ffmpeg) are NOT in this container, so
+the decode kernel is stubbed (`decode_image_stub`): a deterministic fake
+that parses only what the real kernel would parse cheaply (magic bytes +
+declared dims for uncompressed formats) and raises NotImplementedError
+for real codec work.  The Spark-side plumbing — schema, batch iteration,
+partitioning — is real and tested; swapping in a real kernel is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("checksum64", T.LongType()),
+    ]
+)
+
+_MAGIC = {
+    b"\x89PNG\r\n\x1a\n": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"RIFF": "riff",
+    b"GIF8": "gif",
+}
+
+
+def sniff_format(content: bytes) -> str:
+    for magic, name in _MAGIC.items():
+        if content[: len(magic)] == magic:
+            return name
+    return "unknown"
+
+
+def decode_image_stub(content: bytes) -> tuple[str, int, int, int]:
+    """Deterministic fake decode: magic sniff + PNG IHDR dims (a real
+    header parse) + a checksum standing in for pixel features.
+
+    Real pixel decode requires Pillow — not in this container:
+    raise NotImplementedError past the header for compressed formats.
+    """
+    fmt = sniff_format(content)
+    checksum = sum(content[:4096]) + len(content)
+    if fmt == "png" and len(content) >= 24:
+        # IHDR immediately follows the 8-byte signature: width/height at 16..24
+        w, h = struct.unpack(">II", content[16:24])
+        return fmt, int(w), int(h), checksum
+    if fmt in ("jpeg", "gif", "riff"):
+        raise NotImplementedError(
+            f"{fmt} pixel decode needs a codec library (Pillow/ffmpeg) — "
+            "not available in this environment; plug a real kernel here"
+        )
+    return fmt, -1, -1, checksum
+
+
+def extract_image_meta(
+    binary_df: DataFrame,
+    kernel: Callable[[bytes], tuple[str, int, int, int]] = decode_image_stub,
+) -> DataFrame:
+    """binaryFile rows → typed metadata via Arrow-batched mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, length, content in zip(pdf["path"], pdf["length"], pdf["content"]):
+                try:
+                    fmt, w, h, ck = kernel(bytes(content))
+                except NotImplementedError:
+                    fmt, w, h, ck = sniff_format(bytes(content)), -2, -2, -2
+                out.append((path, int(length), fmt, w, h, ck))
+            yield pd.DataFrame(
+                out, columns=["path", "length", "format", "width", "height", "checksum64"]
+            )
+
+    return binary_df.select("path", "length", "content").mapInPandas(
+        run, IMAGE_META_SCHEMA
+    )

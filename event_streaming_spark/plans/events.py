@@ -252,3 +252,72 @@ def events_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> 
         F.unix_millis(F.date_trunc("millisecond", F.col("ts"))).alias("purchase_ms"),
         F.unix_millis(F.date_trunc("millisecond", F.col("last_click_ts"))).alias("last_click_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding windows (batch twin of streaming window(ts, "2 days", "1 day")):
+# every event lands in two overlapping day-aligned windows.
+# Scale: explode factor = window/slide (2×) before the shuffle — acceptable;
+# larger ratios should pre-aggregate per slide then roll up.
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = f"""
+SELECT epoch_ms(ws) AS win_start_ms, event_type,
+       count(*) AS n_events,
+       {sql_exact_sum('value')} AS total_value
+FROM (
+  SELECT unnest([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY]) AS ws,
+         event_type, value
+  FROM events
+)
+GROUP BY ws, event_type
+"""
+
+
+@register("events_sliding_window_2d_1d", _SLIDING_ORACLE, tags=("events", "window", "agg"))
+def events_sliding_window_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot (O43 route-by-category, wide form): daily counts per event_type as
+# columns.  Fixed pivot value list → no extra distinct-scan pass.
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT CAST(ts AS DATE) AS event_date,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'view')     AS view,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'error')    AS error
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+@register("events_pivot_daily_type_counts", _PIVOT_ORACLE, tags=("events", "pivot"))
+def events_pivot_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "view", "signup", "purchase", "error"]
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", kinds)
+        .count()
+    )
+    return wide.select(
+        "event_date", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )

@@ -1,0 +1,84 @@
+"""EventStore — the persistent event store with a timestamp secondary index.
+
+Reference parity: Berkeley DB main store + secondary DB "indexed by
+timestamps" (/root/reference/src/main.c:44,57-58; libdb dep
+pre-build.sh:22-27; wiring absent in v0).
+
+Spark-first translation (SURVEY D4/O11): a parquet table partitioned by
+``event_date = to_date(ts)``.  The BDB secondary index becomes TWO free
+mechanisms: (1) partition pruning on event_date for day-level ranges,
+(2) parquet row-group min/max statistics on ts for intra-day ranges.
+Keyed point reads ride the same scan with a pushed-down predicate.
+
+Scale: date partitioning bounds each partition to one day of data; file
+sizes are controlled by `maxRecordsPerFile`; at 100 TB this is the
+standard time-series layout (append-only days, immutable history,
+time-range queries touch only their days).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class EventStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        ts_col: str = "ts",
+        max_records_per_file: int = 1_000_000,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.ts_col = ts_col
+        self.max_records_per_file = max_records_per_file
+
+    # -- writes ---------------------------------------------------------------
+    def append(self, df: DataFrame) -> None:
+        """Append a batch, derive the partition column from event time."""
+        (
+            df.withColumn("event_date", F.to_date(F.col(self.ts_col)))
+            .write.mode("append")
+            .option("maxRecordsPerFile", self.max_records_per_file)
+            .partitionBy("event_date")
+            .parquet(self.path)
+        )
+
+    def sink(self, stream_df: DataFrame, checkpoint: str):
+        """Streaming append via foreachBatch (exactly-once per batch_id
+        through the checkpoint's commit log)."""
+
+        def _batch(batch_df: DataFrame, _batch_id: int) -> None:
+            self.append(batch_df)
+
+        return (
+            stream_df.writeStream.foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # -- reads ------------------------------------------------------------------
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def read_range(self, start: dt.datetime, end: dt.datetime) -> DataFrame:
+        """Time-range read: the event_date predicate prunes partitions
+        (the 'secondary index by timestamp'); the ts predicate then rides
+        row-group min/max within the surviving days."""
+        df = self.read()
+        return df.filter(
+            (F.col("event_date") >= F.lit(start.date()))
+            & (F.col("event_date") <= F.lit(end.date()))
+            & (F.col(self.ts_col) >= F.lit(start))
+            & (F.col(self.ts_col) < F.lit(end))
+        )
+
+    def read_key(self, key_col: str, key_value) -> DataFrame:
+        """Keyed point read (BDB main-store get analogue) — predicate
+        pushdown to parquet scan."""
+        return self.read().filter(F.col(key_col) == F.lit(key_value))

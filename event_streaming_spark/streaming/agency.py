@@ -1,0 +1,261 @@
+"""EventsAgency — the reference's pub/sub topic registry on Structured
+Streaming.
+
+Reference parity (all /root/reference):
+  - Agency registry keyed (broker, topic) in an ordered tree:
+    include/events-agency.h:78-91, src/events-agency.c:142-148,193,226,240.
+    Here: a plain dict + sorted listing (ordered iteration is a read-time
+    concern in Spark, not a storage structure).
+  - subscribe = find-or-create, REPLACE-CALLBACK-WITH-LATEST if the topic
+    already exists (last-write-wins, freeing the old subscriber state):
+    src/events-agency.c:198-230.  Here: stop the old StreamingQuery, call
+    its on_free_data, start a new query with the new foreachBatch.
+  - unsubscribe: src/events-agency.c:232-243 → stop + deregister.
+  - find_topic (tfind point lookup): src/events-agency.c:183-196.
+  - publish/consume contracts (declared, bodies stubbed in the reference):
+    include/events-agency.h:29,51-52.  Chosen semantics (documented, not
+    guessed): publish appends JSON-lines to the topic log (durable,
+    Kafka-like); consume is micro-batch at-least-once with the callback
+    invoked once per non-empty batch — `on_notify(topic_ctx, batch_df,
+    batch_id)` is the `events_topic_on_notify_fn` analogue.
+  - Comparator (broker, topic) NULLS FIRST: src/events-agency.c:115-137.
+    The reference's :133 NULL-asymmetry bug is intentionally NOT
+    replicated (SURVEY §7.4).
+
+Backends: "file" (JSON-lines directory log — the default, durable,
+self-contained) and "kafka" (spark-sql-kafka; requires the connector jars
+on the classpath — config-gated, same API).
+
+Scale: each topic is an independent StreamingQuery; state lives in the
+Spark state store, offsets in the checkpoint dir.  On a cluster the same
+code fans out across executors — nothing here is driver-bound except the
+registry dict (O(#topics), not O(data)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: The event document shape (SURVEY D1 / FIXTURES §A events).  `props`
+#: stays a raw JSON string — schema-on-read, like the reference's
+#: json_get_value consumers (utils/utils.h:34-42).
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+OnNotify = Callable[["TopicContext", DataFrame, int], Any]
+
+
+@dataclass
+class TopicContext:
+    """One live topic: durable log + at most one consumer query (O1-O3)."""
+
+    broker: str | None
+    topic: str | None
+    agency: "EventsAgency"
+    schema: T.StructType = field(default_factory=lambda: EVENT_SCHEMA)
+    notify_data: Any = None
+    on_free_data: Callable[[Any], None] | None = None
+    _query: Any = None  # StreamingQuery
+
+    # -- storage layout -----------------------------------------------------
+    @property
+    def log_dir(self) -> str:
+        safe = f"{self.broker or '_'}__{self.topic or '_'}".replace("/", "_")
+        return os.path.join(self.agency.root, "topics", safe, "log")
+
+    @property
+    def checkpoint_dir(self) -> str:
+        return os.path.join(os.path.dirname(self.log_dir), "checkpoint")
+
+    # -- O1 publish -----------------------------------------------------------
+    def publish(self, events: dict | list[dict] | DataFrame) -> int:
+        """Append events to the topic log (one JSON-lines file per call —
+        the micro-batch analogue of a broker produce)."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        if isinstance(events, DataFrame):
+            events.write.mode("append").json(self.log_dir)
+            return 0
+        if isinstance(events, dict):
+            events = [events]
+        fname = os.path.join(self.log_dir, f"pub-{time.time_ns()}-{uuid.uuid4().hex[:8]}.json")
+        tmp = fname + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for e in events:
+                fh.write(json.dumps(e) + "\n")
+        os.rename(tmp, fname)  # atomic visibility for the file source
+        return 0
+
+    # -- O2 consume -------------------------------------------------------------
+    def stream(self) -> DataFrame:
+        """The topic as an unbounded DataFrame."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        if self.agency.backend == "kafka":
+            raw = (
+                self.agency.spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", self.broker)
+                .option("subscribe", self.topic)
+                .option("startingOffsets", "earliest")
+                .load()
+            )
+            parsed = raw.select(
+                F.from_json(F.col("value").cast("string"), self.schema).alias("e")
+            ).select("e.*")
+            return parsed
+        return self.agency.spark.readStream.schema(self.schema).json(self.log_dir)
+
+    def consume(
+        self,
+        on_notify: OnNotify,
+        notify_data: Any = None,
+        once: bool = True,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        output_mode: str = "append",
+    ):
+        """Start the consumer query; per micro-batch call
+        ``on_notify(self, batch_df, batch_id)`` (O3 contract).
+
+        once=True → availableNow trigger: drain the log, then stop
+        (the poll-one analogue of the reference's consume,
+        include/events-agency.h:52).  once=False → continuous micro-batches.
+        """
+        self.stop()
+        self.notify_data = notify_data
+        df = self.stream()
+        if transform is not None:
+            df = transform(df)
+
+        def _batch(batch_df: DataFrame, batch_id: int) -> None:
+            on_notify(self, batch_df, batch_id)
+
+        writer = (
+            df.writeStream.foreachBatch(_batch)
+            .outputMode(output_mode)  # "update" lets windowed aggs emit pre-watermark
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(f"{self.broker}/{self.topic}")
+        )
+        writer = writer.trigger(availableNow=True) if once else writer.trigger(
+            processingTime="1 second"
+        )
+        self._query = writer.start()
+        if once:
+            self._query.awaitTermination()
+        return self._query
+
+    def stop(self) -> None:
+        if self._query is not None:
+            try:
+                self._query.stop()
+            except Exception:  # pragma: no cover - already terminated
+                pass
+            self._query = None
+
+    def free(self) -> None:
+        """Release subscriber state (the reference's on_free_data hook,
+        src/events-agency.c:210-214)."""
+        self.stop()
+        if self.on_free_data is not None and self.notify_data is not None:
+            self.on_free_data(self.notify_data)
+        self.notify_data = None
+        self.on_free_data = None
+
+
+class EventsAgency:
+    """Registry of live topics keyed (broker, topic) — SURVEY D3/O4-O6."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | None = None,
+        backend: str = "file",
+        config: dict | None = None,
+    ) -> None:
+        if backend not in ("file", "kafka"):
+            raise ValueError(f"unknown backend: {backend}")
+        self.spark = spark
+        self.backend = backend
+        self.root = root or os.path.join("/tmp", f"events-agency-{uuid.uuid4().hex[:8]}")
+        os.makedirs(self.root, exist_ok=True)
+        self._topics: dict[tuple[str | None, str | None], TopicContext] = {}
+        self.load_config(config or {})
+
+    # -- O8 config ------------------------------------------------------------
+    def load_config(self, config: dict) -> int:
+        """Apply a JSON config object (the reference declares this and
+        main() asserts it succeeds — src/events-agency.c:178-181,
+        src/main.c:88-89; v0 body is a stub returning -1.  Chosen
+        semantics: pre-register any topics listed under "topics")."""
+        for t in config.get("topics", []):
+            self._get_or_create(t.get("broker"), t.get("topic"))
+        return 0
+
+    # -- O6 find_topic ----------------------------------------------------------
+    def find_topic(self, broker: str | None, topic: str | None) -> TopicContext | None:
+        return self._topics.get((broker, topic))
+
+    def _get_or_create(self, broker: str | None, topic: str | None) -> TopicContext:
+        key = (broker, topic)
+        if key not in self._topics:
+            self._topics[key] = TopicContext(broker=broker, topic=topic, agency=self)
+        return self._topics[key]
+
+    # -- O4 subscribe (find-or-create; REPLACE callback with latest) -----------
+    def subscribe(
+        self,
+        broker: str | None,
+        topic: str | None,
+        on_notify: OnNotify,
+        notify_data: Any = None,
+        on_free_data: Callable[[Any], None] | None = None,
+        once: bool = True,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+    ) -> TopicContext:
+        ctx = self.find_topic(broker, topic)
+        if ctx is not None:
+            # last-write-wins: free the previous subscriber's state
+            # (src/events-agency.c:207-219)
+            ctx.free()
+        else:
+            ctx = self._get_or_create(broker, topic)
+        ctx.on_free_data = on_free_data
+        ctx.consume(on_notify, notify_data=notify_data, once=once, transform=transform)
+        return ctx
+
+    # -- O5 unsubscribe -----------------------------------------------------------
+    def unsubscribe(self, broker: str | None, topic: str | None) -> int:
+        ctx = self._topics.pop((broker, topic), None)
+        if ctx is None:
+            return -1
+        ctx.free()
+        return 0
+
+    # -- O30 ordered listing (NULLS FIRST both components — bug :133 fixed) ----
+    def topics(self) -> list[tuple[str | None, str | None]]:
+        return sorted(
+            self._topics.keys(),
+            key=lambda k: ((k[0] is not None, k[0] or ""), (k[1] is not None, k[1] or "")),
+        )
+
+    def close(self, remove_logs: bool = False) -> None:
+        for key in list(self._topics):
+            self.unsubscribe(*key)
+        if remove_logs:
+            shutil.rmtree(self.root, ignore_errors=True)

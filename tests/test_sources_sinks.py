@@ -1,0 +1,129 @@
+"""EventStore partition pruning, file sources, email sink, auth, multimodal."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from event_streaming_spark.functions.auth import claims_udf, mint_hs256, verify_hs256
+from event_streaming_spark.operators.multimodal import decode_image_stub, extract_image_meta
+from event_streaming_spark.plans.catalog import load
+from event_streaming_spark.sources.readers import list_folder, load_file
+from event_streaming_spark.sources.store import EventStore
+from event_streaming_spark.streaming.sinks import EmailAlertSink, compose_alert_payload
+from tests.conftest import SF_SMALL
+
+
+def test_event_store_roundtrip_and_pruning(spark, tmp_path):
+    store = EventStore(spark, str(tmp_path / "store"))
+    ev = load(spark, SF_SMALL, "events")
+    store.append(ev)
+
+    # date-partition layout on disk (the "secondary index by timestamp")
+    days = [d for d in os.listdir(store.path) if d.startswith("event_date=")]
+    assert len(days) >= 28  # ~1 month of data → ~30 day partitions
+
+    out = store.read_range(dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 12))
+    expected = ev.filter(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12")
+    ).count()
+    assert out.count() == expected
+
+    # partition pruning visible in the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "event_date" in plan
+
+    # keyed point read
+    k = store.read_key("user_id", 7)
+    assert k.count() == ev.filter(F.col("user_id") == 7).count()
+
+
+def test_load_file_and_listing(spark, tmp_path):
+    d = tmp_path / "files" / "sub"
+    d.mkdir(parents=True)
+    (tmp_path / "files" / "a.txt").write_bytes(b"hello")
+    (d / "b.bin").write_bytes(b"\x00" * 64)
+    (tmp_path / "files" / ".hidden").write_bytes(b"x")  # skipped like reference BFS
+
+    full = load_file(spark, str(tmp_path / "files"))
+    rows = {os.path.basename(r["path"]): r for r in full.collect()}
+    assert set(rows) == {"a.txt", "b.bin"}
+    assert rows["a.txt"]["content"] == bytearray(b"hello")
+
+    stat = load_file(spark, str(tmp_path / "files"), stat_only=True)
+    assert "content" not in stat.columns
+    names = [os.path.basename(r["path"]) for r in list_folder(spark, str(tmp_path / "files")).collect()]
+    assert names == ["a.txt", "b.bin"]  # sorted, hidden skipped
+
+    non_rec = load_file(spark, str(tmp_path / "files"), recursive=False)
+    assert {os.path.basename(r["path"]) for r in non_rec.collect()} == {"a.txt"}
+
+
+def test_email_sink_idempotent(spark, tmp_path):
+    ev = load(spark, SF_SMALL, "events").limit(50)
+    sent_live = []
+
+    sink = EmailAlertSink(
+        predicate=F.col("event_type") == "error",
+        make_alerts=lambda df: compose_alert_payload(
+            df.select(
+                F.concat(F.lit("user"), F.col("user_id").cast("string"), F.lit("@example.com")).alias("to_addr"),
+                F.concat(F.lit("error event "), F.col("event_id").cast("string")).alias("subject"),
+                F.concat(F.lit("value: "), F.col("value").cast("string"), F.lit(" at t. end.")).alias("body"),
+            )
+        ),
+        transport=lambda f, to, p: sent_live.append((f, to, p)),
+        ledger_dir=str(tmp_path / "ledger"),
+    )
+    sink(ev, batch_id=1)
+    n_errors = ev.filter(F.col("event_type") == "error").count()
+    assert len(sink.sent) == n_errors == len(sent_live)
+    assert "Subject: error event" in sink.sent[0][2]
+    assert ". end.." in sink.sent[0][2].split("\r\n\r\n", 1)[1]  # dot-stuffed body
+
+    sink(ev, batch_id=1)  # replay of the same batch → skipped
+    assert len(sink.sent) == n_errors
+
+
+def test_jwt_roundtrip_and_udf(spark):
+    tok = mint_hs256({"iss": "event-streaming", "sub": "user42", "aud": "gateway"}, "s3cret")
+    claims = verify_hs256(tok, "s3cret")
+    assert claims["iss"] == "event-streaming" and claims["sub"] == "user42"
+    assert "iat" in claims and "jti" in claims
+    assert verify_hs256(tok, "wrong") is None
+    assert verify_hs256(tok + "x", "s3cret") is None
+    assert verify_hs256(mint_hs256({"exp": 1}, "s"), "s") is None  # expired
+
+    df = spark.createDataFrame([(tok,), ("garbage",), (None,)], ["token"])
+    out = df.withColumn("claims", claims_udf("s3cret")(F.col("token")))
+    got = out.select(F.col("claims.sub").alias("sub")).collect()
+    assert [r["sub"] for r in got] == ["user42", None, None]
+
+
+def test_multimodal_decode_stub(spark, tmp_path):
+    import struct as _s
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    # minimal PNG header: signature + IHDR length/type + 320x240 dims
+    png = b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR" + _s.pack(">II", 320, 240) + b"\x00" * 16
+    (d / "a.png").write_bytes(png)
+    (d / "b.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    (d / "c.dat").write_bytes(b"garbage-bytes")
+
+    meta = extract_image_meta(load_file(spark, str(d)))
+    rows = {os.path.basename(r["path"]): r for r in meta.collect()}
+    assert rows["a.png"]["format"] == "png"
+    assert (rows["a.png"]["width"], rows["a.png"]["height"]) == (320, 240)
+    assert rows["b.jpg"]["format"] == "jpeg" and rows["b.jpg"]["width"] == -2  # stubbed codec
+    assert rows["c.dat"]["format"] == "unknown"
+
+    # kernel contract: compressed formats raise past the header
+    try:
+        decode_image_stub(b"\xff\xd8\xff\xe0" + b"\x00" * 8)
+        raised = False
+    except NotImplementedError:
+        raised = True
+    assert raised

@@ -1,0 +1,171 @@
+"""Streaming layer tests: agency pub/sub lifecycle, windowed aggregation,
+keep-latest state, stream dedup — all driven synchronously via
+availableNow/processAllAvailable on file-backed topics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_streaming_spark.streaming.agency import EventsAgency
+from event_streaming_spark.streaming.state import (
+    keep_latest_stream,
+    stream_dedup_within_watermark,
+)
+
+
+def ev(event_id, ts, user_id, event_type="click", value=1.0, k=1):
+    return {
+        "event_id": event_id,
+        "ts": ts,
+        "user_id": user_id,
+        "event_type": event_type,
+        "value": value,
+        "props": f'{{"k": {k}}}',
+    }
+
+
+@pytest.fixture()
+def agency(spark, tmp_path):
+    a = EventsAgency(spark, root=str(tmp_path / "agency"))
+    yield a
+    a.close()
+
+
+def test_publish_consume_roundtrip(agency):
+    """O1/O2/O3: publish JSON events, consume via callback per batch."""
+    got = []
+
+    def on_notify(ctx, batch_df, batch_id):
+        got.extend(r.asDict() for r in batch_df.collect())
+
+    ctx = agency.subscribe("brokerA", "t1", on_notify)  # empty topic: 0 events
+    ctx.publish([ev(1, "2024-01-01T00:00:00", 7), ev(2, "2024-01-01T00:01:00", 8)])
+    ctx.publish(ev(3, "2024-01-01T00:02:00", 7, "purchase", 9.5))
+    ctx.consume(on_notify, once=True)
+    assert sorted(r["event_id"] for r in got) == [1, 2, 3]
+    assert {r["event_type"] for r in got} == {"click", "purchase"}
+
+
+def test_subscribe_replace_latest_and_free(agency):
+    """O4: re-subscribe replaces the callback (last-write-wins) and frees
+    the old subscriber state via on_free_data (events-agency.c:207-219)."""
+    freed, first, second = [], [], []
+    ctx = agency.subscribe(
+        "b", "t", lambda c, df, i: first.append(df.count()),
+        notify_data={"gen": 1}, on_free_data=lambda d: freed.append(d),
+    )
+    ctx.publish(ev(1, "2024-01-01T00:00:00", 1))
+    agency.subscribe("b", "t", lambda c, df, i: second.append(df.count()))
+    assert freed == [{"gen": 1}]  # old state released
+    assert agency.find_topic("b", "t") is ctx  # same context, new consumer
+    ctx.publish(ev(2, "2024-01-01T00:01:00", 1))
+    ctx.consume(lambda c, df, i: second.append(df.count()), once=True)
+    assert sum(second) >= 1
+
+
+def test_unsubscribe_and_find(agency):
+    """O5/O6: unsubscribe removes from registry; find returns None after."""
+    agency.subscribe("b1", "t1", lambda c, d, i: None)
+    assert agency.find_topic("b1", "t1") is not None
+    assert agency.unsubscribe("b1", "t1") == 0
+    assert agency.find_topic("b1", "t1") is None
+    assert agency.unsubscribe("b1", "t1") == -1  # double-remove → error code
+
+
+def test_topics_ordering_nulls_first(agency):
+    """O30 comparator: (broker, topic) ascending, NULLs first — WITHOUT
+    the reference's asymmetry bug (events-agency.c:133)."""
+    for b, t in [("z", "t"), (None, "t"), ("a", None), ("a", "t")]:
+        agency._get_or_create(b, t)
+    assert agency.topics() == [(None, "t"), ("a", None), ("a", "t"), ("z", "t")]
+
+
+def test_streaming_windowed_aggregation(agency, spark):
+    """Tumbling window + watermark over a topic stream (SURVEY §2.4)."""
+    results = []
+
+    def agg(df):
+        return (
+            df.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "10 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .select(
+                F.col("window.start").alias("ws"), "event_type", "n", "total"
+            )
+        )
+
+    ctx = agency._get_or_create("b", "win")
+    ctx.publish(
+        [
+            ev(1, "2024-01-01T00:01:00", 1, "click", 1.0),
+            ev(2, "2024-01-01T00:05:00", 2, "click", 2.0),
+            ev(3, "2024-01-01T00:11:00", 1, "purchase", 5.0),
+        ]
+    )
+    ctx.consume(
+        lambda c, df, i: results.extend(df.collect()),
+        once=True,
+        transform=agg,
+        output_mode="update",
+    )
+    by_key = {(r["ws"].minute, r["event_type"]): (r["n"], r["total"]) for r in results}
+    assert by_key[(0, "click")] == (2, 3.0)
+    assert by_key[(10, "purchase")] == (1, 5.0)
+
+
+def test_keep_latest_stream_state(agency, spark):
+    """O27 keep-latest across micro-batches via applyInPandasWithState."""
+    ctx = agency._get_or_create("b", "latest")
+    ctx.publish(
+        [
+            ev(1, "2024-01-01T00:00:00", 1, "click", 1.0),
+            ev(2, "2024-01-01T00:02:00", 1, "view", 2.0),
+            ev(3, "2024-01-01T00:01:00", 2, "click", 3.0),
+        ]
+    )
+    out = []
+    ctx.consume(
+        lambda c, df, i: out.extend(df.collect()),
+        once=True,
+        transform=lambda df: keep_latest_stream(df, "user_id", "ts"),
+    )
+    latest = {r["user_id"]: r["event_id"] for r in out}
+    assert latest == {1: 2, 2: 3}  # user 1: event 2 is latest by ts
+
+    # second batch: older event for user 1 must NOT displace state;
+    # newer event for user 2 must win.
+    ctx.publish(
+        [
+            ev(9, "2023-12-31T00:00:00", 1, "stale", 0.0),
+            ev(10, "2024-01-01T00:05:00", 2, "purchase", 4.0),
+        ]
+    )
+    out2 = []
+    ctx.consume(
+        lambda c, df, i: out2.extend(df.collect()),
+        once=True,
+        transform=lambda df: keep_latest_stream(df, "user_id", "ts"),
+    )
+    latest2 = {r["user_id"]: r["event_id"] for r in out2}
+    assert latest2[1] == 2  # unchanged — stale arrival ignored (GroupState won)
+    assert latest2[2] == 10
+
+
+def test_stream_dedup_within_watermark(agency, spark):
+    """O23 discard policy under streaming: duplicate event_ids dropped."""
+    ctx = agency._get_or_create("b", "dedup")
+    ctx.publish(
+        [
+            ev(1, "2024-01-01T00:00:00", 1),
+            ev(1, "2024-01-01T00:00:30", 1),  # dup id within watermark
+            ev(2, "2024-01-01T00:01:00", 2),
+        ]
+    )
+    out = []
+    ctx.consume(
+        lambda c, df, i: out.extend(df.collect()),
+        once=True,
+        transform=lambda df: stream_dedup_within_watermark(df, ["event_id"]),
+    )
+    assert sorted(r["event_id"] for r in out) == [1, 2]
