@@ -29,6 +29,12 @@ def main() -> None:
     spark = get_spark(app_name="est-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the JVM paths the first timed query would otherwise pay for
+    # (codegen, parquet reader init, hadoop FS classes) — against a
+    # 5-row dim table, not the benchmark data.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
     names = [n for n, q in REGISTRY.items() if q.bench]
     timings: dict[str, float] = {}
     for name in names:

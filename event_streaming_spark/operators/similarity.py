@@ -97,6 +97,23 @@ def sql_minhash_exprs(hs_col: str) -> list[str]:
     ]
 
 
+def band_hashes_over(sig: Column) -> list[Column]:
+    """LSH band hashes over a signature ARRAY column (md5 of the band's
+    comma-joined members — same definition as :func:`sql_band_hash_exprs`)."""
+    rows = MINHASH_K // LSH_BANDS
+    out = []
+    for j in range(LSH_BANDS):
+        members = [sig[i].cast("string") for i in range(j * rows, (j + 1) * rows)]
+        out.append(F.md5(F.concat_ws(",", *members)))
+    return out
+
+
+def minhash_est_jaccard_arrays(sig_a: Column, sig_b: Column) -> Column:
+    """Fraction of equal components between two signature arrays."""
+    eq = F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda b: b)
+    return F.round(F.size(eq).cast("double") / MINHASH_K, 6)
+
+
 def band_hash_cols() -> list[Column]:
     """LSH band hashes over already-projected mhNN columns."""
     rows = MINHASH_K // LSH_BANDS

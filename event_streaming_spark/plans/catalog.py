@@ -69,3 +69,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism before a compute-heavy
+    narrow stage (hashing, regex, per-row text work).
+
+    The driver fixtures are single-file/single-row-group parquet, so a bare
+    scan is ONE task no matter the cluster size; on a real deployment the
+    scan has natural file parallelism and this is a no-op-ish rebalance.
+    The shuffle moves raw rows once — worth it exactly when downstream
+    per-row CPU ≫ row transfer cost (true for md5/shingle/regex stages,
+    false for cheap column aggs — those stay unspread)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)

@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from event_streaming_spark.functions.numeric import cosine
 from event_streaming_spark.operators import similarity as S
-from event_streaming_spark.plans.catalog import load, register
+from event_streaming_spark.plans.catalog import load, register, spread
 
 # ---------------------------------------------------------------------------
 # MinHash signatures (k=16 permutations over 3-token shingles).
@@ -32,7 +32,7 @@ FROM hs
 
 @register("minhash_signatures", _SIG_ORACLE, tags=("llm", "dedup", "hash"))
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     hs = docs.select("doc_id", S.shingle_hashes(F.col("text")).alias("hs"))
     return hs.select("doc_id", *S.minhash_cols(F.col("hs")))
 
@@ -73,15 +73,19 @@ SELECT doc_a, doc_b, est_jaccard FROM (
 
 @register("minhash_lsh_near_dup_pairs", _LSH_ORACLE, tags=("llm", "dedup", "join"), bench=True)
 def minhash_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     hs = docs.select("doc_id", S.shingle_hashes(F.col("text")).alias("hs"))
-    sig = hs.select("doc_id", *S.minhash_cols(F.col("hs")))
-    banded = sig.select("doc_id", *S.band_hash_cols())
-    bands = banded.select(
+    sig = hs.select(
+        "doc_id", F.array(*S.minhash_cols(F.col("hs"))).alias("sig")
+    )
+    # Materialize signatures ONCE: both sides of the band self-join (and the
+    # verification step) reuse them instead of recomputing shingle+md5 3×.
+    # At 100 TB this is a persisted signatures table — standard practice.
+    sig = sig.localCheckpoint(eager=True)
+    bands = sig.select(
         "doc_id",
-        F.posexplode(F.array(*[F.col(f"band{j}") for j in range(S.LSH_BANDS)])).alias(
-            "band_idx", "bh"
-        ),
+        "sig",
+        F.posexplode(F.array(*S.band_hashes_over(F.col("sig")))).alias("band_idx", "bh"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -91,16 +95,19 @@ def minhash_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])  # same pair from multiple bands
     )
-    sa, sb = sig.alias("sa"), sig.alias("sb")
-    return (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", S.minhash_est_jaccard("sa", "sb").alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= 0.3)
-    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        S.minhash_est_jaccard_arrays(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= 0.3)
 
 
 # ---------------------------------------------------------------------------
@@ -123,7 +130,7 @@ SELECT doc_a, doc_b, jaccard FROM (
 
 @register("ngram_jaccard_same_source_pairs", _JACCARD_ORACLE, tags=("llm", "dedup", "join"))
 def ngram_jaccard_same_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", "source", S.shingle_hashes(F.col("text")).alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from event_streaming_spark.functions.hashing import normalize_text, sql_normalize_text
 from event_streaming_spark.operators import text as T
-from event_streaming_spark.plans.catalog import load, register
+from event_streaming_spark.plans.catalog import load, register, spread
 
 # ---------------------------------------------------------------------------
 # token counting (whitespace + BPE-ish regex)
@@ -33,7 +33,7 @@ FROM documents
 
 @register("text_token_counts", _TOKENS_ORACLE, tags=("llm", "text"), bench=True)
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.ws_token_count(F.col("text")).alias("n_ws_tokens"),
@@ -60,7 +60,7 @@ FROM documents
 
 @register("text_quality_features", _QUALITY_ORACLE, tags=("llm", "text"))
 def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     feats = T.quality_features(F.col("text"))
     return docs.select(
         "doc_id", *[feats[k].alias(k) for k in ("alpha_ratio", "stopword_ratio", "mean_token_len", "n_tokens")]
@@ -80,7 +80,7 @@ GROUP BY predicted_lang
 
 @register("text_lang_id_distribution", _LANGID_ORACLE, tags=("llm", "text"))
 def text_lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return (
         docs.select(T.lang_id(F.col("text")).alias("predicted_lang"))
         .groupBy("predicted_lang")
@@ -105,7 +105,7 @@ FROM staged
 
 @register("text_fingerprints", _FP_ORACLE, tags=("llm", "text", "hash"))
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.content_md5(F.col("text")).alias("content_md5"),
@@ -131,7 +131,7 @@ GROUP BY 1
 
 @register("dedup_exact_sha256", _EXACT_DEDUP_ORACLE, tags=("llm", "dedup"), bench=True)
 def dedup_exact_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return (
         docs.select(F.sha2(normalize_text(F.col("text")), 256).alias("digest"), "doc_id")
         .groupBy("digest")
