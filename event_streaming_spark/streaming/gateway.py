@@ -1,0 +1,117 @@
+"""HTTP API gateway — the ingestion front door (SURVEY O7, D13/O14).
+
+Reference parity: libsoup server on :8088 with a root handler that
+currently answers 202 Accepted to everything (/root/reference/src/
+main.c:82-120); the declared intent (struct members) is parse → authn
+(JWT) → publish to a topic.  This shim implements that intent:
+
+  POST /topics/<broker>/<topic>   body: one JSON event or a JSON array
+      → agency.publish into the topic log → 202 {"accepted": n}
+  GET  /health                    → 200 {"status": "ok", "topics": [...]}
+
+Auth: optional HS256 bearer JWT (functions/auth.py) — when a secret is
+configured, requests without a valid token get 401 (the reference links
+libjwt for exactly this boundary).
+
+Design: the gateway is a thin stdlib ThreadingHTTPServer — deliberately
+NOT part of the data plane.  It appends to the durable topic log and
+returns; all analytics happen in Spark consumers.  At scale this role is
+played by a fleet of stateless ingest pods in front of Kafka — the
+engine-side contract (publish → log → consume) is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from event_streaming_spark.functions.auth import verify_hs256
+from event_streaming_spark.streaming.agency import EventsAgency
+
+
+class ApiGateway:
+    def __init__(
+        self,
+        agency: EventsAgency,
+        host: str = "127.0.0.1",
+        port: int = 8088,
+        jwt_secret: str | None = None,
+    ) -> None:
+        self.agency = agency
+        self.jwt_secret = jwt_secret
+        gateway = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _reply(self, code: int, obj: dict) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _authed(self) -> bool:
+                if gateway.jwt_secret is None:
+                    return True
+                hdr = self.headers.get("Authorization", "")
+                if not hdr.startswith("Bearer "):
+                    return False
+                return verify_hs256(hdr[7:], gateway.jwt_secret) is not None
+
+            def do_GET(self):  # noqa: N802
+                if self.path == "/health":
+                    self._reply(
+                        200,
+                        {"status": "ok", "topics": [list(t) for t in gateway.agency.topics()]},
+                    )
+                else:
+                    self._reply(404, {"error": "not found"})
+
+            def do_POST(self):  # noqa: N802
+                if not self._authed():
+                    self._reply(401, {"error": "invalid or missing bearer token"})
+                    return
+                parts = [p for p in self.path.split("/") if p]
+                if len(parts) != 3 or parts[0] != "topics":
+                    self._reply(404, {"error": "POST /topics/<broker>/<topic>"})
+                    return
+                _, broker, topic = parts
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"null")
+                except (ValueError, json.JSONDecodeError):
+                    self._reply(400, {"error": "body must be JSON"})
+                    return
+                if isinstance(payload, dict):
+                    events = [payload]
+                elif isinstance(payload, list) and all(isinstance(e, dict) for e in payload):
+                    events = payload
+                else:
+                    self._reply(400, {"error": "body must be a JSON object or array of objects"})
+                    return
+                ctx = gateway.agency._get_or_create(broker, topic)
+                ctx.publish(events)
+                # 202 Accepted — the reference handler's status, now earned
+                self._reply(202, {"accepted": len(events), "broker": broker, "topic": topic})
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._server.server_address[:2]
+
+    def start(self) -> "ApiGateway":
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

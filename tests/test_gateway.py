@@ -1,0 +1,75 @@
+"""API gateway: HTTP ingest → topic log → Spark consumption, with JWT auth."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from event_streaming_spark.functions.auth import mint_hs256
+from event_streaming_spark.streaming.agency import EventsAgency
+from event_streaming_spark.streaming.gateway import ApiGateway
+
+
+@pytest.fixture()
+def gw(spark, tmp_path):
+    agency = EventsAgency(spark, root=str(tmp_path / "agency"))
+    g = ApiGateway(agency, port=0, jwt_secret="gw-secret").start()  # port 0 = ephemeral
+    yield g
+    g.stop()
+    agency.close()
+
+
+def _post(gw, path, body, token=None):
+    host, port = gw.address
+    req = urllib.request.Request(
+        f"http://{host}:{port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}
+        | ({"Authorization": f"Bearer {token}"} if token else {}),
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_ingest_roundtrip_through_spark(gw, spark):
+    tok = mint_hs256({"iss": "event-streaming", "sub": "tester"}, "gw-secret")
+    ev = {
+        "event_id": 101, "ts": "2024-02-01T10:00:00", "user_id": 3,
+        "event_type": "click", "value": 1.5, "props": '{"k": 9}',
+    }
+    code, body = _post(gw, "/topics/b1/ingest", ev, token=tok)
+    assert (code, body["accepted"]) == (202, 1)
+    code, body = _post(gw, "/topics/b1/ingest", [ev | {"event_id": 102}, ev | {"event_id": 103}], token=tok)
+    assert (code, body["accepted"]) == (202, 2)
+
+    got = []
+    ctx = gw.agency.find_topic("b1", "ingest")
+    ctx.consume(lambda c, df, i: got.extend(df.collect()), once=True)
+    assert sorted(r["event_id"] for r in got) == [101, 102, 103]
+    assert all(r["value"] == 1.5 for r in got)
+
+
+def test_auth_and_error_paths(gw):
+    ev = {"event_id": 1}
+    assert _post(gw, "/topics/b/t", ev)[0] == 401               # no token
+    assert _post(gw, "/topics/b/t", ev, token="garbage")[0] == 401
+    tok = mint_hs256({"sub": "x"}, "wrong-secret")
+    assert _post(gw, "/topics/b/t", ev, token=tok)[0] == 401    # wrong key
+    tok = mint_hs256({"sub": "x"}, "gw-secret")
+    assert _post(gw, "/topics/b/t", ev, token=tok)[0] == 202
+    assert _post(gw, "/nope", ev, token=tok)[0] == 404
+    assert _post(gw, "/topics/b/t", "not-an-event", token=tok)[0] == 400
+
+    # health endpoint lists registered topics
+    host, port = gw.address
+    with urllib.request.urlopen(f"http://{host}:{port}/health") as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok"
+    assert ["b", "t"] in health["topics"]
