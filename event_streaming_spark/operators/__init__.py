@@ -10,3 +10,8 @@ from event_streaming_spark.operators.dedup import (  # noqa: F401
     dedup_keep_first,
     dedup_keep_latest,
 )
+from event_streaming_spark.operators.joins import (  # noqa: F401
+    asof_join,
+    asof_join_pandas,
+    bucketed_range_join,
+)

@@ -1,0 +1,90 @@
+"""As-of join operators: union-and-carry vs merge_asof vs the oracle query;
+bucketed big-big range join vs broadcast nested-loop reference."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from event_streaming_spark.operators.joins import (
+    asof_join,
+    asof_join_pandas,
+    bucketed_range_join,
+)
+from event_streaming_spark.plans.catalog import load
+from tests.conftest import SF_SMALL
+
+
+def _expected_last_click(spark):
+    """Reference result computed the slow, obvious way (per-row max)."""
+    ev = load(spark, SF_SMALL, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase")
+    j = buys.join(clicks, "user_id", "left").filter(F.col("cts") <= F.col("ts"))
+    best = j.groupBy("event_id").agg(F.max("cts").alias("last_click_ts"))
+    return {r["event_id"]: r["last_click_ts"] for r in best.collect()}
+
+
+def test_asof_join_union_carry_matches_reference(spark):
+    ev = load(spark, SF_SMALL, "events")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(buys, clicks, on="ts", by=["user_id"], value_cols=["click_ts"])
+    got = {r["event_id"]: r["click_ts"] for r in out.collect()}
+    expected = _expected_last_click(spark)
+    assert len(got) == buys.count()
+    for eid, cts in expected.items():
+        assert got[eid] == cts
+    # purchases with no prior click → null carried value
+    for eid, cts in got.items():
+        if eid not in expected:
+            assert cts is None
+
+
+def test_asof_join_pandas_with_tolerance(spark):
+    ev = load(spark, SF_SMALL, "events")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join_pandas(
+        buys, clicks, on="ts", by=["user_id"], value_cols=["click_value"]
+    )
+    base = asof_join(buys, clicks, on="ts", by=["user_id"], value_cols=["click_value"])
+    got = {r["event_id"]: r["click_value"] for r in out.collect()}
+    want = {r["event_id"]: r["click_value"] for r in base.collect()}
+    assert got == want
+
+    # with a tight tolerance, strictly fewer (or equal) matches survive
+    tight = asof_join_pandas(
+        buys, clicks, on="ts", by=["user_id"], value_cols=["click_value"],
+        tolerance=pd.Timedelta("5 minutes"),
+    )
+    n_tight = sum(r["click_value"] is not None for r in tight.collect())
+    n_base = sum(v is not None for v in want.values())
+    assert n_tight <= n_base
+
+
+def test_bucketed_range_join_matches_nested_loop(spark):
+    orders = load(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    # intervals: per-customer activity windows derived from events
+    ev = load(spark, SF_SMALL, "events")
+    windows = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("w_start"), F.max("ts").alias("w_end"))
+        .withColumnRenamed("user_id", "o_custkey")
+    )
+    bucketed = bucketed_range_join(
+        orders, windows.drop("o_custkey"), "o_orderdate", "w_start", "w_end"
+    )
+    reference = orders.crossJoin(windows.drop("o_custkey")).filter(
+        (F.col("o_orderdate") >= F.col("w_start")) & (F.col("o_orderdate") < F.col("w_end"))
+    )
+    key = lambda r: (r["o_orderkey"], r["w_start"], r["w_end"])  # noqa: E731
+    assert sorted(map(key, bucketed.collect())) == sorted(map(key, reference.collect()))

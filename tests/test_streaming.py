@@ -169,3 +169,37 @@ def test_stream_dedup_within_watermark(agency, spark):
         transform=lambda df: stream_dedup_within_watermark(df, ["event_id"]),
     )
     assert sorted(r["event_id"] for r in out) == [1, 2]
+
+
+def test_streaming_session_window(agency, spark):
+    """Native session_window (gap 30 min) on a topic stream — the streaming
+    twin of the batch events_sessionize_30m catalog query."""
+    ctx = agency._get_or_create("b", "sess")
+    ctx.publish(
+        [
+            ev(1, "2024-01-01T00:00:00", 1, "click", 1.0),
+            ev(2, "2024-01-01T00:10:00", 1, "click", 2.0),   # same session (10m gap)
+            ev(3, "2024-01-01T01:00:00", 1, "click", 4.0),   # new session (50m gap)
+            ev(4, "2024-01-01T00:05:00", 2, "view", 8.0),
+        ]
+    )
+    out = []
+
+    def sessions(df):
+        return (
+            df.withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .select("user_id", "n", "total")
+        )
+
+    ctx.consume(
+        lambda c, df, i: out.extend(df.collect()),
+        once=True,
+        transform=sessions,
+        output_mode="complete",
+    )
+    got = {(r["user_id"], r["n"]): r["total"] for r in out}
+    assert got[(1, 2)] == 3.0   # events 1+2 merged into one session
+    assert got[(1, 1)] == 4.0   # event 3 alone
+    assert got[(2, 1)] == 8.0
