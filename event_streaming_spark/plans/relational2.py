@@ -135,3 +135,63 @@ def emb_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.29)
     )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join (completes the join-flavor matrix: inner/left/semi/anti
+# are in tranche 1).  Customers vs event-active users: either side may be
+# missing.
+# ---------------------------------------------------------------------------
+
+_FULL_ORACLE = """
+SELECT coalesce(c.c_custkey, e.user_id) AS entity_id,
+       c.c_name AS c_name,
+       e.n_events AS n_events
+FROM customer c
+FULL OUTER JOIN (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+) e ON c.c_custkey = e.user_id
+WHERE coalesce(c.c_custkey, e.user_id) < 300
+"""
+
+
+@register("join_full_outer_customers_events", _FULL_ORACLE, tags=("join",))
+def join_full_outer_customers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        cust.join(ev, cust.c_custkey == ev.user_id, "full_outer")
+        .select(
+            F.coalesce(cust.c_custkey, ev.user_id).alias("entity_id"),
+            F.col("c_name"),
+            F.col("n_events"),
+        )
+        .filter(F.coalesce(cust.c_custkey, ev.user_id) < 300)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS / NOT EXISTS subqueries (decorrelated by Catalyst into
+# semi/anti joins — written as SQL to exercise the SQL surface).
+# ---------------------------------------------------------------------------
+
+_EXISTS_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+@register("subquery_exists_not_exists", _EXISTS_ORACLE, tags=("join", "subquery"))
+def subquery_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXISTS_ORACLE.replace("NOT EXISTS", "NOT EXISTS"))

@@ -62,6 +62,35 @@ class EventStore:
             .start()
         )
 
+    def compact(self, event_date: dt.date, target_files: int = 1) -> int:
+        """Rewrite one day-partition into `target_files` files (small-file
+        compaction).  Streaming appends create one file per micro-batch;
+        at 100 TB that's the classic small-file problem — compact cold
+        days so scans read few large row-groups.  Returns files after.
+
+        Rewrite is atomic-enough for an append-only store: write to a
+        temp dir, then swap the partition directory.
+        """
+        import glob
+        import os
+        import shutil
+
+        part = os.path.join(self.path, f"event_date={event_date.isoformat()}")
+        if not os.path.isdir(part):
+            return 0
+        tmp = part + ".compacting"
+        (
+            self.spark.read.parquet(part)
+            .coalesce(target_files)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        old = part + ".old"
+        os.rename(part, old)
+        os.rename(tmp, part)
+        shutil.rmtree(old)
+        return len(glob.glob(os.path.join(part, "*.parquet")))
+
     # -- reads ------------------------------------------------------------------
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)

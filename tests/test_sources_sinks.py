@@ -127,3 +127,45 @@ def test_multimodal_decode_stub(spark, tmp_path):
     except NotImplementedError:
         raised = True
     assert raised
+
+
+def test_store_compaction(spark, tmp_path):
+    store = EventStore(spark, str(tmp_path / "cstore"))
+    ev = load(spark, SF_SMALL, "events").filter(F.to_date("ts") == "2024-01-05")
+    for _ in range(4):  # 4 micro-batch appends → many small files
+        store.append(ev)
+    import glob
+
+    part = f"{store.path}/event_date=2024-01-05"
+    before = len(glob.glob(f"{part}/*.parquet"))
+    assert before >= 4
+    import datetime as dt
+
+    after = store.compact(dt.date(2024, 1, 5))
+    assert after == 1
+    assert store.read_key("event_date", "2024-01-05").count() == 4 * ev.count()
+
+
+def test_streaming_metrics_listener(spark, tmp_path):
+    from event_streaming_spark.streaming.agency import EventsAgency
+    from event_streaming_spark.streaming.metrics import ProgressCollector
+
+    collector = ProgressCollector().attach(spark)
+    try:
+        agency = EventsAgency(spark, root=str(tmp_path / "magency"))
+        ctx = agency._get_or_create("b", "metrics")
+        ctx.publish({"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+                     "event_type": "click", "value": 1.0, "props": "{}"})
+        ctx.consume(lambda c, df, i: df.count(), once=True)
+        agency.close()
+        import time
+        for _ in range(40):  # listener events are async
+            if collector.progress and collector.terminated:
+                break
+            time.sleep(0.25)
+        assert collector.started
+        assert any(p["num_input_rows"] == 1 for p in collector.progress)
+        mdf = collector.as_dataframe(spark)
+        assert mdf.filter(F.col("num_input_rows") > 0).count() >= 1
+    finally:
+        collector.detach(spark)
