@@ -1,0 +1,103 @@
+"""Bucketed co-located joins (no Exchange) + stream-stream time-range join
++ streaming EventStore sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_streaming_spark.plans.catalog import load
+from event_streaming_spark.sources.bucketed import bucketed_join, write_bucketed
+from event_streaming_spark.sources.store import EventStore
+from event_streaming_spark.streaming.agency import EventsAgency
+from tests.conftest import SF_SMALL
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        orders = load(spark, SF_SMALL, "orders")
+        li = load(spark, SF_SMALL, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+        write_bucketed(orders, "b_orders", "o_orderkey", 8)
+        write_bucketed(li, "b_lineitem", "o_orderkey", 8)
+
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan[:500]}"
+        # correctness: same count as the plain join
+        plain = orders.join(li, "o_orderkey")
+        assert joined.count() == plain.count()
+
+        # unbucketed comparison DOES shuffle (sanity that the assert means something)
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+@pytest.fixture()
+def agency(spark, tmp_path):
+    a = EventsAgency(spark, root=str(tmp_path / "agency"))
+    yield a
+    a.close()
+
+
+def ev(event_id, ts, user_id, event_type="click", value=1.0):
+    return {"event_id": event_id, "ts": ts, "user_id": user_id,
+            "event_type": event_type, "value": value, "props": "{}"}
+
+
+def test_stream_stream_time_range_join(agency, spark):
+    """SURVEY §2.4 'stream–stream time-range join with watermarks':
+    purchases joined to clicks of the same user within the preceding hour."""
+    clicks_t = agency._get_or_create("b", "clicks2")
+    buys_t = agency._get_or_create("b", "buys2")
+    clicks_t.publish([ev(1, "2024-01-01T10:00:00", 1), ev(2, "2024-01-01T10:30:00", 2)])
+    buys_t.publish([
+        ev(10, "2024-01-01T10:40:00", 1, "purchase", 9.0),   # 40m after click 1 → match
+        ev(11, "2024-01-01T12:00:00", 2, "purchase", 5.0),   # 90m after click 2 → no match
+    ])
+
+    clicks = (
+        clicks_t.stream()
+        .withWatermark("ts", "2 hours")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"))
+    )
+    buys = (
+        buys_t.stream()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+    )
+    joined = buys.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("ts"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("event_id", "user_id", "click_id")
+
+    out = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, i: out.extend(df.collect()))
+        .option("checkpointLocation", str(agency.root) + "/ssj-ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert [(r["event_id"], r["click_id"]) for r in out] == [(10, 1)]
+
+
+def test_event_store_streaming_sink(agency, spark, tmp_path):
+    store = EventStore(spark, str(tmp_path / "sstore"))
+    ctx = agency._get_or_create("b", "tostore")
+    ctx.publish([ev(1, "2024-01-01T00:00:00", 1), ev(2, "2024-01-02T00:00:00", 2)])
+    q = store.sink(ctx.stream(), checkpoint=str(tmp_path / "sstore-ckpt"))
+    q.awaitTermination()
+    got = store.read()
+    assert got.count() == 2
+    assert {str(r["event_date"]) for r in got.select("event_date").collect()} == {
+        "2024-01-01", "2024-01-02",
+    }
