@@ -37,6 +37,7 @@ def main() -> None:
 
     names = [n for n, q in REGISTRY.items() if q.bench]
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in names:
         q = REGISTRY[name]
         t0 = time.monotonic()
@@ -44,13 +45,19 @@ def main() -> None:
         # noop sink: full execution + column materialization, no driver collect
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # second run: plan/codegen warm — the steady-state per-query cost
+        t0 = time.monotonic()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: cold {timings[name]:.3f}s warm {warm[name]:.3f}s", file=sys.stderr)
 
     out = {
         "metric": "catalog_bench_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm,
+        "value_warm": round(sum(warm.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -343,3 +343,46 @@ def point_lookup_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter((F.col("user_id") == 42) & (F.col("event_type") == "purchase")).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# O48 varargs fan-in with duplicate counting: the reference's
+# add_recipents(to, a1, a2, ..., NULL) loop counts how many inserts were
+# duplicates (email-sender.c:315-334).  Relational form: explode a
+# synthesized per-row address array (with deliberate dups), dedup per
+# message, report kept vs duplicate counts.
+# ---------------------------------------------------------------------------
+
+_FANIN_ORACLE = """
+WITH fanned AS (
+  SELECT o_orderkey,
+         unnest(['cust' || o_custkey || '@example.com',
+                 'sales@example.com',
+                 'cust' || o_custkey || '@example.com',   -- duplicate
+                 'archive@example.com']) AS addr
+  FROM orders WHERE o_orderkey < 200
+)
+SELECT o_orderkey,
+       count(*) AS n_given,
+       count(DISTINCT addr) AS n_kept,
+       count(*) - count(DISTINCT addr) AS n_duplicates
+FROM fanned
+GROUP BY o_orderkey
+"""
+
+
+@register("varargs_fanin_dedup_count", _FANIN_ORACLE, tags=("reference", "dedup"))
+def varargs_fanin_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    cust_addr = F.concat(F.lit("cust"), F.col("o_custkey").cast("string"), F.lit("@example.com"))
+    fanned = orders.select(
+        "o_orderkey",
+        F.explode(
+            F.array(cust_addr, F.lit("sales@example.com"), cust_addr, F.lit("archive@example.com"))
+        ).alias("addr"),
+    )
+    return fanned.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_given"),
+        F.countDistinct("addr").alias("n_kept"),
+        (F.count(F.lit(1)) - F.countDistinct("addr")).alias("n_duplicates"),
+    )
