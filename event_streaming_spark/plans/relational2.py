@@ -195,3 +195,150 @@ def subquery_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_EXISTS_ORACLE.replace("NOT EXISTS", "NOT EXISTS"))
+
+
+# ---------------------------------------------------------------------------
+# q10-style: top returned-revenue customers (join + filtered agg + top-N).
+# Scale: returnflag filter pushes to the lineitem scan; customer side
+# broadcasts; TakeOrderedAndProject for the top-20.
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name,
+       {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       n_name AS nation
+FROM customer
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN orders   ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_item_customers", _Q10_ORACLE, tags=("join", "agg", "topk", "tpch"), bench=True)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    cdim = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", "c_name", "n_name"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", F.col("n_name").alias("nation"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12-style: order-priority buckets by ship-mode-ish predicate (conditional
+# counting over a join — map-side agg after one shuffle).
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT CAST(extract(year FROM l_shipdate) AS INT) AS ship_year,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@register("q12_priority_by_ship_year", _Q12_ORACLE, tags=("join", "agg", "tpch"))
+def q12_priority_by_ship_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14-style: promo revenue share — ratio of conditional exact sums.
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT round(
+         100.0 * ({sql_exact_sum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6)})
+               / ({sql_exact_sum('l_extendedprice * (1 - l_discount)', 6)}), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue_share", _Q14_ORACLE, tags=("join", "agg", "tpch"))
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * exact_sum(promo, 6) / exact_sum(disc, 6), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe two-stage (salted) aggregation under the correctness gate:
+# identical results to a plain groupBy, by construction (exact integer
+# partials compose associatively).  Oracle = the plain aggregation.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       {sql_exact_sum('value')} AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("skew_salted_type_rollup", _SALTED_ORACLE, tags=("events", "agg", "skew"))
+def skew_salted_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "__scaled": (
+                F.sum(F.round(F.col("value") * 1e6).cast("long")),
+                F.sum("__scaled"),
+            ),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("__scaled") / 1e6, 2).alias("total_value"),
+    )

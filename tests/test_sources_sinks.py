@@ -169,3 +169,33 @@ def test_streaming_metrics_listener(spark, tmp_path):
         assert mdf.filter(F.col("num_input_rows") > 0).count() >= 1
     finally:
         collector.detach(spark)
+
+
+def test_csv_json_text_sources_roundtrip(spark, tmp_path):
+    """SURVEY §2.4 scan row: csv/json/text sources with explicit schemas."""
+    ev = load(spark, SF_SMALL, "events").limit(100)
+
+    csv_dir = str(tmp_path / "csv")
+    ev.write.option("header", True).csv(csv_dir)
+    back_csv = (
+        spark.read.option("header", True)
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .csv(csv_dir)
+    )
+    assert back_csv.count() == 100
+    assert dict(back_csv.dtypes)["value"] == "double"
+
+    json_dir = str(tmp_path / "json")
+    ev.write.json(json_dir)
+    from event_streaming_spark.sources.readers import read_events_json
+
+    back_json = read_events_json(spark, json_dir)
+    assert back_json.count() == 100
+    s = {r["event_id"] for r in ev.select("event_id").collect()}
+    assert {r["event_id"] for r in back_json.select("event_id").collect()} == s
+
+    text_dir = str(tmp_path / "text")
+    ev.select(F.col("props")).write.text(text_dir)
+    back_text = spark.read.text(text_dir)
+    assert back_text.count() == 100
+    assert back_text.columns == ["value"]
