@@ -203,3 +203,27 @@ def test_streaming_session_window(agency, spark):
     assert got[(1, 2)] == 3.0   # events 1+2 merged into one session
     assert got[(1, 1)] == 4.0   # event 3 alone
     assert got[(2, 1)] == 8.0
+
+
+def test_continuous_consume_and_stop(agency, spark):
+    """once=False: a live micro-batch query keeps consuming until stopped
+    (the long-running subscribe mode of the reference's consumer loop)."""
+    import time
+
+    got = []
+    ctx = agency._get_or_create("b", "live")
+    ctx.publish(ev(1, "2024-01-01T00:00:00", 1))
+    q = ctx.consume(lambda c, df, i: got.extend(df.collect()), once=False)
+    try:
+        deadline = time.monotonic() + 30
+        while not got and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert [r["event_id"] for r in got] == [1]
+        ctx.publish(ev(2, "2024-01-01T00:01:00", 1))  # arrives while live
+        deadline = time.monotonic() + 30
+        while len(got) < 2 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert sorted(r["event_id"] for r in got) == [1, 2]
+    finally:
+        ctx.stop()
+    assert q.isActive is False
