@@ -321,3 +321,36 @@ def events_pivot_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFram
     return wide.select(
         "event_date", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
     )
+
+
+# ---------------------------------------------------------------------------
+# value histogram via width_bucket (SURVEY §2.4 analytics breadth):
+# fixed-range bucketing is the shuffle-free histogram at any scale.
+# ---------------------------------------------------------------------------
+
+# DuckDB 1.0 has no width_bucket — explicit equivalent arithmetic
+# (bucket i covers [min+(i-1)w, min+iw); 0 below range, n+1 at/above max).
+_HISTOGRAM_ORACLE = f"""
+SELECT event_type,
+       cast(CASE WHEN value < 0.0 THEN 0
+                 WHEN value >= 200.0 THEN 21
+                 ELSE floor(value / 10.0) + 1 END as int) AS bucket,
+       count(*) AS n,
+       {sql_exact_sum('value')} AS bucket_value
+FROM events
+GROUP BY event_type, bucket
+"""
+
+
+@register("events_value_histogram", _HISTOGRAM_ORACLE, tags=("events", "agg"))
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.width_bucket(F.col("value"), F.lit(0.0), F.lit(200.0), F.lit(20))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value").alias("bucket_value"))
+    )

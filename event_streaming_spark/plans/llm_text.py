@@ -137,3 +137,51 @@ def dedup_exact_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digest")
         .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term scoring (SURVEY §2.5 "text analysis": the HashingTF/IDF idea
+# as explicit, oracle-checkable relational algebra).  Two aggregation
+# passes: document frequency per term, then global tf·idf.
+# Scale: explode(tokens) is the classic text inversion — shuffle on term;
+# at 100 TB this is the inverted-index build, partial-agg-friendly.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({sql_normalize_text('text')}, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT term, tf, df,
+       round(tf * ln(cast(n_docs as double) / df), 6) AS tfidf
+FROM tf, n
+ORDER BY tfidf DESC, term
+LIMIT 25
+"""
+
+
+@register("text_tfidf_top_terms", _TFIDF_ORACLE, tags=("llm", "text", "agg"))
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.functions.hashing import tokens as tok_fn
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    n_docs = docs.count()  # scalar dimension, computed once (cheap metadata agg)
+    toks = docs.select("doc_id", F.explode(tok_fn(F.col("text"))).alias("term"))
+    tf = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        tf.select(
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("term"))
+        .limit(25)
+    )
