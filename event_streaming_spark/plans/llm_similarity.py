@@ -256,3 +256,94 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_val")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF two-stage ANN (SURVEY §2.5 "IVF or LSH-bucketed variant"): coarse
+# quantization by label-cell centroids (exact decimal means), probe the
+# nprobe=3 nearest cells per query, exact cosine only within those cells.
+# Scale: stage 1 touches n_cells centroids (broadcast); stage 2 scans only
+# nprobe/n_cells of the corpus — the classic IVF trade.  Entirely
+# relational: two broadcast joins + one window, no UDFs.
+# ---------------------------------------------------------------------------
+
+_IVF_ORACLE = """
+WITH cent AS (
+  SELECT label, list(c ORDER BY dim) AS centroid FROM (
+    SELECT label, d AS dim,
+           cast(round(cast(sum(cast(embedding[d + 1] as decimal(30,10))) as double)
+                      / count(*), 6) as double) AS c
+    FROM embeddings, range(64) t(d)
+    GROUP BY label, d
+  ) GROUP BY label
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+), probe AS (
+  SELECT qid, label FROM (
+    SELECT q.qid, cent.label,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round(list_dot_product(q.qv::DOUBLE[], cent.centroid) /
+                   (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+                    sqrt(list_dot_product(cent.centroid, cent.centroid))), 6) DESC,
+               cent.label) AS cell_rank
+    FROM q, cent
+  ) WHERE cell_rank <= 3
+)
+SELECT qid, neighbor_id, cos_sim, rn FROM (
+  SELECT qid, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM (
+    SELECT q.qid, e.vec_id AS neighbor_id,
+           round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+                  sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cos_sim
+    FROM probe JOIN q USING (qid)
+               JOIN embeddings e ON e.label = probe.label AND e.vec_id <> q.qid
+  )
+) WHERE rn <= 5
+"""
+
+
+@register("emb_ivf_two_stage_ann", _IVF_ORACLE, tags=("llm", "ann", "ivf"), bench=True)
+def emb_ivf_two_stage_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    # stage 0: exact per-cell centroids (order-independent decimal means),
+    # reassembled into arrays; centroid set is tiny → broadcast
+    exploded = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    cent_long = exploded.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(30,10)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("c")
+    )
+    cent = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s.c
+        ).alias("centroid")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    # stage 1: rank cells per query, keep nprobe=3
+    scored_cells = q.crossJoin(F.broadcast(cent)).select(
+        "qid", "label", F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("csim")
+    )
+    wcell = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("label"))
+    probe = (
+        scored_cells.withColumn("cell_rank", F.row_number().over(wcell))
+        .filter(F.col("cell_rank") <= 3)
+        .select("qid", "label")
+    )
+    # stage 2: exact cosine only within probed cells
+    p = probe.join(F.broadcast(q), "qid").alias("p")
+    e = emb.alias("e")
+    cand = (
+        p.join(e, (F.col("e.label") == F.col("p.label")) & (F.col("e.vec_id") != F.col("p.qid")))
+        .select(
+            F.col("p.qid").alias("qid"),
+            F.col("e.vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("p.qv"), F.col("e.embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)

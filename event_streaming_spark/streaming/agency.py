@@ -105,22 +105,35 @@ class TopicContext:
         return 0
 
     # -- O2 consume -------------------------------------------------------------
-    def stream(self) -> DataFrame:
-        """The topic as an unbounded DataFrame."""
+    def stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
+        """The topic as an unbounded DataFrame.
+
+        max_files_per_trigger bounds each micro-batch (backpressure for
+        catch-up reads over a deep log)."""
         os.makedirs(self.log_dir, exist_ok=True)
         if self.agency.backend == "kafka":
-            raw = (
-                self.agency.spark.readStream.format("kafka")
-                .option("kafka.bootstrap.servers", self.broker)
-                .option("subscribe", self.topic)
-                .option("startingOffsets", "earliest")
-                .load()
-            )
+            try:
+                raw = (
+                    self.agency.spark.readStream.format("kafka")
+                    .option("kafka.bootstrap.servers", self.broker)
+                    .option("subscribe", self.topic)
+                    .option("startingOffsets", "earliest")
+                    .load()
+                )
+            except Exception as e:  # connector jars absent → actionable error
+                raise RuntimeError(
+                    "kafka backend needs the spark-sql-kafka connector on the "
+                    "classpath (--packages org.apache.spark:spark-sql-kafka-0-10_2.13); "
+                    "use backend='file' for a self-contained durable log"
+                ) from e
             parsed = raw.select(
                 F.from_json(F.col("value").cast("string"), self.schema).alias("e")
             ).select("e.*")
             return parsed
-        return self.agency.spark.readStream.schema(self.schema).json(self.log_dir)
+        reader = self.agency.spark.readStream.schema(self.schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return reader.json(self.log_dir)
 
     def consume(
         self,
@@ -129,6 +142,7 @@ class TopicContext:
         once: bool = True,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         output_mode: str = "append",
+        max_files_per_trigger: int | None = None,
     ):
         """Start the consumer query; per micro-batch call
         ``on_notify(self, batch_df, batch_id)`` (O3 contract).
@@ -139,7 +153,7 @@ class TopicContext:
         """
         self.stop()
         self.notify_data = notify_data
-        df = self.stream()
+        df = self.stream(max_files_per_trigger=max_files_per_trigger)
         if transform is not None:
             df = transform(df)
 

@@ -229,3 +229,35 @@ def test_orc_roundtrip(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.count() == 50
     assert dict(back.dtypes)["value"] == "double"
+
+
+def test_sql_front_door(spark):
+    from event_streaming_spark.sql import open_catalog, sql
+
+    views = open_catalog(spark, SF_SMALL)
+    assert "lineitem" in views and "events" in views
+    out = sql(spark, """
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag
+    """).collect()
+    assert sum(r["n"] for r in out) > 0
+    # portable oracle SQL runs verbatim on the engine
+    exists_q = """
+        SELECT count(*) AS n FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+    assert sql(spark, exists_q).collect()[0]["n"] > 0
+
+
+def test_kafka_backend_error_message(spark, tmp_path):
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    a = EventsAgency(spark, root=str(tmp_path / "k"), backend="kafka")
+    ctx = a._get_or_create("localhost:9092", "t")
+    try:
+        ctx.stream()
+        hit = None
+    except RuntimeError as e:
+        hit = str(e)
+    assert hit is not None and "spark-sql-kafka" in hit  # actionable guidance
+    a.close()
