@@ -94,3 +94,71 @@ def extract_image_meta(
     return binary_df.select("path", "length", "content").mapInPandas(
         run, IMAGE_META_SCHEMA
     )
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def decode_audio_stub(content: bytes) -> tuple[str, int, int, int]:
+    """WAV header parse (fmt chunk: sample rate, channels, data length →
+    duration); real codec decode (mp3/ogg) raises NotImplementedError."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE" and len(content) >= 44:
+        n_channels = int.from_bytes(content[22:24], "little")
+        sample_rate = int.from_bytes(content[24:28], "little")
+        byte_rate = int.from_bytes(content[28:32], "little")
+        data_len = max(len(content) - 44, 0)
+        duration_ms = (data_len * 1000) // byte_rate if byte_rate else 0
+        return "wav", sample_rate, n_channels, duration_ms
+    if content[:3] == b"ID3" or content[:2] == b"\xff\xfb":
+        raise NotImplementedError("mp3 decode needs a codec library — plug a real kernel")
+    return "unknown", -1, -1, -1
+
+
+def extract_audio_meta(
+    binary_df: DataFrame,
+    kernel: Callable[[bytes], tuple[str, int, int, int]] = decode_audio_stub,
+) -> DataFrame:
+    """binaryFile rows → audio metadata via Arrow-batched mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    fmt, sr, ch, dur = kernel(bytes(content))
+                except NotImplementedError:
+                    fmt, sr, ch, dur = "undecodable", -2, -2, -2
+                out.append((path, fmt, sr, ch, dur))
+            yield pd.DataFrame(
+                out, columns=["path", "format", "sample_rate", "n_channels", "duration_ms"]
+            )
+
+    return binary_df.select("path", "content").mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+def sample_frame_offsets(
+    binary_df: DataFrame,
+    frame_size: int,
+    every_n: int,
+    length_col: str = "length",
+) -> DataFrame:
+    """Video frame-sampling plumbing: for fixed-size-frame media, emit the
+    byte offsets of every Nth frame — pure relational (sequence+explode),
+    no Python.  A real demuxer would replace the offset arithmetic; the
+    partitioning/explode shape is identical."""
+    from pyspark.sql import functions as F
+
+    n_frames = (F.col(length_col) / frame_size).cast("long")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    return binary_df.select(
+        "path",
+        F.explode(idx).alias("frame_no"),
+    ).select("path", "frame_no", (F.col("frame_no") * frame_size).alias("byte_offset"))

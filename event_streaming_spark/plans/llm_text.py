@@ -185,3 +185,32 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tfidf"), F.asc("term"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing under the correctness gate: opaque BINARY column
+# (synthesized from text here — the fixtures carry no media), typed
+# metadata extracted relationally: byte length, hex prefix, text checksum.
+# The codec-level operators live in operators/multimodal.py (mapInPandas).
+# ---------------------------------------------------------------------------
+
+_BINARY_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       lower(hex(encode(substr(text, 1, 8)))) AS prefix_hex,
+       md5(text) AS text_md5
+FROM documents
+WHERE doc_id < 100
+"""
+
+
+@register("binary_column_metadata", _BINARY_ORACLE, tags=("llm", "multimodal", "binary"))
+def binary_column_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    bin_col = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(bin_col).alias("n_bytes"),
+        F.lower(F.hex(F.substring(bin_col, 1, 8))).alias("prefix_hex"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )

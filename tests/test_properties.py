@@ -1,0 +1,102 @@
+"""Property-based semantic checks (hypothesis): operators vs brute-force
+Python references on randomized inputs.
+
+Few examples per property (Spark job per example) — the value is the
+randomized shape coverage (dup keys, empty groups, ties), not volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from event_streaming_spark.operators.cdc import apply_cdc
+from event_streaming_spark.operators.dedup import dedup_keep_latest
+from event_streaming_spark.operators.joins import asof_join
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+row = st.tuples(
+    st.integers(0, 3),                 # key
+    st.integers(0, 1_000_000),         # ts (ms)
+    st.integers(-100, 100),            # value
+)
+
+
+@given(left=st.lists(row, min_size=1, max_size=15), right=st.lists(row, max_size=15))
+@SETTINGS
+def test_asof_join_matches_bruteforce(spark, left, right):
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda r, i: (r[0], base + dt.timedelta(milliseconds=r[1]), i, float(r[2]))  # noqa: E731
+    lrows = [mk(r, i) for i, r in enumerate(left)]
+    rrows = [mk(r, 1000 + i) for i, r in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "k INT, ts TIMESTAMP, rid INT, v DOUBLE")
+    rdf = spark.createDataFrame(rrows, "k INT, ts TIMESTAMP, rid INT, rv DOUBLE") \
+        if rrows else spark.createDataFrame([], "k INT, ts TIMESTAMP, rid INT, rv DOUBLE")
+    out = asof_join(ldf, rdf.select("k", "ts", "rv"), on="ts", by=["k"], value_cols=["rv"])
+    got = {r["rid"]: r["rv"] for r in out.collect()}
+
+    for k, ts, rid, _ in lrows:
+        cands = [(rts, rv) for (rk, rts, _, rv) in rrows if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[rid] == want, (rid, got[rid], want)
+
+
+@given(rows=st.lists(row, min_size=1, max_size=20))
+@SETTINGS
+def test_dedup_keep_latest_matches_reference(spark, rows):
+    data = [(k, ts, i, float(v)) for i, (k, ts, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k INT, ord BIGINT, rid INT, v DOUBLE")
+    out = dedup_keep_latest(df, ["k"], [F.col("ord"), F.col("rid")])
+    got = {r["k"]: r["rid"] for r in out.collect()}
+    want = {}
+    for k, ts, rid, _ in data:
+        cur = want.get(k)
+        if cur is None or (ts, rid) > cur[:2]:
+            want[k] = (ts, rid, rid)
+    assert got == {k: v[2] for k, v in want.items()}
+
+
+cdc_change = st.tuples(
+    st.integers(0, 4),                       # key
+    st.integers(0, 50),                      # seq
+    st.sampled_from(["upsert", "delete"]),   # op
+    st.integers(-10, 10),                    # value
+)
+
+
+@given(
+    snap=st.lists(st.tuples(st.integers(0, 4), st.integers(-10, 10)),
+                  max_size=5, unique_by=lambda t: t[0]),
+    changes=st.lists(cdc_change, min_size=1, max_size=12),
+)
+@SETTINGS
+def test_apply_cdc_matches_replay(spark, snap, changes):
+    sdf = (
+        spark.createDataFrame([(k, float(v)) for k, v in snap], "k INT, v DOUBLE")
+        if snap else spark.createDataFrame([], "k INT, v DOUBLE")
+    )
+    cdata = [(k, seq, i, op, float(v)) for i, (k, seq, op, v) in enumerate(changes)]
+    cdf = spark.createDataFrame(cdata, "k INT, seq INT, tie INT, op STRING, v DOUBLE")
+    out = apply_cdc(sdf, cdf, ["k"], [F.col("seq"), F.col("tie")])
+    got = {r["k"]: r["v"] for r in out.select("k", "v").collect()}
+
+    # replay reference: latest change per key wins; delete removes
+    state = {k: float(v) for k, v in snap}
+    latest: dict[int, tuple] = {}
+    for k, seq, tie, op, v in cdata:
+        if k not in latest or (seq, tie) > latest[k][:2]:
+            latest[k] = (seq, tie, op, v)
+    for k, (_, _, op, v) in latest.items():
+        if op == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state

@@ -261,3 +261,34 @@ def test_kafka_backend_error_message(spark, tmp_path):
         hit = str(e)
     assert hit is not None and "spark-sql-kafka" in hit  # actionable guidance
     a.close()
+
+
+def test_audio_and_frame_sampling_stubs(spark, tmp_path):
+    import struct as _s
+    from event_streaming_spark.operators.multimodal import (
+        extract_audio_meta,
+        sample_frame_offsets,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    # minimal WAV: RIFF/WAVE header with 2ch 16kHz, byte_rate=64000, 128 data bytes
+    wav = (b"RIFF" + _s.pack("<I", 36 + 128) + b"WAVE" + b"fmt " + _s.pack("<I", 16)
+           + _s.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16) + b"data" + _s.pack("<I", 128)
+           + b"\x00" * 128)
+    (d / "a.wav").write_bytes(wav)
+    (d / "b.mp3").write_bytes(b"ID3" + b"\x00" * 64)
+
+    meta = {os.path.basename(r["path"]): r for r in
+            extract_audio_meta(load_file(spark, str(d))).collect()}
+    assert meta["a.wav"]["format"] == "wav"
+    assert meta["a.wav"]["sample_rate"] == 16000 and meta["a.wav"]["n_channels"] == 2
+    assert meta["a.wav"]["duration_ms"] == 2  # 128 bytes / 64000 B/s
+    assert meta["b.mp3"]["format"] == "undecodable"  # codec gap surfaced, not hidden
+
+    frames = sample_frame_offsets(
+        load_file(spark, str(d), glob="*.wav", stat_only=True), frame_size=32, every_n=2
+    ).collect()
+    # 171 bytes of wav → 5 frames (0..4), every 2nd → frames 0,2,4
+    got = sorted((r["frame_no"], r["byte_offset"]) for r in frames)
+    assert got == [(0, 0), (2, 64), (4, 128)]

@@ -227,3 +227,17 @@ def test_continuous_consume_and_stop(agency, spark):
     finally:
         ctx.stop()
     assert q.isActive is False
+
+
+def test_checkpoint_resume_delivers_only_new_events(agency, spark):
+    """Offsets live in the per-topic checkpoint: a second consume sees only
+    events published after the first drain (at-least-once, no replay)."""
+    ctx = agency._get_or_create("b", "resume")
+    ctx.publish([ev(1, "2024-01-01T00:00:00", 1), ev(2, "2024-01-01T00:01:00", 1)])
+    first, second = [], []
+    ctx.consume(lambda c, df, i: first.extend(df.collect()), once=True)
+    assert sorted(r["event_id"] for r in first) == [1, 2]
+
+    ctx.publish(ev(3, "2024-01-01T00:02:00", 2))
+    ctx.consume(lambda c, df, i: second.extend(df.collect()), once=True)
+    assert [r["event_id"] for r in second] == [3]  # no replay of 1,2
