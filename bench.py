@@ -51,6 +51,52 @@ def main() -> None:
         warm[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: cold {timings[name]:.3f}s warm {warm[name]:.3f}s", file=sys.stderr)
 
+    # Streaming path: publish the whole events table to a file topic, drain
+    # it through a windowed aggregation — the engine's stream-processor
+    # headline (events/sec through publish → consume → window → callback).
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from event_streaming_spark.plans.catalog import load
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    root = tempfile.mkdtemp(prefix="est-bench-stream-")
+    try:
+        agency = EventsAgency(spark, root=root)
+        ctx = agency._get_or_create("bench", "events")
+        ev = load(spark, sf_dir, "events")
+        n_events = ev.count()
+        t0 = time.monotonic()
+        ctx.publish(ev)
+        counts: list[int] = []
+
+        def agg(df):
+            return (
+                df.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 day"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+            )
+
+        ctx.consume(
+            lambda c, df, i: counts.append(df.count()),
+            once=True,
+            transform=agg,
+            output_mode="update",
+        )
+        stream_s = round(time.monotonic() - t0, 3)
+        agency.close(remove_logs=True)
+        timings["streaming_publish_window_drain"] = stream_s
+        print(
+            f"# streaming_publish_window_drain: {stream_s:.3f}s "
+            f"({n_events} events → {sum(counts)} window rows, "
+            f"{int(n_events / stream_s)} ev/s)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
     out = {
         "metric": "catalog_bench_total_wall",
         "value": round(sum(timings.values()), 3),

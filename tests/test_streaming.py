@@ -241,3 +241,39 @@ def test_checkpoint_resume_delivers_only_new_events(agency, spark):
     ctx.publish(ev(3, "2024-01-01T00:02:00", 2))
     ctx.consume(lambda c, df, i: second.extend(df.collect()), once=True)
     assert [r["event_id"] for r in second] == [3]  # no replay of 1,2
+
+
+def test_schema_on_read_tolerates_sparse_events(agency, spark):
+    """Schema-on-read (reference D1: schemaless JSON events): missing
+    fields surface as nulls, extra fields are ignored — consumers declare
+    the schema, producers evolve freely."""
+    ctx = agency._get_or_create("b", "sparse")
+    ctx.publish([
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "event_type": "view"},  # sparse
+        {"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 2,
+         "event_type": "click", "value": 2.0, "props": "{}",
+         "brand_new_field": "ignored"},  # evolved producer
+    ])
+    got = []
+    ctx.consume(lambda c, df, i: got.extend(df.collect()), once=True)
+    rows = {r["event_id"]: r for r in got}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["user_id"] is None and rows[2]["value"] is None
+    assert "brand_new_field" not in rows[3].asDict()
+
+
+def test_memory_sink_table(agency, spark):
+    """format('memory') sink: drained topic queryable as a SQL table."""
+    ctx = agency._get_or_create("b", "memsink")
+    ctx.publish([ev(1, "2024-01-01T00:00:00", 1), ev(2, "2024-01-01T00:01:00", 2)])
+    q = (
+        ctx.stream()
+        .writeStream.format("memory")
+        .queryName("mem_events")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.sql("SELECT count(*) n FROM mem_events").collect()[0]["n"] == 2
