@@ -88,8 +88,36 @@ class TopicContext:
 
     # -- O1 publish -----------------------------------------------------------
     def publish(self, events: dict | list[dict] | DataFrame) -> int:
-        """Append events to the topic log (one JSON-lines file per call —
-        the micro-batch analogue of a broker produce)."""
+        """Append events to the topic (O1).  file backend: one JSON-lines
+        file per call — the micro-batch analogue of a broker produce.
+        kafka backend: produce via the kafka sink (to_json values)."""
+        if self.agency.backend == "kafka":
+            df = events
+            if not isinstance(df, DataFrame):
+                rows = [events] if isinstance(events, dict) else list(events)
+                df = self.agency.spark.createDataFrame(
+                    self.agency.spark.sparkContext.parallelize(
+                        [json.dumps(r) for r in rows]
+                    ).map(lambda s: (s,)),
+                    "value STRING",
+                )
+            else:
+                from pyspark.sql import functions as F
+
+                df = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+            try:
+                (
+                    df.write.format("kafka")
+                    .option("kafka.bootstrap.servers", self.broker)
+                    .option("topic", self.topic)
+                    .save()
+                )
+            except Exception as e:
+                raise RuntimeError(
+                    "kafka backend needs the spark-sql-kafka connector on the "
+                    "classpath; use backend='file' for a self-contained log"
+                ) from e
+            return 0
         os.makedirs(self.log_dir, exist_ok=True)
         if isinstance(events, DataFrame):
             events.write.mode("append").json(self.log_dir)

@@ -292,3 +292,17 @@ def test_audio_and_frame_sampling_stubs(spark, tmp_path):
     # 171 bytes of wav → 5 frames (0..4), every 2nd → frames 0,2,4
     got = sorted((r["frame_no"], r["byte_offset"]) for r in frames)
     assert got == [(0, 0), (2, 64), (4, 128)]
+
+
+def test_kafka_publish_error_message(spark, tmp_path):
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    a = EventsAgency(spark, root=str(tmp_path / "kp"), backend="kafka")
+    ctx = a._get_or_create("localhost:9092", "t")
+    try:
+        ctx.publish({"event_id": 1})
+        hit = None
+    except RuntimeError as e:
+        hit = str(e)
+    assert hit is not None and "kafka" in hit
+    a.close()
