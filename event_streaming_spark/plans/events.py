@@ -354,3 +354,39 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"), exact_sum("value").alias("bucket_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# unpivot (stack) — the inverse of events_pivot_daily_type_counts; wide
+# per-day type counts melted back to long form (SURVEY §2.4 pivot/unpivot).
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT CAST(ts AS DATE) AS event_date,
+         count(*) FILTER (WHERE event_type = 'click')    AS click,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+  FROM events GROUP BY 1
+)
+SELECT event_date, kind, n FROM (
+  SELECT event_date, 'click' AS kind, click AS n FROM wide
+  UNION ALL
+  SELECT event_date, 'purchase' AS kind, purchase AS n FROM wide
+) WHERE n > 0
+"""
+
+
+@register("events_unpivot_type_counts", _UNPIVOT_ORACLE, tags=("events", "pivot"))
+def events_unpivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("click"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchase"),
+        )
+    )
+    long = wide.selectExpr(
+        "event_date", "stack(2, 'click', click, 'purchase', purchase) AS (kind, n)"
+    )
+    return long.filter(F.col("n") > 0)

@@ -49,11 +49,26 @@ class EventStore:
         )
 
     def sink(self, stream_df: DataFrame, checkpoint: str):
-        """Streaming append via foreachBatch (exactly-once per batch_id
-        through the checkpoint's commit log)."""
+        """Streaming append via foreachBatch.
 
-        def _batch(batch_df: DataFrame, _batch_id: int) -> None:
+        foreachBatch is at-least-once: a batch that fails after a partial
+        append is REPLAYED on restart, which would duplicate rows.  A
+        batch-id ledger (committed only after a successful append) makes
+        the append idempotent — the Delta `txn`/streaming-commit pattern
+        without a transactional table format.
+        """
+        import os
+
+        ledger = os.path.join(checkpoint, "store-ledger")
+
+        def _batch(batch_df: DataFrame, batch_id: int) -> None:
+            mark = os.path.join(ledger, f"batch-{batch_id}.done")
+            if os.path.exists(mark):  # replay after post-append failure
+                return
             self.append(batch_df)
+            os.makedirs(ledger, exist_ok=True)
+            with open(mark, "w") as fh:
+                fh.write("done")
 
         return (
             stream_df.writeStream.foreachBatch(_batch)

@@ -101,3 +101,25 @@ def test_event_store_streaming_sink(agency, spark, tmp_path):
     assert {str(r["event_date"]) for r in got.select("event_date").collect()} == {
         "2024-01-01", "2024-01-02",
     }
+
+
+def test_event_store_sink_idempotent_on_replay(agency, spark, tmp_path):
+    """A replayed foreachBatch id must not duplicate rows in the store."""
+    store = EventStore(spark, str(tmp_path / "idem"))
+    ctx = agency._get_or_create("b", "idem")
+    ctx.publish([ev(1, "2024-01-01T00:00:00", 1), ev(2, "2024-01-01T00:01:00", 2)])
+    ckpt = str(tmp_path / "idem-ckpt")
+    q = store.sink(ctx.stream(), checkpoint=ckpt)
+    q.awaitTermination()
+    assert store.read().count() == 2
+
+    # simulate the engine replaying batch 0 after a post-append crash
+    import os
+    batch_df = store.read().drop("event_date")
+    ledger_mark = os.path.join(ckpt, "store-ledger", "batch-0.done")
+    assert os.path.exists(ledger_mark)
+    # directly re-invoke the batch function path: a second sink run over the
+    # same checkpoint must see no new data AND not re-append old batches
+    q2 = store.sink(ctx.stream(), checkpoint=ckpt)
+    q2.awaitTermination()
+    assert store.read().count() == 2  # unchanged

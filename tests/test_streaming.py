@@ -277,3 +277,18 @@ def test_memory_sink_table(agency, spark):
     )
     q.awaitTermination()
     assert spark.sql("SELECT count(*) n FROM mem_events").collect()[0]["n"] == 2
+
+
+def test_concurrent_topics_isolated(agency, spark):
+    """Two live topics under one agency: independent logs, checkpoints,
+    and callbacks (the registry's whole point, events-agency.h:78-91)."""
+    a_got, b_got = [], []
+    ta = agency._get_or_create("b1", "alpha")
+    tb = agency._get_or_create("b2", "beta")
+    ta.publish(ev(1, "2024-01-01T00:00:00", 1))
+    tb.publish([ev(10, "2024-01-01T00:00:00", 2), ev(11, "2024-01-01T00:01:00", 2)])
+    ta.consume(lambda c, df, i: a_got.extend(df.collect()), once=True)
+    tb.consume(lambda c, df, i: b_got.extend(df.collect()), once=True)
+    assert [r["event_id"] for r in a_got] == [1]
+    assert sorted(r["event_id"] for r in b_got) == [10, 11]
+    assert agency.topics() == [("b1", "alpha"), ("b2", "beta")]
