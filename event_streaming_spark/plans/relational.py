@@ -489,3 +489,30 @@ def sort_nulls_first_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus", "o_orderpriority")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# top-k per key, AGGREGATION formulation: collect per-key (price, id) pairs
+# map-side, keep only the top-3 via slice(reverse(array_sort(...))) — no
+# per-key row_number sort pass.  Same semantics as the window variant
+# (same oracle); different physical plan: partial aggregation bounds the
+# shuffled state to k entries per key per mapper, where the window variant
+# shuffles EVERY row then sorts.  At 100 TB with bounded k this is the
+# cheaper plan; the window variant wins when k is large or unbounded.
+# ---------------------------------------------------------------------------
+
+
+@register("window_topk_agg_variant", _TOPK_ORACLE, tags=("agg", "topk"))
+def window_topk_agg_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    # sort key: (-price, orderkey) ascending == (price desc, orderkey asc)
+    pairs = F.collect_list(F.struct((-F.col("o_totalprice")).alias("np"), F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")))
+    top3 = F.slice(F.array_sort(pairs), 1, 3)
+    agged = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(top3.alias("top"))
+    ex = agged.select("c_custkey", F.posexplode("top").alias("i", "s"))
+    return ex.select(
+        "c_custkey",
+        F.col("s.k").alias("o_orderkey"),
+        F.col("s.p").alias("o_totalprice"),
+        (F.col("i") + 1).alias("rn"),
+    )

@@ -64,6 +64,18 @@ EVENT_SCHEMA = T.StructType(
 OnNotify = Callable[["TopicContext", DataFrame, int], Any]
 
 
+def _enc_part(s: str | None) -> str:
+    from urllib.parse import quote
+
+    return "%00" if s is None else quote(s, safe="")
+
+
+def _dec_part(s: str) -> str | None:
+    from urllib.parse import unquote
+
+    return None if s == "%00" else unquote(s)
+
+
 @dataclass
 class TopicContext:
     """One live topic: durable log + at most one consumer query (O1-O3)."""
@@ -79,7 +91,11 @@ class TopicContext:
     # -- storage layout -----------------------------------------------------
     @property
     def log_dir(self) -> str:
-        safe = f"{self.broker or '_'}__{self.topic or '_'}".replace("/", "_")
+        # URL-quote each component (safe="" escapes everything outside
+        # [A-Za-z0-9_.~-]) and join with "@", which quoting can never emit
+        # — so the (broker, topic) → directory mapping is bijective and
+        # discover_topics() can invert it.  None encodes as %00.
+        safe = f"{_enc_part(self.broker)}@{_enc_part(self.topic)}"
         return os.path.join(self.agency.root, "topics", safe, "log")
 
     @property
@@ -248,6 +264,23 @@ class EventsAgency:
         for t in config.get("topics", []):
             self._get_or_create(t.get("broker"), t.get("topic"))
         return 0
+
+    def discover_topics(self) -> list[tuple[str | None, str | None]]:
+        """Rebuild the registry from the on-disk topic logs (restart
+        recovery: the durable log + checkpoints survive the process; the
+        in-memory registry — like the reference's tsearch tree — does not).
+        Returns the discovered (broker, topic) keys."""
+        topics_dir = os.path.join(self.root, "topics")
+        found = []
+        if os.path.isdir(topics_dir):
+            for entry in sorted(os.listdir(topics_dir)):
+                if "@" not in entry:
+                    continue
+                broker_s, topic_s = entry.split("@", 1)
+                broker, topic = _dec_part(broker_s), _dec_part(topic_s)
+                self._get_or_create(broker, topic)
+                found.append((broker, topic))
+        return found
 
     # -- O6 find_topic ----------------------------------------------------------
     def find_topic(self, broker: str | None, topic: str | None) -> TopicContext | None:

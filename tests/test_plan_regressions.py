@@ -1,0 +1,51 @@
+"""Physical-plan regression guards: the properties that make the headline
+queries scale must stay in the plan, not just in docstrings."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+from event_streaming_spark.plans import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q6_pushdown_and_pruning(spark):
+    p = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p      # range predicate reached the scan
+    assert "LessThan(l_quantity,24.0)" in p
+    # column pruning: only the 4 needed columns in ReadSchema
+    read = [line for line in p.splitlines() if "ReadSchema" in line][0]
+    assert "l_returnflag" not in read and "l_orderkey" not in read
+
+
+def test_q3_broadcasts_and_takeordered(spark):
+    p = _plan(spark, "q3_shipping_priority", "simple")
+    assert "SortMergeJoin" not in p                   # all joins broadcastable here
+    assert "TakeOrderedAndProject" in p               # top-10 without global sort
+
+
+def test_q5_no_sort_merge_join(spark):
+    p = _plan(spark, "q5_local_supplier_volume", "simple")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_q1_partial_aggregation(spark):
+    p = _plan(spark, "q1_pricing_summary", "simple")
+    assert "partial_sum" in p                         # map-side combine before shuffle
+    assert p.count("HashAggregate") >= 2
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    p = _plan(spark, "emb_cosine_topk_bruteforce", "simple")
+    assert "BroadcastNestedLoopJoin" in p             # corpus never shuffles

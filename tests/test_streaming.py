@@ -292,3 +292,28 @@ def test_concurrent_topics_isolated(agency, spark):
     assert [r["event_id"] for r in a_got] == [1]
     assert sorted(r["event_id"] for r in b_got) == [10, 11]
     assert agency.topics() == [("b1", "alpha"), ("b2", "beta")]
+
+
+def test_discover_topics_after_restart(spark, tmp_path):
+    """Durable logs survive the process; a new agency over the same root
+    rebuilds the registry and resumes from the per-topic checkpoint."""
+    root = str(tmp_path / "persistent-agency")
+    a1 = EventsAgency(spark, root=root)
+    a1._get_or_create("b1", "t1").publish(ev(1, "2024-01-01T00:00:00", 1))
+    a1._get_or_create(None, "t2").publish(ev(2, "2024-01-01T00:00:00", 2))
+    drained = []
+    a1.find_topic("b1", "t1").consume(lambda c, df, i: drained.extend(df.collect()), once=True)
+    assert len(drained) == 1
+    a1.close()  # process "dies" — registry gone, logs + checkpoints remain
+
+    a2 = EventsAgency(spark, root=root)
+    assert a2.topics() == []
+    found = a2.discover_topics()
+    assert ("b1", "t1") in found and (None, "t2") in found
+    # checkpoint carried over: t1 sees nothing old, only new publishes
+    got = []
+    ctx = a2.find_topic("b1", "t1")
+    ctx.publish(ev(3, "2024-01-01T00:01:00", 1))
+    ctx.consume(lambda c, df, i: got.extend(df.collect()), once=True)
+    assert [r["event_id"] for r in got] == [3]
+    a2.close()
