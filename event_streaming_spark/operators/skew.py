@@ -18,6 +18,16 @@ mitigations, composable with everything else in the engine:
 Salting preserves exact results: the decomposition sum∘sum, count∘sum,
 min∘min, max∘max is exact, and the engine's fixed-point sums
 (functions/numeric.py) make even double sums order-independent.
+
+Measured honesty note (local[32], 1M rows, 90% on one key): for
+ALGEBRAIC aggregates, plain groupBy beat salted_agg (0.54s vs 0.98s) —
+Spark's map-side partial aggregation already collapses the hot key to
+one row per mapper, so the extra salt shuffle is pure overhead.  Salting
+earns its cost only where partial aggregation cannot compress:
+collect_list/collect_set state, exact distinct over high-cardinality
+values at extreme per-key volume, and skewed JOINS beyond what AQE's
+skew-split handles.  Reach for (in order): partial agg (free) → AQE skew
+join (on by default here) → explicit salting (this module).
 """
 
 from __future__ import annotations
