@@ -114,16 +114,6 @@ def minhash_est_jaccard_arrays(sig_a: Column, sig_b: Column) -> Column:
     return F.round(F.size(eq).cast("double") / MINHASH_K, 6)
 
 
-def band_hash_cols() -> list[Column]:
-    """LSH band hashes over already-projected mhNN columns."""
-    rows = MINHASH_K // LSH_BANDS
-    cols = []
-    for j in range(LSH_BANDS):
-        members = [F.col(f"mh{i:02d}").cast("string") for i in range(j * rows, (j + 1) * rows)]
-        cols.append(F.md5(F.concat_ws(",", *members)).alias(f"band{j}"))
-    return cols
-
-
 def sql_band_hash_exprs() -> list[str]:
     rows = MINHASH_K // LSH_BANDS
     out = []
@@ -133,18 +123,6 @@ def sql_band_hash_exprs() -> list[str]:
         )
         out.append(f"md5({members}) AS band{j}")
     return out
-
-
-def minhash_est_jaccard(prefix_a: str, prefix_b: str) -> Column:
-    """Fraction of equal minhash components between two signature row-sides."""
-    eq = [
-        F.when(F.col(f"{prefix_a}.mh{i:02d}") == F.col(f"{prefix_b}.mh{i:02d}"), 1).otherwise(0)
-        for i in range(MINHASH_K)
-    ]
-    total = eq[0]
-    for e in eq[1:]:
-        total = total + e
-    return F.round(total.cast("double") / MINHASH_K, 6)
 
 
 # -- embeddings ---------------------------------------------------------------

@@ -77,11 +77,20 @@ class EventStore:
             .start()
         )
 
-    def compact(self, event_date: dt.date, target_files: int = 1) -> int:
+    def compact(
+        self,
+        event_date: dt.date,
+        target_files: int = 1,
+        sort_by: list[str] | None = None,
+    ) -> int:
         """Rewrite one day-partition into `target_files` files (small-file
         compaction).  Streaming appends create one file per micro-batch;
         at 100 TB that's the classic small-file problem — compact cold
         days so scans read few large row-groups.  Returns files after.
+
+        ``sort_by`` clusters rows within the rewritten files (e.g.
+        ["user_id"]) so parquet row-group min/max statistics prune keyed
+        point reads — the poor man's Z-order for a single sort dimension.
 
         Rewrite is atomic-enough for an append-only store: write to a
         temp dir, then swap the partition directory.
@@ -94,9 +103,11 @@ class EventStore:
         if not os.path.isdir(part):
             return 0
         tmp = part + ".compacting"
+        day = self.spark.read.parquet(part)
+        if sort_by:
+            day = day.sort(*sort_by)
         (
-            self.spark.read.parquet(part)
-            .coalesce(target_files)
+            day.coalesce(target_files)
             .write.mode("overwrite")
             .parquet(tmp)
         )
