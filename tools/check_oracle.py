@@ -12,6 +12,7 @@ Exit code = number of failing queries.
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -64,6 +65,7 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    repeat = os.environ.get("CHECK_ORACLE_REPEAT") == "1"
     failures = 0
     names = [n for n in REGISTRY if not only or n in only]
     for name in names:
@@ -77,6 +79,17 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        if repeat:
+            # determinism guard: a re-run must produce the identical multiset
+            # (catches partition-order-dependent results before the driver's
+            # hash gate does)
+            sdf2 = q.fn(spark, sf_dir)
+            _, v1 = normalize(scols, [tuple(r) for r in srows])
+            _, v2 = normalize(sdf2.columns, [tuple(r) for r in sdf2.collect()])
+            if v1 != v2:
+                print(f"FAIL  {name}: NONDETERMINISTIC across runs")
+                failures += 1
+                continue
         spark_s = time.monotonic() - t0
         if q.oracle is None:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {spark_s:.1f}s) — no oracle")
