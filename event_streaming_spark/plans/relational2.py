@@ -342,3 +342,118 @@ def skew_salted_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("__scaled") / 1e6, 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q4-style: priority counts for orders with at least one late-shipped line
+# (EXISTS decorrelated to a semi-join on orderkey).
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_order_priority_late_ship", _Q4_ORACLE, tags=("join", "agg", "tpch"))
+def q4_order_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# q7-style: shipping volume between two nations by year — the classic
+# "two role-played dimension joins" shape (customer nation ≠ supplier
+# nation), both dims broadcast.
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(extract(year FROM l_shipdate) AS INT) AS ship_year,
+       {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS volume
+FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name IN ('NATION_1', 'NATION_2') AND sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name <> sn.n_name
+GROUP BY cn.n_name, sn.n_name, ship_year
+"""
+
+
+@register("q7_nation_pair_volume", _Q7_ORACLE, tags=("join", "agg", "tpch"))
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    cdim = cust.join(
+        F.broadcast(nation.filter(F.col("n_name").isin(pair))),
+        cust.c_nationkey == nation.n_nationkey,
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    sdim = supp.join(
+        F.broadcast(nation.filter(F.col("n_name").isin(pair))),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18-style: large-volume customers — aggregate HAVING filter, then join
+# back to customers.  The HAVING side is tiny after the filter → broadcast.
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       {sql_exact_sum('l_quantity')} AS total_qty
+FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey
+HAVING sum(l_quantity) > 120
+"""
+
+
+@register("q18_large_volume_orders", _Q18_ORACLE, tags=("join", "agg", "tpch"))
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey")
+        .agg(
+            exact_sum("l_quantity").alias("total_qty"),
+            F.sum("l_quantity").alias("__raw_qty"),
+        )
+        .filter(F.col("__raw_qty") > 120)
+        .drop("__raw_qty")
+    )
