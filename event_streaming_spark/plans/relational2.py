@@ -457,3 +457,124 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__raw_qty") > 120)
         .drop("__raw_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# q19-style: disjunction of bracketed conjunctive predicates across a join
+# — exercises CNF handling / partial pushdown of OR-trees.
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = f"""
+SELECT {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_type = 'PROMO' AND l_quantity >= 45)
+"""
+
+
+@register("q19_disjunctive_predicates", _Q19_ORACLE, tags=("join", "scan", "tpch"))
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(10, 40) & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 45))
+    )
+    return j.filter(cond).agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22-style: scalar subquery (global average) as a filter + anti-join —
+# customers with above-average balance and no orders.
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = f"""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       {sql_exact_sum('c_acctbal')} AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT round(cast(sum(cast(round(c_acctbal * 1e6) as bigint)) as double)
+                                / 1e6 / count(*), 6)
+                   FROM customer WHERE c_acctbal > 0)
+  AND (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) < 6
+GROUP BY c_mktsegment
+"""
+
+
+@register("q22_above_avg_inactive_customers", _Q22_ORACLE, tags=("join", "agg", "subquery", "tpch"))
+def q22_above_avg_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    # scalar subquery: deterministic global average via exact scaled sum
+    avg_row = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 1e6).cast("long")) / 1e6 / F.count(F.lit(1)),
+                6,
+            ).alias("avg_bal")
+        )
+        .collect()[0]
+    )
+    threshold = float(avg_row["avg_bal"])  # tiny scalar → literal (never data-sized)
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        cust.filter(F.col("c_acctbal") > threshold)
+        .join(F.broadcast(per_cust), cust.c_custkey == F.col("o_custkey"), "left")
+        .filter(F.coalesce(F.col("n_orders"), F.lit(0)) < 6)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2-style: correlated min subquery — cheapest supplier per part, phrased
+# Spark-first as a min-aggregate join back (the decorrelated plan Catalyst
+# would produce anyway).
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_acctbal
+FROM part p
+  JOIN lineitem l ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE s.s_acctbal = (SELECT min(s2.s_acctbal)
+                     FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                     WHERE l2.l_partkey = p.p_partkey)
+GROUP BY p.p_partkey, p.p_name, s.s_suppkey, s.s_acctbal
+"""
+
+
+@register("q2_min_cost_supplier_per_part", _Q2_ORACLE, tags=("join", "subquery", "tpch"))
+def q2_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    ps = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select("l_partkey", "s_suppkey", "s_acctbal")
+        .distinct()
+    )
+    mins = ps.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    a, m = ps.alias("a"), mins.alias("m")
+    return (
+        a.join(
+            F.broadcast(m),
+            (F.col("a.l_partkey") == F.col("m.l_partkey"))
+            & (F.col("a.s_acctbal") == F.col("m.min_bal")),
+        )
+        .join(F.broadcast(part), F.col("a.l_partkey") == part.p_partkey)
+        .select("p_partkey", "p_name", F.col("a.s_suppkey").alias("s_suppkey"),
+                F.col("a.s_acctbal").alias("s_acctbal"))
+        .distinct()
+    )
