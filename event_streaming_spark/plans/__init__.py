@@ -15,3 +15,4 @@ from event_streaming_spark.plans import llm_text  # noqa: F401,E402
 from event_streaming_spark.plans import llm_similarity  # noqa: F401,E402
 from event_streaming_spark.plans import relational2  # noqa: F401,E402
 from event_streaming_spark.plans import llm_pipeline  # noqa: F401,E402
+from event_streaming_spark.plans import relational3  # noqa: F401,E402
