@@ -16,3 +16,5 @@ from event_streaming_spark.plans import llm_similarity  # noqa: F401,E402
 from event_streaming_spark.plans import relational2  # noqa: F401,E402
 from event_streaming_spark.plans import llm_pipeline  # noqa: F401,E402
 from event_streaming_spark.plans import relational3  # noqa: F401,E402
+from event_streaming_spark.plans import events2  # noqa: F401,E402
+from event_streaming_spark.plans import curation  # noqa: F401,E402

@@ -1,0 +1,159 @@
+"""Event-analytics tranche: funnel conversion, weekly retention cohorts,
+user-value deciles — the canonical product-analytics queries an event
+streaming engine is FOR (the reference's topics carry exactly this kind
+of click/view/purchase traffic; include/events-agency.h:29,51-52 defines
+the event flow, these queries are what consumers compute from it).
+
+Scale notes per query; shared discipline: everything keys on ``user_id``
+(the natural partition key for behavioral analytics), so each query is
+one shuffle on user_id followed by cheap re-aggregations of the
+already-small per-user summaries.  Timestamp math is integer-exact
+(µs timestamps, week-truncated date arithmetic), so no float drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from event_streaming_spark.functions.numeric import sql_exact_sum
+from event_streaming_spark.plans.catalog import load, register
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view → click (after the first view) → purchase (after
+# that click).  The sequential-min formulation (t1 = min view; t2 = min
+# click > t1; t3 = min purchase > t2) is the standard strict-funnel
+# semantics.  Scale: three passes over a user_id-partitioned fact — each
+# stage's output is per-user (150 rows/SF), so stages 2-3 join a
+# broadcast-small summary back to the fact; no O(n²) anywhere.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_view_click_purchase
+"""
+
+
+@register("events_funnel_view_click_purchase", _FUNNEL_ORACLE, tags=("events", "funnel", "agg"))
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts: users grouped by the week of their first event;
+# for each (cohort_week, weeks-since-cohort) the distinct active users.
+# Both sides of the offset arithmetic are Monday-truncated dates, so the
+# day-difference is an exact multiple of 7 in both engines.  Scale: one
+# shuffle on user_id for first-event, one join back (per-user summary
+# broadcasts), one distinct-agg on the (cohort, offset) pair.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, cast(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT cohort_week,
+       cast(date_diff('day', cohort_week, cast(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+         AS week_offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY cohort_week, week_offset
+"""
+
+
+@register("events_retention_weekly_cohorts", _RETENTION_ORACLE, tags=("events", "agg", "window"))
+def events_retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(week, F.col("cohort_week")) / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# User-value deciles: ntile(10) + percent_rank over per-user purchase
+# spend.  The window ORDER BY includes user_id as a unique tiebreak, so
+# rank functions are deterministic across engines and partitionings.
+# Scale: the window is over the per-user summary (users, not events) —
+# a single-partition sort of an already-aggregated small set; for
+# billions of users the ntile becomes a range-partitioned percentile
+# (approx_percentile boundaries + join), same output contract.
+# ---------------------------------------------------------------------------
+
+_DECILES_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, {sql_exact_sum('value')} AS total_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, total_value,
+       ntile(10) OVER (ORDER BY total_value DESC, user_id) AS decile,
+       round(percent_rank() OVER (ORDER BY total_value DESC, user_id), 6) AS pct_rank
+FROM per_user
+"""
+
+
+@register("events_user_value_deciles", _DECILES_ORACLE, tags=("events", "window", "agg"))
+def events_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.functions.numeric import exact_sum
+
+    per_user = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(exact_sum("value").alias("total_value"))
+    )
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return per_user.select(
+        "user_id",
+        "total_value",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )

@@ -49,3 +49,22 @@ def test_q1_partial_aggregation(spark):
 def test_cosine_topk_broadcasts_query_side(spark):
     p = _plan(spark, "emb_cosine_topk_bruteforce", "simple")
     assert "BroadcastNestedLoopJoin" in p             # corpus never shuffles
+
+
+def test_q8_single_fact_shuffle(spark):
+    # all four dimensions broadcast; the only shuffle join is lineitem⋈orders
+    p = _plan(spark, "q8_national_market_share", "simple")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert p.count("SortMergeJoin") <= 1
+
+
+def test_funnel_stage_summaries_broadcast(spark):
+    # per-user stage summaries must broadcast back to the fact, never shuffle it
+    p = _plan(spark, "events_funnel_view_click_purchase", "simple")
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_stratified_sample_is_scan_side_filter(spark):
+    # the hash gate is a stateless filter: no shuffle at all in the plan
+    p = _plan(spark, "sample_stratified_by_lang", "simple")
+    assert "Exchange" not in p

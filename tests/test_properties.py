@@ -100,3 +100,44 @@ def test_apply_cdc_matches_replay(spark, snap, changes):
         else:
             state[k] = v
     assert got == state
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs union-find on random graphs.
+# ---------------------------------------------------------------------------
+
+edge = st.tuples(st.integers(0, 12), st.integers(0, 12))
+
+
+def _uf_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min id in component
+    comp: dict[int, list[int]] = {}
+    for v in range(n_nodes):
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+@SETTINGS
+@given(st.lists(edge, max_size=20))
+def test_connected_components_matches_union_find(spark, edges):
+    from event_streaming_spark.operators.components import connected_components
+
+    n = 13
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node BIGINT")
+    edf = spark.createDataFrame(edges or [(0, 0)], "src BIGINT, dst BIGINT")
+    got = {
+        r["node"]: r["component"] for r in connected_components(nodes, edf).collect()
+    }
+    assert got == _uf_components(n, edges)
