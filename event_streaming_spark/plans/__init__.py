@@ -18,3 +18,4 @@ from event_streaming_spark.plans import llm_pipeline  # noqa: F401,E402
 from event_streaming_spark.plans import relational3  # noqa: F401,E402
 from event_streaming_spark.plans import events2  # noqa: F401,E402
 from event_streaming_spark.plans import curation  # noqa: F401,E402
+from event_streaming_spark.plans import relational4  # noqa: F401,E402

@@ -18,6 +18,10 @@ from pyspark.sql import functions as F
 
 from event_streaming_spark.functions.hashing import sql_stable_hash32, stable_hash32
 from event_streaming_spark.operators.components import connected_components
+from event_streaming_spark.operators.text import (
+    quality_features as _quality_features,
+    sql_quality_features as _sql_quality_features,
+)
 from event_streaming_spark.plans.catalog import load, register
 from event_streaming_spark.plans.llm_similarity import (
     _LSH_ORACLE,
@@ -129,4 +133,54 @@ def sample_weighted_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(gate < rate, 1)).alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation — the flagship composite: near-dup clusters →
+# keep only each cluster's canonical doc → quality gate (alpha ratio +
+# token-count band) → deterministic sample gate → per-language audit
+# (docs kept, tokens kept).  Every stage is one of the operators above,
+# composed; at 100 TB each stage is either a stateless filter (quality,
+# sample) or the CC join — the expensive parts (signatures, clusters) are
+# computed once and reused, exactly as a production pipeline would
+# materialize them between stages.
+# ---------------------------------------------------------------------------
+
+_CUR_QF = _sql_quality_features("text")
+
+_CURATION_ORACLE = f"""
+WITH kept AS (
+  SELECT d.lang, {_CUR_QF['n_tokens']} AS n_tokens
+  FROM documents d JOIN ({_CC_ORACLE}) l ON d.doc_id = l.doc_id
+  WHERE l.cluster_id = d.doc_id
+    AND {_CUR_QF['alpha_ratio']} >= 0.6
+    AND {_CUR_QF['n_tokens']} BETWEEN 5 AND 5000
+    AND {sql_stable_hash32("'cur|' || cast(d.doc_id AS VARCHAR)")} % 1000 < 900
+)
+SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM kept GROUP BY lang
+"""
+
+
+@register("corpus_curation_end_to_end", _CURATION_ORACLE, tags=("llm", "dedup", "sample", "pipeline"))
+def corpus_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    canonical = dedup_near_dup_clusters(spark, sf_dir).filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id")
+    feats = _quality_features(F.col("text"))
+    gate = stable_hash32(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))) % 1000
+    return (
+        docs.join(canonical, "doc_id", "left_semi")
+        .filter(
+            (feats["alpha_ratio"] >= 0.6)
+            & feats["n_tokens"].between(5, 5000)
+            & (gate < 900)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(feats["n_tokens"]).alias("total_tokens"),
+        )
     )

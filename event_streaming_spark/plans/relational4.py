@@ -1,0 +1,86 @@
+"""Fourth relational tranche: explicit GROUPING SETS (the one grouping
+flavor rollup/cube don't cover) and a RANGE-frame time window (the one
+window-frame flavor the ROWS-frame queries don't cover).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from event_streaming_spark.functions.numeric import sql_exact_sum
+from event_streaming_spark.plans.catalog import load, register
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with disjoint sets (status-only, year-only, grand total) —
+# not expressible as rollup/cube.  Written as SQL and executed verbatim on
+# BOTH engines (the dialect subset here is identical), exercising the SQL
+# front door.  Scale: Spark expands grouping sets into a single Expand +
+# one hash agg — one shuffle total, not one per set.
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = f"""
+WITH base AS (
+  SELECT o_orderstatus, CAST(extract(year FROM o_orderdate) AS INT) AS o_year, o_totalprice
+  FROM orders
+)
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_year, -1) AS o_year,
+       count(*) AS n_orders,
+       {sql_exact_sum('o_totalprice')} AS total_price
+FROM base
+GROUP BY GROUPING SETS ((o_orderstatus), (o_year), ())
+"""
+
+
+@register("grouping_sets_status_year", _GSETS_SQL, tags=("agg", "rollup", "sql"))
+def grouping_sets_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GSETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Trailing-7-day revenue via a RANGE frame over a day-number order key.
+# The frame sums exact scaled longs, so the windowed sums are
+# order-independent and bit-identical across engines.  Scale: the daily
+# pre-aggregation shrinks the fact to one row per day BEFORE the window;
+# a single-partition window over ~thousands of days is trivial (for
+# per-key windows the partitionBy distributes — this one is global by
+# construction).
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+WITH daily AS (
+  SELECT cast(o_orderdate AS DATE) AS d,
+         date_diff('day', DATE '1995-01-01', cast(o_orderdate AS DATE)) AS day_no,
+         sum(cast(round(o_totalprice * 1e6) as bigint)) AS rev_scaled
+  FROM orders GROUP BY 1, 2
+)
+SELECT d,
+       round(cast(rev_scaled as double) / 1e6, 2) AS day_revenue,
+       round(cast(sum(rev_scaled) OVER w as double) / 1e6, 2) AS trailing_7d_revenue,
+       cast(count(*) OVER w AS INT) AS n_days_in_window
+FROM daily
+WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("window_range_trailing_7d", _RANGE_FRAME_ORACLE, tags=("window", "agg"))
+def window_range_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "day_no"
+        ),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 1e6).cast("long")).alias("rev_scaled"))
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        "d",
+        F.round(F.col("rev_scaled").cast("double") / 1e6, 2).alias("day_revenue"),
+        F.round(F.sum("rev_scaled").over(w).cast("double") / 1e6, 2).alias(
+            "trailing_7d_revenue"
+        ),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_days_in_window"),
+    )
