@@ -20,7 +20,10 @@ from event_streaming_spark.functions.hashing import sql_stable_hash32, stable_ha
 from event_streaming_spark.operators.components import connected_components
 from event_streaming_spark.operators.text import (
     quality_features as _quality_features,
+    simhash as _simhash,
     sql_quality_features as _sql_quality_features,
+    sql_simhash_over as _sql_simhash_over,
+    sql_token_hashes as _sql_token_hashes,
 )
 from event_streaming_spark.plans.catalog import load, register
 from event_streaming_spark.plans.llm_similarity import (
@@ -133,6 +136,74 @@ def sample_weighted_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(gate < rate, 1)).alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup audit: band the 32-bit simhash into 4 byte-bands; any
+# pair differing in ≤3 bits MUST share an intact band (pigeonhole), so the
+# band equi-join has full recall at hamming ≤ 3 with zero O(n²) work.
+# Verification is bit_count(xor) — pure int ops, identical both engines.
+# Output is the hamming histogram (the dedup-audit number), not the pair
+# list: this corpus is near-dup-dense (~10⁵ pairs at hd=0 at sf0.1), and
+# at 100 TB you'd stream pairs straight into the CC operator anyway, never
+# materialize them for a human.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id, {_sql_token_hashes('text')} AS hs FROM documents
+), sh AS (
+  SELECT doc_id, {_sql_simhash_over('hs')} AS sh FROM hs
+), bands AS (
+  SELECT doc_id, sh, j AS band_idx, (sh >> (8 * j)) & 255 AS bv
+  FROM sh, (SELECT unnest(range(4)) AS j)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT cast(bit_count(xor(sha, shb)) AS INT) AS hamming, count(*) AS n_pairs
+FROM cand
+WHERE bit_count(xor(sha, shb)) <= 3
+GROUP BY hamming
+"""
+
+
+@register("simhash_near_dup_histogram", _SIMHASH_ORACLE, tags=("llm", "dedup", "hash"))
+def simhash_near_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.plans.catalog import spread
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", _simhash(F.col("text")).alias("sh")).localCheckpoint(
+        eager=True
+    )  # simhash is the expensive stage — compute once, both join sides reuse
+    bands = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(*[F.shiftright(F.col("sh"), 8 * j).bitwiseAND(F.lit(255)) for j in range(4)])
+        ).alias("band_idx", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hd = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(hd <= 3)
+        .groupBy(hd.cast("int").alias("hamming"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
 
