@@ -347,3 +347,47 @@ def emb_ivf_two_stage_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# ANN self-audit: recall of the hyperplane-LSH top-3 against the exact
+# brute-force top-3, per query vector.  The engine measures its own
+# approximation quality — the number you watch when tuning plane count /
+# nprobe at scale.  Composes the two queries above by reference (one
+# definition each, reused on both engines).
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH bf AS (
+  SELECT qid, neighbor_id FROM ({_COS_TOPK_ORACLE}) WHERE rn <= 3
+), ann AS (
+  SELECT qid, neighbor_id FROM ({_LSH_ANN_ORACLE})
+)
+SELECT bf.qid AS qid,
+       count(ann.neighbor_id) AS n_hit,
+       round(count(ann.neighbor_id) / 3.0, 6) AS recall_at_3
+FROM bf LEFT JOIN ann ON bf.qid = ann.qid AND bf.neighbor_id = ann.neighbor_id
+GROUP BY bf.qid
+"""
+
+
+@register("emb_lsh_recall_audit", _RECALL_ORACLE, tags=("llm", "ann", "audit"))
+def emb_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = emb_cosine_topk_bruteforce(spark, sf_dir).filter(F.col("rn") <= 3).select(
+        "qid", "neighbor_id"
+    )
+    ann = emb_lsh_ann_topk(spark, sf_dir).select(
+        F.col("qid").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        bf.join(
+            ann,
+            (bf.qid == F.col("a_qid")) & (bf.neighbor_id == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("a_nid").alias("n_hit"),
+            F.round(F.count("a_nid") / 3.0, 6).alias("recall_at_3"),
+        )
+    )
