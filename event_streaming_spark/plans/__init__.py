@@ -19,3 +19,4 @@ from event_streaming_spark.plans import relational3  # noqa: F401,E402
 from event_streaming_spark.plans import events2  # noqa: F401,E402
 from event_streaming_spark.plans import curation  # noqa: F401,E402
 from event_streaming_spark.plans import relational4  # noqa: F401,E402
+from event_streaming_spark.plans import rollups  # noqa: F401,E402
