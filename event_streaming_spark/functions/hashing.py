@@ -58,3 +58,17 @@ def shingles(c: Column, k: int = 3) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
     return F.array_distinct(sh)
+
+
+def stable_hash_bits(c: Column, bits: int) -> Column:
+    """First ``bits/4`` hex digits of md5 as a non-negative bigint —
+    uniform on [0, 2^bits).  ``bits`` must be a multiple of 4 and ≤ 60
+    (signed-long headroom)."""
+    assert bits % 4 == 0 and bits <= 60
+    return F.conv(F.substring(F.md5(c), 1, bits // 4), 16, 10).cast("long")
+
+
+def sql_stable_hash_bits(expr: str, bits: int) -> str:
+    """DuckDB fragment identical to :func:`stable_hash_bits`."""
+    assert bits % 4 == 0 and bits <= 60
+    return f"cast(('0x' || substr(md5({expr}), 1, {bits // 4})) as bigint)"

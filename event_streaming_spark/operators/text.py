@@ -179,3 +179,46 @@ def sql_simhash_over(hs_col: str, bits: int = SIMHASH_BITS) -> str:
         ones = f"len(list_filter({hs_col}, h -> (h & {1 << b}) <> 0))"
         terms.append(f"(CASE WHEN {ones} * 2 > len({hs_col}) THEN {1 << b} ELSE 0 END)")
     return f"cast({' + '.join(terms)} as bigint)"
+
+
+def simhash_wide(text: Column, bits: int = 48) -> Column:
+    """Wide SimHash via the vote-array formulation: one pass builds a
+    per-bit vote vector (``aggregate`` + ``zip_with``), a second folds the
+    majority bits into the hash.  Codegen size is O(1) in ``bits`` (three
+    nested higher-order functions) where :func:`simhash`'s per-bit
+    filter+size chain is O(bits) — at 48+ bits the naive form's generated
+    code dominates compile time.  Values are identical to the naive form
+    at equal ``bits``; the oracle keeps the term-by-term SQL
+    (:func:`sql_simhash_over`), which DuckDB evaluates fine.
+
+    Token hashes are md5-derived at the SAME width (``stable_hash_bits``),
+    so every simhash bit position has uniform votes — a 32-bit token hash
+    under a 48-bit simhash would leave the top 16 bits always-zero and
+    any band over them degenerate.  Max 60 bits (md5-nibble granularity +
+    signed-long headroom).
+    """
+    from event_streaming_spark.functions.hashing import stable_hash_bits
+
+    hs = F.transform(F.array_distinct(tokens(text)), lambda t: stable_hash_bits(t, bits))
+    n = F.size(hs)
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    bit_vec = lambda h: F.transform(  # noqa: E731
+        powers, lambda p: F.when(h.bitwiseAND(p) != 0, 1).otherwise(0)
+    )
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, bit_vec(h), lambda x, y: x + y),
+    )
+    contrib = F.zip_with(
+        votes, powers, lambda v, p: F.when(v * 2 > n, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def sql_token_hashes_wide(expr: str, bits: int) -> str:
+    """Oracle twin of the token-hash stage inside :func:`simhash_wide`."""
+    from event_streaming_spark.functions.hashing import sql_stable_hash_bits
+
+    toks = f"list_distinct(string_split({sql_normalize_text(expr)}, ' '))"
+    return f"list_transform({toks}, t -> {sql_stable_hash_bits('t', bits)})"

@@ -20,10 +20,10 @@ from event_streaming_spark.functions.hashing import sql_stable_hash32, stable_ha
 from event_streaming_spark.operators.components import connected_components
 from event_streaming_spark.operators.text import (
     quality_features as _quality_features,
-    simhash as _simhash,
+    simhash_wide as _simhash_wide,
     sql_quality_features as _sql_quality_features,
     sql_simhash_over as _sql_simhash_over,
-    sql_token_hashes as _sql_token_hashes,
+    sql_token_hashes_wide as _sql_token_hashes_wide,
 )
 from event_streaming_spark.plans.catalog import load, register
 from event_streaming_spark.plans.llm_similarity import (
@@ -140,23 +140,31 @@ def sample_weighted_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup audit: band the 32-bit simhash into 4 byte-bands; any
-# pair differing in ≤3 bits MUST share an intact band (pigeonhole), so the
-# band equi-join has full recall at hamming ≤ 3 with zero O(n²) work.
+# SimHash near-dup audit: a 48-bit simhash banded into 4 × 12-bit bands;
+# any pair differing in ≤3 bits MUST share an intact band (pigeonhole), so
+# the band equi-join has full recall at hamming ≤ 3 with zero O(n²) work.
 # Verification is bit_count(xor) — pure int ops, identical both engines.
-# Output is the hamming histogram (the dedup-audit number), not the pair
-# list: this corpus is near-dup-dense (~10⁵ pairs at hd=0 at sf0.1), and
-# at 100 TB you'd stream pairs straight into the CC operator anyway, never
-# materialize them for a human.
+#
+# Width is the scale knob: 8-bit bands (32-bit hash) go DENSE as the
+# corpus grows — measured 126 s at a 10× corpus (50 k docs) because every
+# 256-value band bucket held ~200 docs → ~20 M candidate pairs.  12-bit
+# bands cut bucket occupancy 16× and candidates ~256×; at larger corpora
+# still, widen again (the 100 TB setting is 64-bit simhash, 4×16-bit
+# bands).  Output is the hamming histogram (the dedup-audit number), not
+# the (dense) pair list — pairs would stream into the CC operator.
 # ---------------------------------------------------------------------------
+
+_SH_BITS = 48
+_BAND_BITS = 12  # 4 bands × 12 bits = 48
+_BAND_MASK = (1 << _BAND_BITS) - 1
 
 _SIMHASH_ORACLE = f"""
 WITH hs AS (
-  SELECT doc_id, {_sql_token_hashes('text')} AS hs FROM documents
+  SELECT doc_id, {_sql_token_hashes_wide('text', _SH_BITS)} AS hs FROM documents
 ), sh AS (
-  SELECT doc_id, {_sql_simhash_over('hs')} AS sh FROM hs
+  SELECT doc_id, {_sql_simhash_over('hs', _SH_BITS)} AS sh FROM hs
 ), bands AS (
-  SELECT doc_id, sh, j AS band_idx, (sh >> (8 * j)) & 255 AS bv
+  SELECT doc_id, sh, j AS band_idx, (sh >> ({_BAND_BITS} * j)) & {_BAND_MASK} AS bv
   FROM sh, (SELECT unnest(range(4)) AS j)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
@@ -175,18 +183,28 @@ def simhash_near_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_spark.plans.catalog import spread
 
     docs = spread(load(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", _simhash(F.col("text")).alias("sh")).localCheckpoint(
+    sh = docs.select(
+        "doc_id", _simhash_wide(F.col("text"), _SH_BITS).alias("sh")
+    ).localCheckpoint(
         eager=True
     )  # simhash is the expensive stage — compute once, both join sides reuse
     bands = sh.select(
         "doc_id",
         "sh",
         F.posexplode(
-            F.array(*[F.shiftright(F.col("sh"), 8 * j).bitwiseAND(F.lit(255)) for j in range(4)])
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), _BAND_BITS * j).bitwiseAND(F.lit(_BAND_MASK))
+                    for j in range(4)
+                ]
+            )
         ).alias("band_idx", "bv"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    hd = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    # hamming filter BEFORE the pair-dedup shuffle: the filter commutes
+    # with DISTINCT, is map-side cheap, and cuts the shuffled candidate
+    # volume ~10× (measured 126s → sub-linear at a 10× corpus, where
+    # 8-bit bands go dense and candidates grow quadratically).
     return (
         a.join(
             b,
@@ -197,12 +215,11 @@ def simhash_near_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sha"),
-            F.col("b.sh").alias("shb"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= 3)
         .dropDuplicates(["doc_a", "doc_b"])
-        .filter(hd <= 3)
-        .groupBy(hd.cast("int").alias("hamming"))
+        .groupBy("hamming")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 

@@ -362,3 +362,41 @@ def test_transform_with_state_running_stats(agency, spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_incremental_rollup_refresh(agency, spark, tmp_path):
+    """Streaming → materialized rollup: each consumed micro-batch refreshes
+    the partials store idempotently (partition overwrite keyed by batch);
+    finalize over partials equals a direct aggregation of everything
+    published — the streaming face of operators/rollup.py."""
+    from pyspark.sql import functions as F
+    from event_streaming_spark.operators.rollup import finalize, partial_rollup
+
+    base = str(tmp_path / "rollup_partials")
+    keys = ["event_date", "event_type"]
+
+    def refresh(ctx, batch_df, batch_id):
+        out = partial_rollup(
+            batch_df.select(
+                F.col("ts").cast("date").alias("event_date"), "event_type", "value"
+            ),
+            keys,
+            "value",
+        ).withColumn("batch_id", F.lit(batch_id))
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out.write.mode("overwrite").partitionBy("batch_id").parquet(base)
+
+    ctx = agency.subscribe("b", "rollup", refresh)
+    ctx.publish([ev(i, f"2024-01-0{1 + i % 3}T00:0{i}:00", i, "view", 1.5 * i) for i in range(5)])
+    ctx.consume(refresh, once=True)
+    ctx.publish([ev(10 + i, f"2024-01-0{1 + i % 2}T01:0{i}:00", i, "purchase", 2.25 * i) for i in range(4)])
+    ctx.consume(refresh, once=True)
+
+    stored = spark.read.parquet(base).drop("batch_id")
+    got = {tuple(r)[:2]: tuple(r)[2:] for r in finalize(stored, keys).collect()}
+
+    raw = spark.read.schema(ctx.schema).json(ctx.log_dir).select(
+        F.col("ts").cast("date").alias("event_date"), "event_type", "value"
+    )
+    direct = {tuple(r)[:2]: tuple(r)[2:] for r in finalize(partial_rollup(raw, keys, "value"), keys).collect()}
+    assert got == direct
