@@ -157,3 +157,58 @@ def events_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w).alias("decile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (MATCH_RECOGNIZE-lite): encode each user's
+# time-ordered event types as a letter string, count funnel occurrences
+# with a regex ('v[vc]*p' = views, optional clicks, then a purchase;
+# non-overlapping, leftmost-greedy in both engines).  Ordering inside the
+# aggregation is made deterministic by sorting on the UNIQUE (ts,
+# event_id) pair — collect_list alone has no order contract under
+# parallelism.  Scale: one shuffle on user_id; per-user sequences are
+# memory-bounded by per-user activity (cap with a windowed top-N slice if
+# a key can be pathological).
+# ---------------------------------------------------------------------------
+
+_CODE_SQL = ("CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' "
+             "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END")
+_PATTERN = "v[vc]*p"
+
+_SEQ_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg({_CODE_SQL}, '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       len(regexp_extract_all(s, '{_PATTERN}')) AS n_funnels,
+       len(s) AS n_events
+FROM seq
+"""
+
+
+@register("events_sequence_pattern_funnels", _SEQ_ORACLE, tags=("events", "funnel", "regex"))
+def events_sequence_pattern_funnels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        ev.select("user_id", F.struct("ts", "event_id", code.alias("code")).alias("rec"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("rec")), lambda r: r["code"]), ""
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.size(F.regexp_extract_all("s", F.lit(_PATTERN), 0)).cast("long").alias("n_funnels"),
+        F.length("s").cast("long").alias("n_events"),
+    )
