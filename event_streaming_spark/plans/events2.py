@@ -212,3 +212,64 @@ def events_sequence_pattern_funnels(spark: SparkSession, sf_dir: str) -> DataFra
         F.size(F.regexp_extract_all("s", F.lit(_PATTERN), 0)).cast("long").alias("n_funnels"),
         F.length("s").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily volume anomalies per event type: z-score of each day's count
+# against that type's mean/std.  Every moment (Σn, Σn², day count) is an
+# exact integer, so mu/sigma and the z-scores are identical doubles in
+# both engines (sqrt and division are correctly-rounded IEEE ops).
+# Scale: the z-score layer runs over the per-(type, day) rollup — $
+# |types × days| rows — never the raw fact; the same shape monitors
+# billions of events/day with the incremental-rollup partials as input.
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, cast(ts AS DATE) AS event_date, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         cast(sum(n_events) as double) / count(*) AS mu,
+         sqrt(greatest(cast(sum(n_events * n_events) as double) / count(*)
+                       - (cast(sum(n_events) as double) / count(*))
+                         * (cast(sum(n_events) as double) / count(*)), 0)) AS sigma
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.event_date, d.n_events,
+       round((d.n_events - s.mu) / nullif(s.sigma, 0), 6) AS zscore,
+       (abs(d.n_events - s.mu) > 2 * s.sigma) AS is_anomaly
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+"""
+
+
+@register("events_daily_anomaly_zscore", _ANOMALY_ORACLE, tags=("events", "agg", "audit"))
+def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    n = F.col("n_events")
+    cnt = F.count(F.lit(1))
+    mu = F.sum(n).cast("double") / cnt
+    sigma = F.sqrt(
+        F.greatest(
+            F.sum(n * n).cast("double") / cnt - mu * mu,
+            F.lit(0.0),
+        )
+    )
+    stats = daily.groupBy(F.col("event_type").alias("s_type")).agg(
+        mu.alias("mu"), sigma.alias("sigma")
+    )
+    return (
+        daily.join(F.broadcast(stats), daily.event_type == F.col("s_type"))
+        .select(
+            "event_type",
+            "event_date",
+            "n_events",
+            F.round((n - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0)), 6).alias(
+                "zscore"
+            ),
+            (F.abs(n - F.col("mu")) > 2 * F.col("sigma")).alias("is_anomaly"),
+        )
+    )
