@@ -273,3 +273,39 @@ def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(n - F.col("mu")) > 2 * F.col("sigma")).alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-to-dimension enrichment: purchases joined to the customer
+# dimension (events.user_id ↔ c_custkey per TESTDATA.md), rolled up by
+# market segment.  The canonical streaming-enrichment shape: the fact
+# filters at the scan, the dimension broadcasts, one agg shuffle on a
+# low-cardinality key collapsed map-side.
+# ---------------------------------------------------------------------------
+
+_ENRICH_ORACLE = f"""
+SELECT c_mktsegment,
+       count(*) AS n_purchases,
+       count(DISTINCT user_id) AS n_buyers,
+       {sql_exact_sum('value')} AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment
+"""
+
+
+@register("events_enrich_purchases_by_segment", _ENRICH_ORACLE, tags=("events", "join", "agg"))
+def events_enrich_purchases_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.functions.numeric import exact_sum
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count_distinct("user_id").alias("n_buyers"),
+            exact_sum("value").alias("total_value"),
+        )
+    )
