@@ -59,14 +59,14 @@ def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataF
     )
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
@@ -109,7 +109,7 @@ def events_retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFra
     )
     week = F.date_trunc("week", F.col("ts")).cast("date")
     return (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.join(first_seen, "user_id")
         .groupBy(
             "cohort_week",
             (F.datediff(week, F.col("cohort_week")) / 7).cast("int").alias("week_offset"),
@@ -301,7 +301,7 @@ def events_enrich_purchases_by_segment(spark: SparkSession, sf_dir: str) -> Data
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),

@@ -56,7 +56,7 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     fk = orders.join(
-        F.broadcast(cust.select("c_custkey")),
+        cust.select("c_custkey"),
         orders.o_custkey == F.col("c_custkey"),
         "left_anti",
     )

@@ -100,7 +100,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
@@ -157,8 +157,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.select("c_custkey")), orders.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .join(cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey"))
+        .join(dim, li.l_suppkey == dim.s_suppkey)
         .groupBy("n_name")
         .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(F.col("n_name").alias("nation"), "revenue")

@@ -229,7 +229,7 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
+        .join(cdim, orders.o_custkey == cdim.c_custkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", F.col("n_name").alias("nation"))
@@ -296,7 +296,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
         .agg(
             F.round(100.0 * exact_sum(promo, 6) / exact_sum(disc, 6), 4).alias(
                 "promo_revenue_pct"
@@ -417,8 +417,8 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
-        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .join(cdim, orders.o_custkey == cdim.c_custkey)
+        .join(sdim, li.l_suppkey == sdim.s_suppkey)
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("int").alias("ship_year"))
         .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
@@ -448,7 +448,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey")
         .agg(
             exact_sum("l_quantity").alias("total_qty"),
@@ -478,7 +478,7 @@ WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 1 
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20) & F.col("l_quantity").between(1, 20))
         | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(10, 40) & F.col("l_quantity").between(10, 40))
@@ -524,10 +524,13 @@ def q22_above_avg_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFr
         .collect()[0]
     )
     threshold = float(avg_row["avg_bal"])  # tiny scalar → literal (never data-sized)
+    # NOTE: per_cust is keyed on o_custkey — it grows with |customers|, so it
+    # must NOT be broadcast (OOMs the build side at scale). Shuffle join on
+    # the key and let AQE pick the physical strategy.
     per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
     return (
         cust.filter(F.col("c_acctbal") > threshold)
-        .join(F.broadcast(per_cust), cust.c_custkey == F.col("o_custkey"), "left")
+        .join(per_cust, cust.c_custkey == F.col("o_custkey"), "left")
         .filter(F.coalesce(F.col("n_orders"), F.lit(0)) < 6)
         .groupBy("c_mktsegment")
         .agg(
@@ -561,7 +564,7 @@ def q2_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
     part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
     ps = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .select("l_partkey", "s_suppkey", "s_acctbal")
         .distinct()
     )
@@ -569,11 +572,11 @@ def q2_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
     a, m = ps.alias("a"), mins.alias("m")
     return (
         a.join(
-            F.broadcast(m),
+            m,
             (F.col("a.l_partkey") == F.col("m.l_partkey"))
             & (F.col("a.s_acctbal") == F.col("m.min_bal")),
         )
-        .join(F.broadcast(part), F.col("a.l_partkey") == part.p_partkey)
+        .join(part, F.col("a.l_partkey") == part.p_partkey)
         .select("p_partkey", "p_name", F.col("a.s_suppkey").alias("s_suppkey"),
                 F.col("a.s_acctbal").alias("s_acctbal"))
         .distinct()

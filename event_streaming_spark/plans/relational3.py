@@ -84,9 +84,9 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.select("o_orderkey", "o_custkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
-        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(cdim, orders.o_custkey == cdim.c_custkey)
+        .join(sdim, li.l_suppkey == sdim.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(F.round(exact_sum(nat, 6) / exact_sum(_disc(), 6), 6).alias("mkt_share"))
     )
@@ -134,9 +134,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     profit = _disc() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .join(sdim, li.l_suppkey == sdim.s_suppkey)
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(exact_sum(profit).alias("profit"))
     )
@@ -186,7 +186,7 @@ def q11_important_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     base = (
-        li.join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        li.join(sdim, li.l_suppkey == sdim.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.round(_disc() * 1e6).cast("long")).alias("v"))
     )
@@ -273,7 +273,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         revenue.filter(F.col("total_revenue") == F.lit(max_rev))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -306,8 +306,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -343,7 +343,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
     # restrict to relevant parts first: per-part stats over a tiny slice
-    rel = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    rel = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     thresholds = rel.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
@@ -356,7 +356,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_threshold")
     )
     return (
-        rel.join(F.broadcast(thresholds), rel.l_partkey == F.col("t_partkey"))
+        rel.join(thresholds, rel.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
@@ -397,7 +397,7 @@ def q20_promotion_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     qualifying = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.round(F.col("l_quantity") * 1e6).cast("long")).alias("qty_scaled"))
         .filter(F.col("qty_scaled") > 40_000_000)
@@ -416,7 +416,7 @@ def q20_promotion_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name")
     )
-    return supp.join(F.broadcast(qualifying), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+    return supp.join(qualifying, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -497,7 +497,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        guilty.join(F.broadcast(sdim), guilty.l_suppkey == sdim.s_suppkey)
+        guilty.join(sdim, guilty.l_suppkey == sdim.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -34,10 +34,17 @@ def test_q3_broadcasts_and_takeordered(spark):
     assert "TakeOrderedAndProject" in p               # top-10 without global sort
 
 
-def test_q5_no_sort_merge_join(spark):
-    p = _plan(spark, "q5_local_supplier_volume", "simple")
-    assert "SortMergeJoin" not in p
-    assert p.count("BroadcastHashJoin") >= 3
+def test_q5_adaptive_final_plan_broadcasts_dims(spark):
+    # The supplier-dim build side carries no hint (it scales with SF), so
+    # the static plan may start as SortMergeJoin — AQE must convert it to
+    # broadcast at runtime once the true (tiny) size is known.
+    df = REGISTRY["q5_local_supplier_volume"].fn(spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("Initial Plan")[0]  # drop the pre-AQE section
+    assert "SortMergeJoin" not in final
+    assert final.count("BroadcastHashJoin") >= 3
 
 
 def test_q1_partial_aggregation(spark):
@@ -62,6 +69,38 @@ def test_funnel_stage_summaries_broadcast(spark):
     # per-user stage summaries must broadcast back to the fact, never shuffle it
     p = _plan(spark, "events_funnel_view_click_purchase", "simple")
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def _analyzed(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_no_broadcast_hints_on_key_cardinality_sides(spark):
+    # Build sides that scale with the data (customer / supplier / part /
+    # per-key aggregates) must NOT carry a forced broadcast hint: at 100 TB
+    # they are billions of rows and the hint OOMs the build side.  Runtime
+    # (stats + AQE) decides instead.  Fixed-cardinality dims (nation=25,
+    # region=5, promo windows, per-type stats) may keep their hints.
+    for q in (
+        "q22_above_avg_inactive_customers",  # per-customer order counts
+        "q3_shipping_priority",              # customer
+        "q18_large_volume_orders",           # customer
+        "q19_disjunctive_predicates",        # part
+        "q2_min_cost_supplier_per_part",     # supplier + per-part mins
+        "events_funnel_view_click_purchase", # per-user stage summaries
+        "events_retention_weekly_cohorts",   # per-user first-seen
+        "events_user_value_deciles",
+    ):
+        assert "ResolvedHint" not in _analyzed(spark, q), q
+
+
+def test_small_sf_still_broadcasts_adaptively(spark):
+    # Removing the hints must not cost the small-side broadcast when the
+    # side IS small: with tiny file stats the planner still picks
+    # BroadcastHashJoin for q3's customer join on its own.
+    p = _plan(spark, "q3_shipping_priority", "simple")
+    assert "BroadcastHashJoin" in p
 
 
 def test_stratified_sample_is_scan_side_filter(spark):
