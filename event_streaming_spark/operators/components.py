@@ -12,8 +12,10 @@ its own and its neighbors' labels.  Converges in O(component diameter)
 rounds; near-dup clusters are shallow (dozens of docs, diameter ≲ 5), so
 3-4 rounds in practice.  Per round: one shuffle join (edges ⋈ labels on
 src) + one shuffle agg (min per node) — both partition on the same key,
-so AQE coalesces.  ``localCheckpoint`` after each round truncates lineage
-(without it the plan doubles per iteration and the job dies at scale).
+so AQE coalesces.  Each round is pinned via the pluggable materializer
+(operators/materialize.py) to truncate lineage (without it the plan
+doubles per iteration and the job dies at scale); the ``table`` strategy
+makes the rounds fault-tolerant on a real cluster.
 
 Convergence detection is O(1) driver-side: labels only ever decrease, so
 the global SUM(label) is strictly decreasing until fixpoint; an unchanged
@@ -29,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from event_streaming_spark.operators.materialize import materialize
+
 
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iters: int = 30
@@ -42,25 +46,25 @@ def connected_components(
     n_col = nodes.columns[0]
     s_col, d_col = edges.columns[0], edges.columns[1]
     fwd = edges.select(F.col(s_col).alias("src"), F.col(d_col).alias("dst"))
-    bidir = (
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    bidir = materialize(
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct(),
+        "cc-edges",
     )
-    labels = nodes.select(
-        F.col(n_col).alias("node"), F.col(n_col).alias("component")
-    ).localCheckpoint(eager=True)
+    labels = materialize(
+        nodes.select(F.col(n_col).alias("node"), F.col(n_col).alias("component")),
+        "cc-labels",
+    )
 
     prev_sum = None
     for _ in range(max_iters):
         nbr = bidir.join(labels, bidir.src == labels.node).select(
             F.col("dst").alias("node"), "component"
         )
-        new_labels = (
+        new_labels = materialize(
             labels.union(nbr)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("component").alias("component")),
+            "cc-labels",
         )
         cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels

@@ -40,12 +40,24 @@ def asof_join(
     by: list[str],
     value_cols: list[str],
     strict: bool = False,
+    tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """Backward as-of join, union-and-carry plan (see module doc).
 
     strict=False: right rows at the same ``on`` instant are visible
     (<=); strict=True: only strictly earlier rows (<).
+
+    When several right rows share the same ``on`` value within a key, the
+    carried winner is the greatest by ``tie_cols`` (default: all
+    ``value_cols``, ascending, nulls first) — a total, deterministic
+    order, so the result is stable across runs and partitionings instead
+    of depending on physical row order.  ``tie_cols`` must be a subset of
+    ``value_cols``.
     """
+    tie_cols = value_cols if tie_cols is None else tie_cols
+    unknown = set(tie_cols) - set(value_cols)
+    if unknown:
+        raise ValueError(f"tie_cols must be a subset of value_cols; unknown: {sorted(unknown)}")
     # side ordering at equal `on`: right first (inclusive) or left first
     right_side, left_side = (0, 1) if not strict else (1, 0)
     lcols = [c for c in left.columns]
@@ -66,7 +78,11 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy(*by)
-        .orderBy("__on", "__side")
+        .orderBy(
+            "__on",
+            "__side",
+            *[F.asc_nulls_first(f"__rv_{c}") for c in tie_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from event_streaming_spark.functions.hashing import sql_stable_hash32, stable_hash32
 from event_streaming_spark.operators.components import connected_components
+from event_streaming_spark.operators.materialize import materialize
 from event_streaming_spark.operators.text import (
     quality_features as _quality_features,
     simhash_wide as _simhash_wide,
@@ -183,10 +184,9 @@ def simhash_near_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_spark.plans.catalog import spread
 
     docs = spread(load(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", _simhash_wide(F.col("text"), _SH_BITS).alias("sh")
-    ).localCheckpoint(
-        eager=True
+    sh = materialize(
+        docs.select("doc_id", _simhash_wide(F.col("text"), _SH_BITS).alias("sh")),
+        "simhash",
     )  # simhash is the expensive stage — compute once, both join sides reuse
     bands = sh.select(
         "doc_id",

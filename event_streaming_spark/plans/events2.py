@@ -119,13 +119,21 @@ def events_retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
-# User-value deciles: ntile(10) + percent_rank over per-user purchase
-# spend.  The window ORDER BY includes user_id as a unique tiebreak, so
-# rank functions are deterministic across engines and partitionings.
-# Scale: the window is over the per-user summary (users, not events) —
-# a single-partition sort of an already-aggregated small set; for
-# billions of users the ntile becomes a range-partitioned percentile
-# (approx_percentile boundaries + join), same output contract.
+# User-value deciles: ntile(10) + percent_rank semantics over per-user
+# purchase spend, WITHOUT a global single-partition window sort.
+#
+# Scale design (billions of users): range-partition the per-user summary
+# on the rank order, row_number() within each range bucket (parallel
+# local sorts), then add per-bucket offsets.  The offsets come from one
+# count per bucket — O(#partitions) rows, bounded by cluster config, not
+# by data — collected to the driver and folded back in as literals.  The
+# bucketed frame is pinned via the materializer so the count job and the
+# final job see the same (sampled) range boundaries.  From the global
+# row number rn, both outputs are closed-form:
+#   percent_rank = (rn-1)/(N-1)
+#   ntile(10)    = first N%10 tiles get ceil(N/10) rows, rest floor(N/10)
+# which reproduces the window functions bit-for-bit (ORDER BY is total:
+# user_id is a unique tiebreak).
 # ---------------------------------------------------------------------------
 
 _DECILES_ORACLE = f"""
@@ -143,6 +151,7 @@ FROM per_user
 @register("events_user_value_deciles", _DECILES_ORACLE, tags=("events", "window", "agg"))
 def events_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_spark.functions.numeric import exact_sum
+    from event_streaming_spark.operators.materialize import materialize
 
     per_user = (
         load(spark, sf_dir, "events")
@@ -150,12 +159,46 @@ def events_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(exact_sum("value").alias("total_value"))
     )
-    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
-    return per_user.select(
+    n_buckets = spark.sparkContext.defaultParallelism
+    bucketed = materialize(
+        per_user.repartitionByRange(n_buckets, F.desc("total_value"), F.asc("user_id"))
+        .withColumn("__pid", F.spark_partition_id()),
+        "decile-buckets",
+    )
+    # O(#partitions) rows — bounded by cluster config, never by data.
+    counts = dict(
+        (r["__pid"], r["c"])
+        for r in bucketed.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    n_total = sum(counts.values())
+    offsets = []
+    running = 0
+    for pid in range(max(counts, default=-1) + 1):
+        offsets.append(running)
+        running += counts.get(pid, 0)
+    off_arr = F.array(*[F.lit(o) for o in offsets]) if offsets else F.array(F.lit(0))
+
+    w_local = Window.partitionBy("__pid").orderBy(F.desc("total_value"), F.asc("user_id"))
+    rn = (F.element_at(off_arr, F.col("__pid") + 1) + F.row_number().over(w_local)).cast("long")
+
+    tile_q, tile_r = divmod(n_total, 10)  # ntile fill: first r tiles get q+1 rows
+    if tile_q == 0:
+        decile = rn
+    else:
+        cut = tile_r * (tile_q + 1)
+        decile = F.when(
+            rn <= F.lit(cut), F.floor((rn - 1) / F.lit(tile_q + 1)) + 1
+        ).otherwise(F.lit(tile_r) + F.floor((rn - F.lit(cut) - 1) / F.lit(tile_q)) + 1)
+    pct = (
+        F.lit(0.0)
+        if n_total <= 1
+        else F.round((rn - 1).cast("double") / F.lit(float(n_total - 1)), 6)
+    )
+    return bucketed.select(
         "user_id",
         "total_value",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        decile.cast("int").alias("decile"),
+        pct.alias("pct_rank"),
     )
 
 

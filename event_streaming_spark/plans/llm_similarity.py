@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from event_streaming_spark.functions.numeric import cosine
 from event_streaming_spark.operators import similarity as S
+from event_streaming_spark.operators.materialize import materialize
 from event_streaming_spark.plans.catalog import load, register, spread
 
 # ---------------------------------------------------------------------------
@@ -80,8 +81,9 @@ def minhash_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Materialize signatures ONCE: both sides of the band self-join (and the
     # verification step) reuse them instead of recomputing shingle+md5 3×.
-    # At 100 TB this is a persisted signatures table — standard practice.
-    sig = sig.localCheckpoint(eager=True)
+    # At 100 TB this is a persisted signatures table — standard practice;
+    # the `table` materializer strategy does exactly that.
+    sig = materialize(sig, "minhash-signatures")
     bands = sig.select(
         "doc_id",
         "sig",

@@ -92,17 +92,32 @@ class EventStore:
         ["user_id"]) so parquet row-group min/max statistics prune keyed
         point reads — the poor man's Z-order for a single sort dimension.
 
-        Rewrite is atomic-enough for an append-only store: write to a
-        temp dir, then swap the partition directory.
+        Crash-safety: the rewrite and the displaced partition both live in
+        underscore-prefixed dirs, which Spark's file index IGNORES — a
+        concurrent reader never sees the day twice, and a crash never
+        leaves a bogus ``event_date=...`` partition value behind.  The
+        only non-atomic window is between the two renames (day briefly
+        absent); a crash there is repaired on the next compact() call,
+        which restores the displaced partition before doing anything else.
         """
         import glob
         import os
         import shutil
 
         part = os.path.join(self.path, f"event_date={event_date.isoformat()}")
+        tmp = os.path.join(self.path, f"_compacting-{event_date.isoformat()}")
+        old = os.path.join(self.path, f"_old-{event_date.isoformat()}")
+        # Recover from a previous crash: an interrupted swap leaves the
+        # day's data in `old`; stale rewrite output in `tmp` is garbage.
+        if os.path.isdir(old):
+            if os.path.isdir(part):
+                shutil.rmtree(old)  # swap completed; cleanup died
+            else:
+                os.rename(old, part)  # swap interrupted; restore the day
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
         if not os.path.isdir(part):
             return 0
-        tmp = part + ".compacting"
         day = self.spark.read.parquet(part)
         if sort_by:
             day = day.sort(*sort_by)
@@ -111,7 +126,6 @@ class EventStore:
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        old = part + ".old"
         os.rename(part, old)
         os.rename(tmp, part)
         shutil.rmtree(old)

@@ -31,15 +31,27 @@ from event_streaming_spark.streaming.agency import EventsAgency
 
 
 class ApiGateway:
+    #: Reject request bodies above this size with 413 — an unauthenticated
+    #: client must not be able to buffer arbitrary bytes into gateway memory.
+    MAX_BODY_BYTES = 4 * 1024 * 1024
+
     def __init__(
         self,
         agency: EventsAgency,
         host: str = "127.0.0.1",
         port: int = 8088,
         jwt_secret: str | None = None,
+        allowed_topics: set[tuple[str, str]] | None = None,
+        auto_create_topics: bool = True,
     ) -> None:
+        """``allowed_topics``: optional allowlist of (broker, topic) pairs
+        POST may target.  ``auto_create_topics=False`` restricts POST to
+        topics that already exist — otherwise any client could create
+        unbounded topic directories on disk."""
         self.agency = agency
         self.jwt_secret = jwt_secret
+        self.allowed_topics = allowed_topics
+        self.auto_create_topics = auto_create_topics
         gateway = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -80,8 +92,23 @@ class ApiGateway:
                     self._reply(404, {"error": "POST /topics/<broker>/<topic>"})
                     return
                 _, broker, topic = parts
+                if gateway.allowed_topics is not None and (broker, topic) not in gateway.allowed_topics:
+                    self._reply(403, {"error": "topic not allowed"})
+                    return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    self._reply(400, {"error": "bad Content-Length"})
+                    return
+                if n > gateway.MAX_BODY_BYTES:
+                    self._reply(413, {"error": f"body exceeds {gateway.MAX_BODY_BYTES} bytes"})
+                    return
+                if not gateway.auto_create_topics and (broker, topic) not in set(
+                    gateway.agency.topics()
+                ):
+                    self._reply(404, {"error": "unknown topic (auto-create disabled)"})
+                    return
+                try:
                     payload = json.loads(self.rfile.read(n) or b"null")
                 except (ValueError, json.JSONDecodeError):
                     self._reply(400, {"error": "body must be JSON"})

@@ -70,14 +70,19 @@ class EmailAlertSink:
         from_addr: str = "alerts@example.com",
         ledger_dir: str | None = None,
         max_alerts_per_batch: int = 1000,
+        keep_sent: int | None = 10_000,
     ) -> None:
+        from collections import deque
+
         self.predicate = predicate
         self.make_alerts = make_alerts
         self.transport = transport
         self.from_addr = from_addr
         self.ledger_dir = ledger_dir
         self.max_alerts = max_alerts_per_batch
-        self.sent: list[tuple[int, str, str]] = []  # (batch_id, to, payload)
+        # bounded in-memory trail (continuous queries run forever); tests
+        # that want everything pass keep_sent=None
+        self.sent: "deque[tuple[int, str, str]]" = deque(maxlen=keep_sent)
 
     def _seen(self, batch_id: int) -> bool:
         if not self.ledger_dir:
@@ -89,16 +94,44 @@ class EmailAlertSink:
             os.makedirs(self.ledger_dir, exist_ok=True)
             with open(os.path.join(self.ledger_dir, f"batch-{batch_id}.done"), "w") as fh:
                 fh.write("done")
+            prog = os.path.join(self.ledger_dir, f"batch-{batch_id}.progress")
+            if os.path.exists(prog):
+                os.remove(prog)
+
+    def _progress(self, batch_id: int) -> int:
+        """Rows already delivered for this batch (crash-mid-batch replay)."""
+        if not self.ledger_dir:
+            return 0
+        path = os.path.join(self.ledger_dir, f"batch-{batch_id}.progress")
+        try:
+            with open(path) as fh:
+                return int(fh.read().strip() or 0)
+        except FileNotFoundError:
+            return 0
+
+    def _record_progress(self, batch_id: int, n_done: int) -> None:
+        if self.ledger_dir:
+            os.makedirs(self.ledger_dir, exist_ok=True)
+            with open(os.path.join(self.ledger_dir, f"batch-{batch_id}.progress"), "w") as fh:
+                fh.write(str(n_done))
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if self._seen(batch_id):  # replay after failure → idempotent skip
+        if self._seen(batch_id):  # replay after post-send failure → skip
             return
         alerts = self.make_alerts(batch_df.filter(self.predicate)).limit(self.max_alerts)
         rows = alerts.collect()  # bounded: post-filter, post-limit
-        for r in rows:
-            self.sent.append((batch_id, r["to_addr"], r["payload"]))
+        # Deterministic delivery order makes the per-row progress marker
+        # meaningful on replay: a crash after row k re-sends only rows >k,
+        # not the whole batch.
+        rows = sorted(rows, key=lambda r: (r["to_addr"], r["payload"]))
+        start = self._progress(batch_id)
+        for i, r in enumerate(rows):
+            if i < start:
+                continue
             if self.transport is not None:
                 self.transport(self.from_addr, [r["to_addr"]], r["payload"])
+            self.sent.append((batch_id, r["to_addr"], r["payload"]))
+            self._record_progress(batch_id, i + 1)
         self._mark(batch_id)
 
 

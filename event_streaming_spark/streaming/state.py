@@ -33,17 +33,25 @@ def keep_latest_stream(
     key_col: str = "user_id",
     order_col: str = "ts",
     payload_cols: tuple[str, ...] = ("event_id", "event_type", "value"),
+    seq_col: str = "event_id",
 ) -> DataFrame:
     """Streaming keep-latest: one output row per key per micro-batch with
-    the latest payload so far (across batches, via GroupState)."""
+    the latest payload so far (across batches, via GroupState).
+
+    Ties on ``order_col`` are broken by ``seq_col`` (a unique sequence
+    id), in the per-batch sort AND the cross-batch state comparison — so
+    replay after failure re-elects the SAME winner regardless of arrival
+    order (the deterministic-replay contract in operators/dedup.py).
+    Matches the batch twin ``dedup_keep_latest(keys, [order, seq])``.
+    """
 
     out_fields = [events.schema[key_col], events.schema[order_col]] + [
         events.schema[c] for c in payload_cols
     ]
     out_schema = T.StructType(out_fields)
-    # state = latest (order_col, *payload) as epoch-us + payload values
+    # state = latest (order_col as epoch-us, seq tie-break) + payload values
     state_schema = T.StructType(
-        [T.StructField("ord_us", T.LongType())]
+        [T.StructField("ord_us", T.LongType()), T.StructField("seq", T.LongType())]
         + [events.schema[c] for c in payload_cols]
     )
 
@@ -52,23 +60,23 @@ def keep_latest_stream(
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             st = state.get
-            best_ord, best_payload = st[0], list(st[1:])
+            best, best_payload = (st[0], st[1]), list(st[2:])
         else:
-            best_ord, best_payload = -(2**62), None
+            best, best_payload = (-(2**62), -(2**62)), None
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values(order_col, kind="stable")
+            pdf = pdf.sort_values([order_col, seq_col], kind="stable")
             last = pdf.iloc[-1]
-            ord_us = int(pd.Timestamp(last[order_col]).value // 1000)
-            if ord_us >= best_ord:
-                best_ord = ord_us
+            cand = (int(pd.Timestamp(last[order_col]).value // 1000), int(last[seq_col]))
+            if cand > best:
+                best = cand
                 best_payload = [last[c] for c in payload_cols]
         if best_payload is not None:
-            state.update((best_ord, *best_payload))
+            state.update((best[0], best[1], *best_payload))
             row = {
                 key_col: key[0],
-                order_col: pd.Timestamp(best_ord * 1000),
+                order_col: pd.Timestamp(best[0] * 1000),
                 **{c: v for c, v in zip(payload_cols, best_payload)},
             }
             yield pd.DataFrame([row])

@@ -73,3 +73,31 @@ def test_auth_and_error_paths(gw):
         health = json.loads(r.read())
     assert health["status"] == "ok"
     assert ["b", "t"] in health["topics"]
+
+
+def test_gateway_body_cap_and_topic_restrictions(spark, tmp_path, monkeypatch):
+    agency = EventsAgency(spark, root=str(tmp_path / "agency2"))
+    g = ApiGateway(
+        agency,
+        port=0,
+        allowed_topics={("b", "ok")},
+        auto_create_topics=False,
+    ).start()
+    try:
+        ev = {"event_id": 1, "ts": "2024-02-01T10:00:00", "user_id": 1,
+              "event_type": "click", "value": 1.0, "props": "{}"}
+        # allowlist: anything else is 403, even unauthenticated
+        assert _post(g, "/topics/b/other", ev)[0] == 403
+        # allowed but nonexistent with auto-create off → 404, no dir created
+        assert _post(g, "/topics/b/ok", ev)[0] == 404
+        assert agency.find_topic("b", "ok") is None
+        # pre-created topic works
+        agency._get_or_create("b", "ok")
+        assert _post(g, "/topics/b/ok", ev)[0] == 202
+        # oversized body → 413 before any read
+        monkeypatch.setattr(ApiGateway, "MAX_BODY_BYTES", 64)
+        big = ev | {"props": "x" * 200}
+        assert _post(g, "/topics/b/ok", big)[0] == 413
+    finally:
+        g.stop()
+        agency.close()

@@ -95,6 +95,16 @@ def test_no_broadcast_hints_on_key_cardinality_sides(spark):
         assert "ResolvedHint" not in _analyzed(spark, q), q
 
 
+def test_deciles_no_global_single_partition_sort(spark):
+    # The ntile/percent_rank contract is met with range buckets + local
+    # row_number + driver-side offsets; the old global window collapsed
+    # everything onto one task ("WindowExec: No Partition Defined").
+    p = _plan(spark, "events_user_value_deciles", "simple")
+    assert "SinglePartition" not in p
+    # the only window is partitioned by the range bucket id
+    assert "windowspecdefinition(__pid" in p
+
+
 def test_small_sf_still_broadcasts_adaptively(spark):
     # Removing the hints must not cost the small-side broadcast when the
     # side IS small: with tiny file stats the planner still picks

@@ -141,3 +141,29 @@ def test_connected_components_matches_union_find(spark, edges):
         r["node"]: r["component"] for r in connected_components(nodes, edf).collect()
     }
     assert got == _uf_components(n, edges)
+
+
+def test_connected_components_with_table_materializer(spark, tmp_path, monkeypatch):
+    # The fault-tolerant materializer strategy (persisted parquet rounds)
+    # must produce identical components to the default localCheckpoint.
+    from event_streaming_spark.operators.components import connected_components
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZER", "table")
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_DIR", str(tmp_path / "mat"))
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node BIGINT")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (6, 6)], "src BIGINT, dst BIGINT"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_materializer_rejects_unknown_strategy(monkeypatch):
+    import pytest
+    from event_streaming_spark.operators.materialize import materializer_strategy
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZER", "bogus")
+    with pytest.raises(ValueError):
+        materializer_strategy()

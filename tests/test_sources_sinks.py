@@ -87,6 +87,50 @@ def test_email_sink_idempotent(spark, tmp_path):
     assert len(sink.sent) == n_errors
 
 
+def test_email_sink_per_row_replay(spark, tmp_path):
+    """A crash mid-batch must not re-deliver the rows already sent."""
+    ev = load(spark, SF_SMALL, "events").limit(50)
+    delivered = []
+
+    def make(transport):
+        return EmailAlertSink(
+            predicate=F.col("event_type") == "error",
+            make_alerts=lambda df: compose_alert_payload(
+                df.select(
+                    F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit("@example.com")).alias("to_addr"),
+                    F.col("event_id").cast("string").alias("subject"),
+                    F.lit("b").alias("body"),
+                )
+            ),
+            transport=transport,
+            ledger_dir=str(tmp_path / "rowledger"),
+        )
+
+    n_errors = ev.filter(F.col("event_type") == "error").count()
+    assert n_errors > 2
+    boom_after = 2
+
+    def flaky(f, to, p):
+        if len(delivered) >= boom_after:
+            raise RuntimeError("smtp down")
+        delivered.append((to[0], p))
+
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        make(flaky)(ev, batch_id=7)
+    assert len(delivered) == boom_after
+
+    # restart (fresh sink object), transport healthy: only the remainder goes out
+    make(lambda f, to, p: delivered.append((to[0], p)))(ev, batch_id=7)
+    assert len(delivered) == n_errors
+    assert len({p for _, p in delivered}) == n_errors  # no duplicates
+
+    # full-batch replay after completion: nothing more
+    make(lambda f, to, p: delivered.append((to[0], p)))(ev, batch_id=7)
+    assert len(delivered) == n_errors
+
+
 def test_jwt_roundtrip_and_udf(spark):
     tok = mint_hs256({"iss": "event-streaming", "sub": "user42", "aud": "gateway"}, "s3cret")
     claims = verify_hs256(tok, "s3cret")
@@ -144,6 +188,38 @@ def test_store_compaction(spark, tmp_path):
     after = store.compact(dt.date(2024, 1, 5))
     assert after == 1
     assert store.read_key("event_date", "2024-01-05").count() == 4 * ev.count()
+
+
+def test_store_compaction_crash_recovery(spark, tmp_path):
+    import datetime as dt
+    import os
+    import shutil
+
+    store = EventStore(spark, str(tmp_path / "rstore"))
+    two_days = load(spark, SF_SMALL, "events").filter(
+        F.to_date("ts").isin("2024-01-05", "2024-01-06")
+    )
+    store.append(two_days)
+    ev = two_days.filter(F.to_date("ts") == "2024-01-05")
+    n = ev.count()
+    part = f"{store.path}/event_date=2024-01-05"
+    old = f"{store.path}/_old-2024-01-05"
+    tmp = f"{store.path}/_compacting-2024-01-05"
+
+    # Underscore-prefixed siblings are invisible to Spark's file index:
+    # a reader during compaction must never see the day twice.
+    shutil.copytree(part, tmp)
+    assert store.read().count() == two_days.count()
+    shutil.rmtree(tmp)
+
+    # Crash between the two swap renames: day displaced to _old-, part
+    # missing.  The next compact() must restore it before proceeding.
+    os.rename(part, old)
+    assert store.read_key("event_date", "2024-01-05").count() == 0
+    after = store.compact(dt.date(2024, 1, 5))
+    assert after == 1
+    assert store.read_key("event_date", "2024-01-05").count() == n
+    assert not os.path.exists(old) and not os.path.exists(tmp)
 
 
 def test_streaming_metrics_listener(spark, tmp_path):
