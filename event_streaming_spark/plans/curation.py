@@ -60,7 +60,7 @@ SELECT node AS doc_id, min(origin) AS cluster_id FROM reach GROUP BY node
 """
 
 
-@register("dedup_near_dup_clusters", _CC_ORACLE, tags=("llm", "dedup", "iterative"))
+@register("dedup_near_dup_clusters", _CC_ORACLE, tags=("llm", "dedup", "iterative"), bench=True)
 def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     edges = minhash_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -179,7 +179,7 @@ GROUP BY hamming
 """
 
 
-@register("simhash_near_dup_histogram", _SIMHASH_ORACLE, tags=("llm", "dedup", "hash"))
+@register("simhash_near_dup_histogram", _SIMHASH_ORACLE, tags=("llm", "dedup", "hash"), bench=True)
 def simhash_near_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_spark.plans.catalog import spread
 
@@ -251,7 +251,7 @@ FROM kept GROUP BY lang
 """
 
 
-@register("corpus_curation_end_to_end", _CURATION_ORACLE, tags=("llm", "dedup", "sample", "pipeline"))
+@register("corpus_curation_end_to_end", _CURATION_ORACLE, tags=("llm", "dedup", "sample", "pipeline"), bench=True)
 def corpus_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     canonical = dedup_near_dup_clusters(spark, sf_dir).filter(

@@ -373,7 +373,7 @@ GROUP BY bf.qid
 """
 
 
-@register("emb_lsh_recall_audit", _RECALL_ORACLE, tags=("llm", "ann", "audit"))
+@register("emb_lsh_recall_audit", _RECALL_ORACLE, tags=("llm", "ann", "audit"), bench=True)
 def emb_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = emb_cosine_topk_bruteforce(spark, sf_dir).filter(F.col("rn") <= 3).select(
         "qid", "neighbor_id"

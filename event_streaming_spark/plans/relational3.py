@@ -57,7 +57,7 @@ GROUP BY o_year
 """
 
 
-@register("q8_national_market_share", _Q8_ORACLE, tags=("join", "agg", "tpch"))
+@register("q8_national_market_share", _Q8_ORACLE, tags=("join", "agg", "tpch"), bench=True)
 def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").filter(
@@ -115,7 +115,7 @@ GROUP BY nation, o_year
 """
 
 
-@register("q9_product_type_profit", _Q9_ORACLE, tags=("join", "agg", "tpch"))
+@register("q9_product_type_profit", _Q9_ORACLE, tags=("join", "agg", "tpch"), bench=True)
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -457,7 +457,7 @@ GROUP BY s_name
 """
 
 
-@register("q21_suppliers_kept_waiting", _Q21_ORACLE, tags=("join", "agg", "subquery", "tpch"))
+@register("q21_suppliers_kept_waiting", _Q21_ORACLE, tags=("join", "agg", "subquery", "tpch"), bench=True)
 def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     orders = (

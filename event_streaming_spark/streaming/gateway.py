@@ -26,7 +26,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from event_streaming_spark.functions.auth import verify_hs256
+from event_streaming_spark.functions.auth import parse_rsa_pem, verify_hs256, verify_rs256
 from event_streaming_spark.streaming.agency import EventsAgency
 
 
@@ -41,15 +41,23 @@ class ApiGateway:
         host: str = "127.0.0.1",
         port: int = 8088,
         jwt_secret: str | None = None,
+        jwt_rs256_public_key: str | dict | None = None,
         allowed_topics: set[tuple[str, str]] | None = None,
         auto_create_topics: bool = True,
     ) -> None:
         """``allowed_topics``: optional allowlist of (broker, topic) pairs
         POST may target.  ``auto_create_topics=False`` restricts POST to
         topics that already exist — otherwise any client could create
-        unbounded topic directories on disk."""
+        unbounded topic directories on disk.  Auth accepts HS256 bearer
+        tokens when ``jwt_secret`` is set and RS256 when
+        ``jwt_rs256_public_key`` (PEM or int dict) is set — either one
+        valid token admits the request (the reference's libjwt boundary
+        is RS256: tests/test-jwt.c:134-209)."""
         self.agency = agency
         self.jwt_secret = jwt_secret
+        if isinstance(jwt_rs256_public_key, str):
+            jwt_rs256_public_key = parse_rsa_pem(jwt_rs256_public_key)
+        self.jwt_rs256_public_key = jwt_rs256_public_key
         self.allowed_topics = allowed_topics
         self.auto_create_topics = auto_create_topics
         gateway = self
@@ -67,12 +75,18 @@ class ApiGateway:
                 self.wfile.write(body)
 
             def _authed(self) -> bool:
-                if gateway.jwt_secret is None:
+                if gateway.jwt_secret is None and gateway.jwt_rs256_public_key is None:
                     return True
                 hdr = self.headers.get("Authorization", "")
                 if not hdr.startswith("Bearer "):
                     return False
-                return verify_hs256(hdr[7:], gateway.jwt_secret) is not None
+                token = hdr[7:]
+                if gateway.jwt_secret is not None and verify_hs256(token, gateway.jwt_secret):
+                    return True
+                return (
+                    gateway.jwt_rs256_public_key is not None
+                    and verify_rs256(token, gateway.jwt_rs256_public_key) is not None
+                )
 
             def do_GET(self):  # noqa: N802
                 if self.path == "/health":

@@ -146,6 +146,108 @@ def test_jwt_roundtrip_and_udf(spark):
     assert [r["sub"] for r in got] == ["user42", None, None]
 
 
+def test_rs256_roundtrip_and_udf(spark):
+    """RS256 parity with the reference's libjwt boundary
+    (/root/reference/tests/test-jwt.c:134-209): mint with the RSA private
+    key, verify with the public key — pure-stdlib PKCS#1 v1.5."""
+    import os as _os
+
+    from event_streaming_spark.functions.auth import (
+        claims_udf,
+        mint_rs256,
+        parse_rsa_pem,
+        verify_rs256,
+    )
+
+    data = _os.path.join(_os.path.dirname(__file__), "data")
+    priv_pem = open(_os.path.join(data, "rs256_test_key.pem")).read()
+    pub_pem = open(_os.path.join(data, "rs256_test_pub.pem")).read()
+    pub_pkcs1 = open(_os.path.join(data, "rs256_test_pub_pkcs1.pem")).read()
+
+    # key parsing: PKCS#8 private, SPKI + PKCS#1 public agree
+    priv, pub = parse_rsa_pem(priv_pem), parse_rsa_pem(pub_pem)
+    assert parse_rsa_pem(pub_pkcs1) == pub
+    assert priv["n"] == pub["n"] and priv["e"] == pub["e"] == 65537
+    assert pow(pow(12345, priv["e"], priv["n"]), priv["d"], priv["n"]) == 12345
+
+    tok = mint_rs256({"iss": "event-streaming", "sub": "svc-a"}, priv_pem)
+    claims = verify_rs256(tok, pub_pem)
+    assert claims is not None and claims["sub"] == "svc-a" and "jti" in claims
+
+    # tampered payload / truncated signature / HS256 header → rejected
+    head, payload, sig = tok.split(".")
+    assert verify_rs256(f"{head}.{payload[:-2]}xx.{sig}", pub_pem) is None
+    assert verify_rs256(f"{head}.{payload}.{sig[:-8]}", pub_pem) is None
+    from event_streaming_spark.functions.auth import mint_hs256
+
+    assert verify_rs256(mint_hs256({"sub": "x"}, "secret"), pub_pem) is None
+    # exp enforcement
+    expired = mint_rs256({"sub": "x", "exp": 100}, priv_pem)
+    assert verify_rs256(expired, pub_pem, now=200) is None
+
+    # UDF path: RS256 claims extraction inside a DataFrame
+    df = spark.createDataFrame([(tok,), ("garbage",), (None,)], "token STRING")
+    rows = (
+        df.select(claims_udf(rs256_public_key=pub_pem)(F.col("token")).alias("claims"))
+        .collect()
+    )
+    assert rows[0]["claims"]["sub"] == "svc-a"
+    assert rows[1]["claims"] is None and rows[2]["claims"] is None
+
+
+def test_rs256_matches_openssl(tmp_path):
+    """Our PKCS#1 v1.5 signature must be byte-identical to openssl's for
+    the same signing input (deterministic padding scheme)."""
+    import base64
+    import os as _os
+    import shutil
+    import subprocess
+
+    if shutil.which("openssl") is None:
+        import pytest
+
+        pytest.skip("openssl not available")
+    from event_streaming_spark.functions.auth import mint_rs256
+
+    data = _os.path.join(_os.path.dirname(__file__), "data")
+    key = _os.path.join(data, "rs256_test_key.pem")
+    tok = mint_rs256({"iss": "x", "sub": "y", "iat": 1700000000, "jti": "fixed"}, open(key).read())
+    head, payload, sig = tok.split(".")
+    signing = f"{head}.{payload}".encode()
+    inp = tmp_path / "signing.txt"
+    inp.write_bytes(signing)
+    out = subprocess.run(
+        ["openssl", "dgst", "-sha256", "-sign", key, str(inp)],
+        capture_output=True, check=True,
+    ).stdout
+    ours = base64.urlsafe_b64decode(sig + "=" * (-len(sig) % 4))
+    assert ours == out
+
+
+def test_gateway_accepts_rs256(spark, tmp_path):
+    import os as _os
+
+    from event_streaming_spark.functions.auth import mint_rs256
+    from event_streaming_spark.streaming.agency import EventsAgency
+    from event_streaming_spark.streaming.gateway import ApiGateway
+    from tests.test_gateway import _post
+
+    data = _os.path.join(_os.path.dirname(__file__), "data")
+    priv_pem = open(_os.path.join(data, "rs256_test_key.pem")).read()
+    pub_pem = open(_os.path.join(data, "rs256_test_pub.pem")).read()
+    agency = EventsAgency(spark, root=str(tmp_path / "rsagency"))
+    g = ApiGateway(agency, port=0, jwt_rs256_public_key=pub_pem).start()
+    try:
+        ev = {"event_id": 5, "ts": "2024-02-01T10:00:00", "user_id": 1,
+              "event_type": "click", "value": 1.0, "props": "{}"}
+        assert _post(g, "/topics/b/t", ev)[0] == 401  # no token
+        tok = mint_rs256({"iss": "event-streaming", "sub": "svc"}, priv_pem)
+        assert _post(g, "/topics/b/t", ev, token=tok)[0] == 202
+    finally:
+        g.stop()
+        agency.close()
+
+
 def test_multimodal_decode_stub(spark, tmp_path):
     import struct as _s
 
