@@ -135,6 +135,24 @@ def asof_join_pandas(
     )
 
 
+_GRANULE_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _granule_seconds(granule: str) -> int:
+    """Parse "N unit" (e.g. "1 day", "6 hours", "90 seconds") to seconds."""
+    parts = granule.strip().lower().split()
+    if len(parts) == 1:
+        count, unit = 1, parts[0]
+    elif len(parts) == 2:
+        count, unit = int(parts[0]), parts[1]
+    else:
+        raise ValueError(f"bad granule: {granule!r}")
+    unit = unit.rstrip("s")
+    if unit not in _GRANULE_SECONDS or count <= 0:
+        raise ValueError(f"bad granule: {granule!r} (units: {sorted(_GRANULE_SECONDS)})")
+    return count * _GRANULE_SECONDS[unit]
+
+
 def bucketed_range_join(
     left: DataFrame,
     right: DataFrame,
@@ -147,13 +165,11 @@ def bucketed_range_join(
     """Big-big interval join: explode each right interval into the coarse
     granules it covers, equi-join left points to their granule, then apply
     the exact residual predicate.  Shuffle is hash on (by, granule) —
-    no nested loop.  Duplication factor = avg interval length / granule."""
+    no nested loop.  Duplication factor = avg interval length / granule,
+    so the granule is the scale knob: pick it near the typical interval
+    length (``"N seconds|minutes|hours|days|weeks"``)."""
     by = by or []
-    g = F.unix_timestamp(F.lit("1970-01-02 00:00:00")) - F.unix_timestamp(
-        F.lit("1970-01-01 00:00:00")
-    )  # seconds per day-granule; only "1 day" granule supported here
-    if granule != "1 day":
-        raise ValueError("only '1 day' granule implemented")
+    g = F.lit(_granule_seconds(granule))
     lg = left.withColumn("__g", (F.unix_timestamp(F.col(left_point)) / g).cast("long"))
     rg = right.withColumn(
         "__gs",

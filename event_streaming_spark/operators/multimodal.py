@@ -41,6 +41,8 @@ _MAGIC = {
     b"\xff\xd8\xff": "jpeg",
     b"RIFF": "riff",
     b"GIF8": "gif",
+    b"P6": "ppm",
+    b"BM": "bmp",
 }
 
 
@@ -51,14 +53,65 @@ def sniff_format(content: bytes) -> str:
     return "unknown"
 
 
-def decode_image_stub(content: bytes) -> tuple[str, int, int, int]:
-    """Deterministic fake decode: magic sniff + PNG IHDR dims (a real
-    header parse) + a checksum standing in for pixel features.
+def decode_image_uncompressed(content: bytes) -> tuple[str, int, int, int]:
+    """REAL pixel decode for uncompressed formats, numpy only.
 
-    Real pixel decode requires Pillow — not in this container:
-    raise NotImplementedError past the header for compressed formats.
+    - PPM (P6, maxval ≤255): full raster decode; checksum64 = exact sum of
+      all pixel bytes (a stand-in pixel feature: replace with any
+      vectorized stat).
+    - BMP (24bpp uncompressed BI_RGB): raster rows are bottom-up and
+      4-byte padded; decode honors both.
+
+    Raises NotImplementedError for anything needing a codec library.
+    """
+    import numpy as np
+
+    if content[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single-ws> raster
+        parts, idx = [], 2
+        while len(parts) < 3:
+            while idx < len(content) and content[idx : idx + 1].isspace():
+                idx += 1
+            if content[idx : idx + 1] == b"#":  # comment line
+                idx = content.index(b"\n", idx) + 1
+                continue
+            start = idx
+            while idx < len(content) and not content[idx : idx + 1].isspace():
+                idx += 1
+            parts.append(int(content[start:idx]))
+        idx += 1  # the single whitespace before the raster
+        w, h, maxval = parts
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=idx)
+        return "ppm", w, h, int(raster.sum())
+    if content[:2] == b"BM" and len(content) >= 54:
+        data_off = struct.unpack("<I", content[10:14])[0]
+        w, h = struct.unpack("<ii", content[18:26])
+        bpp = struct.unpack("<H", content[28:30])[0]
+        compression = struct.unpack("<I", content[30:34])[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(f"BMP bpp={bpp} compression={compression} needs a codec")
+        row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            content, dtype=np.uint8, count=row_bytes * abs(h), offset=data_off
+        ).reshape(abs(h), row_bytes)[:, : w * 3]
+        return "bmp", int(w), abs(int(h)), int(rows.sum())
+    raise NotImplementedError("not an uncompressed format this kernel decodes")
+
+
+def decode_image_stub(content: bytes) -> tuple[str, int, int, int]:
+    """Deterministic fallback kernel: REAL decode for uncompressed formats
+    (PPM/BMP, above), real header parse for PNG dims, and a byte checksum
+    standing in for pixel features elsewhere.
+
+    Compressed pixel decode (jpeg/gif/riff payloads) requires a codec
+    library — raise NotImplementedError past the header; see
+    ``select_image_kernel`` for the Pillow auto-upgrade.
     """
     fmt = sniff_format(content)
+    if fmt in ("ppm", "bmp"):
+        return decode_image_uncompressed(content)
     checksum = sum(content[:4096]) + len(content)
     if fmt == "png" and len(content) >= 24:
         # IHDR immediately follows the 8-byte signature: width/height at 16..24
@@ -72,11 +125,43 @@ def decode_image_stub(content: bytes) -> tuple[str, int, int, int]:
     return fmt, -1, -1, checksum
 
 
+def decode_image_pillow(content: bytes) -> tuple[str, int, int, int]:
+    """Full decode via Pillow (only reachable when PIL imports): true
+    format/dims plus a grayscale pixel-sum feature."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(content)) as im:
+        fmt = (im.format or "unknown").lower()
+        w, h = im.size
+        pixels = im.convert("L").tobytes()
+        return fmt, int(w), int(h), int(sum(pixels))
+
+
+def select_image_kernel() -> tuple[str, Callable[[bytes], tuple[str, int, int, int]]]:
+    """Capability gate: the best image kernel this environment supports.
+
+    Pillow present → full codec decode; otherwise the stub (which still
+    REALLY decodes uncompressed PPM/BMP and PNG headers)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return "pillow", decode_image_pillow
+    except ImportError:
+        return "stub", decode_image_stub
+
+
 def extract_image_meta(
     binary_df: DataFrame,
-    kernel: Callable[[bytes], tuple[str, int, int, int]] = decode_image_stub,
+    kernel: Callable[[bytes], tuple[str, int, int, int]] | None = None,
 ) -> DataFrame:
-    """binaryFile rows → typed metadata via Arrow-batched mapInPandas."""
+    """binaryFile rows → typed metadata via Arrow-batched mapInPandas.
+
+    ``kernel=None`` auto-selects the best available decoder
+    (``select_image_kernel``)."""
+    if kernel is None:
+        _, kernel = select_image_kernel()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

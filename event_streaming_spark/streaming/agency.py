@@ -118,16 +118,16 @@ class TopicContext:
                     "value STRING",
                 )
             else:
-                from pyspark.sql import functions as F
+                from event_streaming_spark.streaming.kafka_contract import to_kafka_envelope
 
-                df = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+                df = to_kafka_envelope(df)
             try:
-                (
-                    df.write.format("kafka")
-                    .option("kafka.bootstrap.servers", self.broker)
-                    .option("topic", self.topic)
-                    .save()
-                )
+                from event_streaming_spark.streaming.kafka_contract import kafka_sink_options
+
+                writer = df.write.format("kafka")
+                for k, v in kafka_sink_options(self.broker, self.topic).items():
+                    writer = writer.option(k, v)
+                writer.save()
             except Exception as e:
                 raise RuntimeError(
                     "kafka backend needs the spark-sql-kafka connector on the "
@@ -156,24 +156,23 @@ class TopicContext:
         catch-up reads over a deep log)."""
         os.makedirs(self.log_dir, exist_ok=True)
         if self.agency.backend == "kafka":
+            from event_streaming_spark.streaming.kafka_contract import (
+                from_kafka_envelope,
+                kafka_source_options,
+            )
+
             try:
-                raw = (
-                    self.agency.spark.readStream.format("kafka")
-                    .option("kafka.bootstrap.servers", self.broker)
-                    .option("subscribe", self.topic)
-                    .option("startingOffsets", "earliest")
-                    .load()
-                )
+                reader = self.agency.spark.readStream.format("kafka")
+                for k, v in kafka_source_options(self.broker, self.topic).items():
+                    reader = reader.option(k, v)
+                raw = reader.load()
             except Exception as e:  # connector jars absent → actionable error
                 raise RuntimeError(
                     "kafka backend needs the spark-sql-kafka connector on the "
                     "classpath (--packages org.apache.spark:spark-sql-kafka-0-10_2.13); "
                     "use backend='file' for a self-contained durable log"
                 ) from e
-            parsed = raw.select(
-                F.from_json(F.col("value").cast("string"), self.schema).alias("e")
-            ).select("e.*")
-            return parsed
+            return from_kafka_envelope(raw, self.schema)
         reader = self.agency.spark.readStream.schema(self.schema)
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -87,4 +87,21 @@ def test_bucketed_range_join_matches_nested_loop(spark):
         (F.col("o_orderdate") >= F.col("w_start")) & (F.col("o_orderdate") < F.col("w_end"))
     )
     key = lambda r: (r["o_orderkey"], r["w_start"], r["w_end"])  # noqa: E731
-    assert sorted(map(key, bucketed.collect())) == sorted(map(key, reference.collect()))
+    expected = sorted(map(key, reference.collect()))
+    assert sorted(map(key, bucketed.collect())) == expected
+
+    # granule is a tuning knob, not a semantics knob: any width agrees
+    for granule in ("1 hour", "6 hours", "2 days", "1 week"):
+        again = bucketed_range_join(
+            orders, windows.drop("o_custkey"), "o_orderdate", "w_start", "w_end",
+            granule=granule,
+        )
+        assert sorted(map(key, again.collect())) == expected, granule
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bucketed_range_join(
+            orders, windows.drop("o_custkey"), "o_orderdate", "w_start", "w_end",
+            granule="3 fortnights",
+        )

@@ -275,6 +275,84 @@ def test_multimodal_decode_stub(spark, tmp_path):
     assert raised
 
 
+def _make_ppm(w, h, value=7):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes([value]) * (w * h * 3)
+
+
+def _make_bmp_24(w, h, value=9):
+    import struct as _s
+
+    row = bytes([value]) * (w * 3)
+    pad = b"\x00" * ((-len(row)) % 4)
+    raster = (row + pad) * h
+    header = b"BM" + _s.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    info = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + info + raster
+
+
+def test_uncompressed_image_real_decode():
+    """PPM and BMP pixel decode is REAL (numpy raster math, no codec lib)."""
+    from event_streaming_spark.operators.multimodal import decode_image_uncompressed
+
+    fmt, w, h, ck = decode_image_uncompressed(_make_ppm(4, 3, value=7))
+    assert (fmt, w, h, ck) == ("ppm", 4, 3, 4 * 3 * 3 * 7)
+    # BMP: width 3 → rows padded to 12 bytes; padding must NOT be counted
+    fmt, w, h, ck = decode_image_uncompressed(_make_bmp_24(3, 2, value=9))
+    assert (fmt, w, h, ck) == ("bmp", 3, 2, 3 * 2 * 3 * 9)
+
+
+def test_image_kernel_selection(monkeypatch):
+    """Capability gate: stub in this container; Pillow kernel when PIL imports."""
+    import sys
+    import types
+
+    from event_streaming_spark.operators import multimodal as M
+
+    name, kernel = M.select_image_kernel()  # container has no Pillow
+    assert (name, kernel) == ("stub", M.decode_image_stub)
+
+    class _FakeImage:
+        format, size = "JPEG", (8, 6)
+
+        def convert(self, mode):
+            return self
+
+        def tobytes(self):
+            return bytes([2]) * (8 * 6)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(open=lambda fh: _FakeImage())
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+    name, kernel = M.select_image_kernel()
+    assert name == "pillow"
+    assert kernel(b"\xff\xd8\xff fake") == ("jpeg", 8, 6, 8 * 6 * 2)
+
+
+def test_extract_image_meta_auto_kernel(spark, tmp_path):
+    """mapInPandas plumbing with the auto-selected kernel really decodes
+    an uncompressed image end to end."""
+    import os as _os
+
+    from event_streaming_spark.operators.multimodal import extract_image_meta
+
+    p = tmp_path / "imgs"
+    p.mkdir()
+    (p / "a.ppm").write_bytes(_make_ppm(5, 4, value=3))
+    (p / "b.bin").write_bytes(b"\x00garbage")
+    df = spark.read.format("binaryFile").load(str(p))
+    rows = {_os.path.basename(r["path"]): r for r in extract_image_meta(df).collect()}
+    a = rows["a.ppm"]
+    assert (a["format"], a["width"], a["height"], a["checksum64"]) == ("ppm", 5, 4, 5 * 4 * 3 * 3)
+    assert rows["b.bin"]["format"] == "unknown"
+
+
 def test_store_compaction(spark, tmp_path):
     store = EventStore(spark, str(tmp_path / "cstore"))
     ev = load(spark, SF_SMALL, "events").filter(F.to_date("ts") == "2024-01-05")
@@ -470,6 +548,51 @@ def test_audio_and_frame_sampling_stubs(spark, tmp_path):
     # 171 bytes of wav → 5 frames (0..4), every 2nd → frames 0,2,4
     got = sorted((r["frame_no"], r["byte_offset"]) for r in frames)
     assert got == [(0, 0), (2, 64), (4, 128)]
+
+
+def test_kafka_contract_roundtrip_without_broker(spark):
+    """The kafka wire contract (envelope → raw source frame → parse) is
+    pure DataFrame shaping — testable with no broker or connector."""
+    from event_streaming_spark.streaming.kafka_contract import (
+        from_kafka_envelope,
+        kafka_sink_options,
+        kafka_source_options,
+        simulate_kafka_source_frame,
+        to_kafka_envelope,
+    )
+
+    ev = load(spark, SF_SMALL, "events").limit(100)
+    enveloped = to_kafka_envelope(ev, key_col="user_id")
+    assert enveloped.columns == ["key", "value"]
+    raw = simulate_kafka_source_frame(enveloped, topic="t-events")
+    assert {"key", "value", "topic", "partition", "offset", "timestamp"} <= set(raw.columns)
+    assert dict(raw.dtypes)["value"] == "binary"
+
+    back = from_kafka_envelope(raw, ev.schema)
+    assert back.schema == ev.schema
+    orig = {r["event_id"]: r for r in ev.collect()}
+    got = {r["event_id"]: r for r in back.collect()}
+    assert set(got) == set(orig)
+    sample = next(iter(orig))
+    assert got[sample]["value"] == orig[sample]["value"]
+    assert got[sample]["ts"] == orig[sample]["ts"]
+
+    # malformed payloads parse to null rows, not stream failure
+    junk = spark.createDataFrame([(b"{not json",)], "value BINARY")
+    junk = junk.select(
+        F.lit(None).cast("binary").alias("key"), "value",
+        F.lit("t").alias("topic"), F.lit(0).alias("partition"),
+        F.lit(0).cast("long").alias("offset"),
+        F.current_timestamp().alias("timestamp"), F.lit(0).alias("timestampType"),
+    )
+    bad = from_kafka_envelope(junk, ev.schema).collect()
+    assert len(bad) == 1 and bad[0]["event_id"] is None
+
+    # option dicts: the exact connector contract
+    src = kafka_source_options("broker:9092", "t-events")
+    assert src["subscribe"] == "t-events" and src["failOnDataLoss"] == "false"
+    snk = kafka_sink_options("broker:9092", "t-events")
+    assert snk == {"kafka.bootstrap.servers": "broker:9092", "topic": "t-events"}
 
 
 def test_kafka_publish_error_message(spark, tmp_path):
