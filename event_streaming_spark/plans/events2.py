@@ -151,7 +151,7 @@ FROM per_user
 @register("events_user_value_deciles", _DECILES_ORACLE, tags=("events", "window", "agg"))
 def events_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_spark.functions.numeric import exact_sum
-    from event_streaming_spark.operators.materialize import materialize
+    from event_streaming_spark.operators.ranks import with_global_row_number
 
     per_user = (
         load(spark, sf_dir, "events")
@@ -159,28 +159,10 @@ def events_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(exact_sum("value").alias("total_value"))
     )
-    n_buckets = spark.sparkContext.defaultParallelism
-    bucketed = materialize(
-        per_user.repartitionByRange(n_buckets, F.desc("total_value"), F.asc("user_id"))
-        .withColumn("__pid", F.spark_partition_id()),
-        "decile-buckets",
+    ranked, n_total = with_global_row_number(
+        per_user, [F.desc("total_value"), F.asc("user_id")], "rn"
     )
-    # O(#partitions) rows — bounded by cluster config, never by data.
-    counts = dict(
-        (r["__pid"], r["c"])
-        for r in bucketed.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    )
-    n_total = sum(counts.values())
-    offsets = []
-    running = 0
-    for pid in range(max(counts, default=-1) + 1):
-        offsets.append(running)
-        running += counts.get(pid, 0)
-    off_arr = F.array(*[F.lit(o) for o in offsets]) if offsets else F.array(F.lit(0))
-
-    w_local = Window.partitionBy("__pid").orderBy(F.desc("total_value"), F.asc("user_id"))
-    rn = (F.element_at(off_arr, F.col("__pid") + 1) + F.row_number().over(w_local)).cast("long")
-
+    rn = F.col("rn")
     tile_q, tile_r = divmod(n_total, 10)  # ntile fill: first r tiles get q+1 rows
     if tile_q == 0:
         decile = rn
@@ -194,7 +176,7 @@ def events_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_total <= 1
         else F.round((rn - 1).cast("double") / F.lit(float(n_total - 1)), 6)
     )
-    return bucketed.select(
+    return ranked.select(
         "user_id",
         "total_value",
         decile.cast("int").alias("decile"),

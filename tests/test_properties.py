@@ -160,6 +160,38 @@ def test_connected_components_with_table_materializer(spark, tmp_path, monkeypat
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6, 7: 7}
 
 
+def test_global_rank_primitives_match_window(spark):
+    """Distributed row_number/cumsum == the single-partition window
+    reference, on data spread over many partitions with duplicate keys."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from event_streaming_spark.operators.ranks import (
+        with_global_cumsum,
+        with_global_row_number,
+    )
+
+    rows = [((i * 37) % 50, i, (i % 7) + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "k INT, uid INT, v INT").repartition(16)
+
+    order = [F.desc("k"), F.asc("uid")]
+    got, total = with_global_row_number(df, order, "rn")
+    assert total == 400
+    w = Window.orderBy(F.desc("k"), F.asc("uid"))
+    want = df.withColumn("rn", F.row_number().over(w))
+    assert {(r["uid"], r["rn"]) for r in got.collect()} == {
+        (r["uid"], r["rn"]) for r in want.collect()
+    }
+
+    got_cs, total_v = with_global_cumsum(df, order, "v", "cs")
+    assert total_v == sum(r[2] for r in rows)
+    wcs = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want_cs = df.withColumn("cs", F.sum("v").over(wcs))
+    assert {(r["uid"], r["cs"]) for r in got_cs.collect()} == {
+        (r["uid"], r["cs"]) for r in want_cs.collect()
+    }
+
+
 def test_materializer_rejects_unknown_strategy(monkeypatch):
     import pytest
     from event_streaming_spark.operators.materialize import materializer_strategy
