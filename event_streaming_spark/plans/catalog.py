@@ -77,12 +77,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to full parallelism before a compute-heavy
-    narrow stage (hashing, regex, per-row text work).
+    narrow stage (hashing, regex, per-row text work) — but ONLY when the
+    scan is parallelism-deficient.
 
-    The driver fixtures are single-file/single-row-group parquet, so a bare
-    scan is ONE task no matter the cluster size; on a real deployment the
-    scan has natural file parallelism and this is a no-op-ish rebalance.
-    The shuffle moves raw rows once — worth it exactly when downstream
-    per-row CPU ≫ row transfer cost (true for md5/shingle/regex stages,
-    false for cheap column aggs — those stay unspread)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    The driver fixtures are single-file/single-row-group parquet, so a
+    bare scan is ONE task no matter the cluster size — there the shuffle
+    moves raw rows once and buys a 2-4× measured win (per-row CPU ≫ row
+    transfer cost).  On a real deployment the scan has natural file
+    parallelism; repartitioning 100 TB for no reason would be the
+    engine's biggest shuffle, so a scan already at ≥half the cluster's
+    parallelism passes through untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
