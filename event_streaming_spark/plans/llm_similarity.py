@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from event_streaming_spark.functions.numeric import cosine
 from event_streaming_spark.operators import similarity as S
+from event_streaming_spark.operators.joins import triangle_self_pair_join
 from event_streaming_spark.operators.materialize import materialize
 from event_streaming_spark.plans.catalog import load, register, spread
 
@@ -132,16 +133,18 @@ SELECT doc_a, doc_b, jaccard FROM (
 
 @register("ngram_jaccard_same_source_pairs", _JACCARD_ORACLE, tags=("llm", "dedup", "join"))
 def ngram_jaccard_same_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Triangle-bucketed self-join: source has ~20 distinct values, so a
+    # plain source-blocked self-join caps parallelism at 20 straggler
+    # tasks each owning a quadratic pair space (see triangle_self_pair_join).
     docs = spread(load(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", "source", S.shingle_hashes(F.col("text")).alias("sh"))
-    a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
     return (
-        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        triangle_self_pair_join(sh, id_col="doc_id", block_cols=["source"], n_buckets=8)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.12)

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_streaming_spark.functions.numeric import cosine, exact_sum, sql_exact_sum
+from event_streaming_spark.operators.joins import triangle_self_pair_join
 from event_streaming_spark.plans.catalog import load, register
 
 # ---------------------------------------------------------------------------
@@ -101,9 +102,10 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs (SURVEY §2.5 "embedding-cosine near-dup"):
 # blocking key = label (the IVF-cell analogue), exact cosine within block.
-# Scale: the self-join shuffles on label only; within-block pair count is
-# (n/cells)² per cell — the blocking key IS the scale knob.  Cross-block
-# recall comes from the LSH-ANN path (emb_lsh_ann_topk).
+# Scale: triangle-bucketed self-join shuffles on (label, bucket-cell) so
+# a block's quadratic pair space is parallel work, not one straggler task;
+# blocking key + bucket count are the scale knobs.  Cross-block recall
+# comes from the LSH-ANN path (emb_lsh_ann_topk).
 # ---------------------------------------------------------------------------
 
 _EMB_NEARDUP_ORACLE = """
@@ -120,16 +122,18 @@ SELECT vec_a, vec_b, label, cos_sim FROM (
 
 @register("emb_cosine_near_dup_pairs", _EMB_NEARDUP_ORACLE, tags=("llm", "ann", "dedup"))
 def emb_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Triangle-bucketed self-join: a plain label-blocked self-join shuffles
+    # on label alone (10 distinct values), so each label's quadratic pair
+    # space is ONE task — measured >10 min on one core at a 10× corpus.
+    # With B=8 buckets each label splits into 36 independent cells.
     emb = load(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
+    pairs = triangle_self_pair_join(
+        emb, id_col="vec_id", block_cols=["label"], n_buckets=8
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+        pairs.select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
             F.col("a.label").alias("label"),
             F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
         )

@@ -105,3 +105,31 @@ def test_bucketed_range_join_matches_nested_loop(spark):
             orders, windows.drop("o_custkey"), "o_orderdate", "w_start", "w_end",
             granule="3 fortnights",
         )
+
+
+def test_triangle_self_pair_join_matches_naive(spark):
+    # Exactly the naive blocked pair set — every unordered within-block
+    # pair once, none across blocks — at any bucket count (B=1 degenerates
+    # to the naive diagonal-only join; B > block size leaves empty cells).
+    from event_streaming_spark.operators.joins import triangle_self_pair_join
+
+    rows = [(i, f"blk{i % 3}", float(i) * 1.5) for i in range(40)]
+    df = spark.createDataFrame(rows, "id int, blk string, val double")
+    naive = {
+        (a, b)
+        for (a, ab) in [(r["id"], r["blk"]) for r in df.collect()]
+        for (b, bb) in [(r["id"], r["blk"]) for r in df.collect()]
+        if ab == bb and a < b
+    }
+    for buckets in (1, 4, 64):
+        got = (
+            triangle_self_pair_join(df, id_col="id", block_cols=["blk"], n_buckets=buckets)
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("lo"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("hi"),
+            )
+            .collect()
+        )
+        pairs = [(r["lo"], r["hi"]) for r in got]
+        assert len(pairs) == len(set(pairs)), f"duplicate pairs at B={buckets}"
+        assert set(pairs) == naive, f"pair set mismatch at B={buckets}"

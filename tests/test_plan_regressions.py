@@ -117,3 +117,19 @@ def test_stratified_sample_is_scan_side_filter(spark):
     # the hash gate is a stateless filter: no shuffle at all in the plan
     p = _plan(spark, "sample_stratified_by_lang", "simple")
     assert "Exchange" not in p
+
+
+def test_spread_skips_already_parallel_input(spark):
+    # spread() exists to fix parallelism-deficient scans (single-row-group
+    # fixture files). When the input already has the cluster's parallelism
+    # (the normal case on a real deployment), it must be a no-op — an
+    # unconditional repartition of the raw table would be the engine's
+    # single biggest shuffle at 100 TB.
+    from event_streaming_spark.plans.catalog import spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, target)
+    assert spread(wide) is wide                     # pass-through, no new plan node
+    narrow = spark.range(0, 1000, 1, 1)
+    out = spread(narrow)
+    assert out.rdd.getNumPartitions() == target     # deficient scan gets rebalanced
