@@ -334,3 +334,95 @@ def events_enrich_purchases_by_segment(spark: SparkSession, sf_dir: str) -> Data
             exact_sum("value").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill / resample: daily event counts per type with
+# missing days emitted as explicit zeros over each type's own [min, max]
+# day span — the regularization step before any rolling-window or anomaly
+# model (a gap and a zero are different signals; events_daily_anomaly_
+# zscore assumes a dense series).  Scale: the dense day axis is built
+# from the per-type span AGGREGATE (|types| rows, a few KB at any corpus
+# size) exploded to |types| × days rows, then a left join back to the
+# daily aggregate on (type, day) — both sides are post-aggregation
+# smalls; the raw fact is touched once by the count.
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), axis AS (
+  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM spans
+)
+SELECT axis.event_type AS event_type, axis.day AS day,
+       coalesce(daily.n, 0) AS n_events,
+       CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END AS gap_filled
+FROM axis LEFT JOIN daily ON axis.event_type = daily.event_type AND axis.day = daily.day
+"""
+
+
+@register("events_gap_fill_daily", _GAP_FILL_ORACLE, tags=("events", "timeseries"))
+def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    axis = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    return (
+        axis.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.when(F.col("n").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("gap_filled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode per group: each user's most frequent event type, ties
+# broken lexically — the categorical analogue of max/avg in feature
+# engineering (e.g. "dominant behavior" features).  Built-in ``mode()``
+# is tie-nondeterministic in both engines, so the contract is expressed
+# as count-then-rank: one partial-aggregated count shuffle on
+# (user, type), then a rank over the tiny per-user type summary (≤|types|
+# rows per user).  Scale: both shuffles key on user_id × low-cardinality
+# type — no skew beyond user skew itself, no global ordering anywhere.
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+  FROM counts
+)
+SELECT user_id, event_type AS modal_type, n AS n_occurrences
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("events_modal_type_per_user", _MODE_ORACLE, tags=("events", "agg", "window"))
+def events_modal_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), F.col("n").alias("n_occurrences"))
+    )

@@ -396,3 +396,48 @@ def emb_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("a_nid") / 3.0, 6).alias("recall_at_3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup pairs: exact Levenshtein over a fixed prefix,
+# within-source, length-band prefiltered.  Complements the token-level
+# dedup family (minhash/simhash/jaccard see shared vocabulary; edit
+# distance sees character-level templating — boilerplate with small
+# substitutions).  Scale: same triangle-bucketed pair shape as the
+# jaccard query; the length-band residual prunes before the O(len²)
+# distance, and the fixed 80-char prefix caps per-pair cost — prefix
+# width and band are the knobs.  The DP itself is JVM-side (built-in
+# ``levenshtein``), never a Python UDF.
+# ---------------------------------------------------------------------------
+
+_EDIT_DIST_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, n_chars, substr(text, 1, 80) AS p
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.p, b.p) AS prefix_edit_dist
+FROM d a JOIN d b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= 400
+WHERE levenshtein(a.p, b.p) <= 50
+"""
+
+
+@register("docs_edit_distance_pairs", _EDIT_DIST_ORACLE, tags=("llm", "dedup", "text"))
+def docs_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.substring("text", 1, 80).alias("p")
+    )
+    pairs = triangle_self_pair_join(d, id_col="doc_id", block_cols=["source"], n_buckets=8)
+    return (
+        pairs.filter(
+            F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 400
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.levenshtein(F.col("a.p"), F.col("b.p")).alias("prefix_edit_dist"),
+        )
+        .filter(F.col("prefix_edit_dist") <= 50)
+    )
