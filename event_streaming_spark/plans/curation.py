@@ -19,12 +19,15 @@ from pyspark.sql import functions as F
 from event_streaming_spark.functions.hashing import sql_stable_hash32, stable_hash32
 from event_streaming_spark.operators.components import connected_components
 from event_streaming_spark.operators.materialize import materialize
+from event_streaming_spark.functions.numeric import exact_avg, sql_exact_avg
 from event_streaming_spark.operators.text import (
     quality_features as _quality_features,
     simhash_wide as _simhash_wide,
     sql_quality_features as _sql_quality_features,
     sql_simhash_over as _sql_simhash_over,
     sql_token_hashes_wide as _sql_token_hashes_wide,
+    sql_ws_token_count,
+    ws_token_count,
 )
 from event_streaming_spark.plans.catalog import load, register
 from event_streaming_spark.plans.llm_similarity import (
@@ -270,5 +273,161 @@ def corpus_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(feats["n_tokens"]).alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget source mixing: each source gets a fixed token budget; the
+# keep-RATE that hits it is derived from the per-source token total, then
+# applied as the usual stateless hash gate.  This is how a 100 TB mixture
+# is actually tuned — you cannot "take the first N tokens" of a
+# distributed corpus (that is a global order), but rate = budget / total
+# followed by a deterministic per-row gate needs only one aggregate pass
+# and one stateless filter pass.  Scale: the rate table is |sources| rows
+# (a corpus constant, like `nation`) — broadcast by construction, NOT a
+# data-scaling build side.
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 20_000
+
+_BUDGET_ORACLE = f"""
+WITH d AS (
+  SELECT source, doc_id, {sql_ws_token_count('text')} AS n_tok,
+         {sql_stable_hash32("'budg|' || cast(doc_id AS VARCHAR)")} % 1000 AS gate
+  FROM documents
+), totals AS (
+  SELECT source, sum(n_tok) AS src_tokens FROM d GROUP BY 1
+), rates AS (
+  SELECT source, src_tokens,
+         least(1000, cast(floor(1000.0 * {_BUDGET_TOKENS} / src_tokens) AS BIGINT)) AS rate_milli
+  FROM totals
+)
+SELECT d.source AS source, rates.src_tokens AS src_tokens,
+       rates.rate_milli AS rate_milli,
+       count(*) FILTER (WHERE d.gate < rates.rate_milli) AS n_selected,
+       coalesce(sum(n_tok) FILTER (WHERE d.gate < rates.rate_milli), 0) AS selected_tokens
+FROM d JOIN rates ON d.source = rates.source
+GROUP BY 1, 2, 3
+"""
+
+
+@register("docs_token_budget_mix", _BUDGET_ORACLE, tags=("llm", "sample", "agg"))
+def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        ws_token_count(F.col("text")).alias("n_tok"),
+        (stable_hash32(F.concat(F.lit("budg|"), F.col("doc_id").cast("string"))) % 1000).alias("gate"),
+    )
+    rates = (
+        d.groupBy("source")
+        .agg(F.sum("n_tok").alias("src_tokens"))
+        .select(
+            "source",
+            "src_tokens",
+            F.least(
+                F.lit(1000).cast("long"),
+                F.floor(F.lit(1000.0) * _BUDGET_TOKENS / F.col("src_tokens")).cast("long"),
+            ).alias("rate_milli"),
+        )
+    )
+    sel = F.col("gate") < F.col("rate_milli")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "src_tokens", "rate_milli")
+        .agg(
+            F.count(F.when(sel, 1)).alias("n_selected"),
+            F.coalesce(F.sum(F.when(sel, F.col("n_tok"))), F.lit(0)).alias("selected_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split manifest: the split assignment is a pure function
+# of doc_id (hash mod 1000 → 98/1/1), so any worker, any engine, any day
+# reproduces the same membership with zero coordination — the property a
+# split must have when the corpus is rewritten or backfilled.  The
+# manifest (per-split per-lang doc and token counts) is the audit object.
+# Scale: stateless projection + one map-side-combining aggregate.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+WITH d AS (
+  SELECT lang, {sql_ws_token_count('text')} AS n_tok,
+         {sql_stable_hash32("'split|' || cast(doc_id AS VARCHAR)")} % 1000 AS gate
+  FROM documents
+)
+SELECT CASE WHEN gate < 980 THEN 'train' WHEN gate < 990 THEN 'val' ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, sum(n_tok) AS total_tokens
+FROM d GROUP BY 1, 2
+"""
+
+
+@register("docs_train_split_manifest", _SPLIT_ORACLE, tags=("llm", "sample", "agg"))
+def docs_train_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    gate = stable_hash32(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 1000
+    split = (
+        F.when(gate < 980, "train").when(gate < 990, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            ws_token_count(F.col("text")).alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group winsorization: clamp doc length to each language's exact
+# [p05, p95] and report the clipped-tail counts and winsorized mean — the
+# outlier-capping pass run before any length-sensitive mixing decision.
+# Boundaries are rounded to 6 dp BEFORE clamping so both engines clamp to
+# identical doubles; the winsorized mean uses the exact scaled-long trick
+# (functions/numeric.py) so the parallel and serial sums agree bitwise.
+# Scale: boundary table is |langs| rows (broadcast by construction);
+# exact percentile needs a per-lang sort ONCE over values only — at
+# 100 TB you'd swap `percentile` for `approx_percentile` and keep the
+# identical downstream plan.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = f"""
+WITH b AS (
+  SELECT lang,
+         round(quantile_cont(n_chars, 0.05), 6) AS p05,
+         round(quantile_cont(n_chars, 0.95), 6) AS p95
+  FROM documents GROUP BY 1
+)
+SELECT d.lang AS lang, b.p05 AS p05, b.p95 AS p95,
+       count(*) FILTER (WHERE d.n_chars < b.p05) AS n_clipped_low,
+       count(*) FILTER (WHERE d.n_chars > b.p95) AS n_clipped_high,
+       {sql_exact_avg('least(greatest(cast(d.n_chars AS DOUBLE), b.p05), b.p95)')} AS winsorized_mean
+FROM documents d JOIN b ON d.lang = b.lang
+GROUP BY 1, 2, 3
+"""
+
+
+@register("docs_winsorize_chars_per_lang", _WINSOR_ORACLE, tags=("llm", "agg"))
+def docs_winsorize_chars_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("n_chars").cast("double"), F.col("p05")), F.col("p95")
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .groupBy("lang", "p05", "p95")
+        .agg(
+            F.count(F.when(F.col("n_chars") < F.col("p05"), 1)).alias("n_clipped_low"),
+            F.count(F.when(F.col("n_chars") > F.col("p95"), 1)).alias("n_clipped_high"),
+            exact_avg(clamped).alias("winsorized_mean"),
         )
     )

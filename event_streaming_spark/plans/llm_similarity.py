@@ -437,7 +437,11 @@ def docs_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-            F.levenshtein(F.col("a.p"), F.col("b.p")).alias("prefix_edit_dist"),
+            # 3-arg thresholded form: banded DP that aborts once a row's
+            # minimum exceeds 50 (returns -1 above threshold, the exact
+            # distance otherwise — equivalent to the oracle's full-DP
+            # `levenshtein(...) <= 50` filter, cheaper on far pairs).
+            F.expr("levenshtein(a.p, b.p, 50)").alias("prefix_edit_dist"),
         )
-        .filter(F.col("prefix_edit_dist") <= 50)
+        .filter(F.col("prefix_edit_dist") >= 0)
     )

@@ -214,3 +214,50 @@ def binary_column_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(F.substring(bin_col, 1, 8))).alias("prefix_hex"),
         F.md5(F.col("text")).alias("text_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source heavy hitters: each source's 5 most frequent tokens with a
+# deterministic tie-break — the "what is this corpus made of" audit run
+# per ingest source (boilerplate tokens dominating a source is the usual
+# tell for markup leakage).  Scale: the wordcount aggregate combines
+# map-side (shuffle carries distinct (source, term) partials, not token
+# occurrences); the rank window partitions by source over the per-source
+# VOCABULARY (bounded, unlike the corpus), so no global ordering and no
+# single-partition stage.  At extreme vocabularies, swap the exact rank
+# for a count-min/SpaceSaving sketch and keep the same output contract.
+# ---------------------------------------------------------------------------
+
+_HH_ORACLE = f"""
+WITH t AS (
+  SELECT source, unnest(string_split({sql_normalize_text('text')}, ' ')) AS term
+  FROM documents
+), c AS (
+  SELECT source, term, count(*) AS n FROM t GROUP BY 1, 2
+), r AS (
+  SELECT source, term, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rnk
+  FROM c
+)
+SELECT source, term, n, rnk FROM r WHERE rnk <= 5
+"""
+
+
+@register("text_heavy_hitters_per_source", _HH_ORACLE, tags=("llm", "text", "agg", "window"))
+def text_heavy_hitters_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from event_streaming_spark.functions.hashing import tokens as tok_fn
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    counts = (
+        docs.select("source", F.explode(tok_fn(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "term", "n", "rnk")
+    )
