@@ -247,3 +247,107 @@ def sample_frame_offsets(
         "path",
         F.explode(idx).alias("frame_no"),
     ).select("path", "frame_no", (F.col("frame_no") * frame_size).alias("byte_offset"))
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: PCM WAV needs no codec library — the RIFF container
+# is a chunk list and the samples are raw little-endian integers, so
+# numpy alone yields the true waveform.  Unlike the header stub above,
+# this walks the chunk list (fmt/data can be preceded by LIST/fact/cue
+# chunks — a 44-byte fixed layout is a common parser bug) and computes
+# signal-level features downstream models actually gate on: RMS energy,
+# peak amplitude, zero-crossing rate.  Compressed formats (mp3/ogg)
+# still raise NotImplementedError — that genuinely needs a codec.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def _walk_riff_chunks(content: bytes) -> dict[str, tuple[int, int]]:
+    """RIFF/WAVE chunk directory: id → (payload offset, payload size)."""
+    chunks: dict[str, tuple[int, int]] = {}
+    pos = 12  # past 'RIFF' <size> 'WAVE'
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4].decode("latin-1")
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        chunks.setdefault(cid, (pos + 8, size))
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return chunks
+
+
+def decode_audio_pcm(content: bytes) -> tuple[str, int, int, int, int, float, float, float]:
+    """Decode a PCM WAV to (format, sample_rate, n_channels, n_samples,
+    duration_ms, rms, peak, zero_crossing_rate).
+
+    Samples normalized to [-1, 1]; rms/peak/zcr computed on the mono mix.
+    Raises NotImplementedError for non-PCM encodings and non-WAV media.
+    """
+    import numpy as np
+
+    if not (content[:4] == b"RIFF" and content[8:12] == b"WAVE"):
+        raise NotImplementedError("not a RIFF/WAVE container")
+    chunks = _walk_riff_chunks(content)
+    if "fmt " not in chunks or "data" not in chunks:
+        raise NotImplementedError("missing fmt/data chunk")
+    off, size = chunks["fmt "]
+    audio_fmt, n_channels, sample_rate = struct.unpack_from("<HHI", content, off)
+    bits = struct.unpack_from("<H", content, off + 14)[0]
+    if audio_fmt != 1 or bits not in (8, 16, 32):
+        raise NotImplementedError(f"non-PCM wav (fmt={audio_fmt}, bits={bits})")
+    doff, dsize = chunks["data"]
+    raw = content[doff : doff + dsize]
+    if bits == 8:  # unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        dt = np.int16 if bits == 16 else np.int32
+        full = np.float64(2 ** (bits - 1))
+        x = np.frombuffer(raw[: len(raw) - len(raw) % (bits // 8)], dtype=dt).astype(np.float64) / full
+    if n_channels > 1:
+        x = x[: len(x) - len(x) % n_channels].reshape(-1, n_channels).mean(axis=1)
+    n_samples = int(x.size)
+    duration_ms = (n_samples * 1000) // sample_rate if sample_rate else 0
+    if n_samples == 0:
+        return ("wav", sample_rate, n_channels, 0, 0, 0.0, 0.0, 0.0)
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    zcr = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])) / n_samples)
+    return ("wav", sample_rate, n_channels, n_samples, duration_ms, rms, peak, zcr)
+
+
+def extract_audio_features(binary_df: DataFrame) -> DataFrame:
+    """binaryFile rows → decoded signal features via Arrow mapInPandas.
+
+    Real numpy PCM decode per item; undecodable media degrade to a
+    sentinel row rather than failing the batch (one bad file must not
+    kill a 100 TB scan)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    fmt, sr, ch, ns, dur, rms, peak, zcr = decode_audio_pcm(bytes(content))
+                except NotImplementedError:
+                    fmt, sr, ch, ns, dur, rms, peak, zcr = "undecodable", -2, -2, -2, -2, -2.0, -2.0, -2.0
+                out.append((path, fmt, sr, ch, ns, dur, round(rms, 6), round(peak, 6), round(zcr, 6)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "path", "format", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "rms", "peak", "zero_crossing_rate",
+                ],
+            )
+
+    return binary_df.select("path", "content").mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -607,3 +607,76 @@ def test_kafka_publish_error_message(spark, tmp_path):
         hit = str(e)
     assert hit is not None and "kafka" in hit
     a.close()
+
+
+def _make_wav(freq_hz=440, sr=8000, n=8000, amp=0.5, channels=1, bits=16, extra_chunk=False):
+    """Synthesize a PCM WAV: sine at freq_hz, optionally with a LIST
+    chunk BEFORE data (the layout that breaks fixed-44-byte parsers)."""
+    import math
+    import struct as st
+
+    samples = []
+    for i in range(n):
+        v = amp * math.sin(2 * math.pi * freq_hz * i / sr)
+        for _ in range(channels):
+            samples.append(int(v * 32767))
+    data = b"".join(st.pack("<h", s) for s in samples)
+    fmt = st.pack("<HHIIHH", 1, channels, sr, sr * channels * bits // 8, channels * bits // 8, bits)
+    chunks = b"fmt " + st.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        info = b"INFOIART" + st.pack("<I", 5) + b"test\x00" + b"\x00"  # odd size → pad byte
+        chunks += b"LIST" + st.pack("<I", len(info)) + info
+    chunks += b"data" + st.pack("<I", len(data)) + data
+    return b"RIFF" + st.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_audio_pcm_real_decode():
+    """numpy PCM decode recovers true signal features: duration exact,
+    rms ≈ amp/√2, zcr ≈ 2·freq/sr — and survives a LIST chunk before
+    data, which the fixed-offset header stub cannot."""
+    import pytest as _pytest
+
+    from event_streaming_spark.operators import multimodal as M
+
+    wav = _make_wav(freq_hz=440, sr=8000, n=8000, amp=0.5)
+    fmt, sr, ch, ns, dur, rms, peak, zcr = M.decode_audio_pcm(wav)
+    assert (fmt, sr, ch, ns, dur) == ("wav", 8000, 1, 8000, 1000)
+    assert abs(rms - 0.5 / 2 ** 0.5) < 0.01
+    assert abs(peak - 0.5) < 0.01
+    assert abs(zcr - 2 * 440 / 8000) < 0.005
+
+    # chunk walker: LIST (odd-sized, padded) chunk between fmt and data
+    wav2 = _make_wav(freq_hz=100, sr=8000, n=4000, amp=0.25, extra_chunk=True)
+    fmt, sr, ch, ns, dur, rms, peak, zcr = M.decode_audio_pcm(wav2)
+    assert (fmt, ns, dur) == ("wav", 4000, 500)
+    assert abs(zcr - 2 * 100 / 8000) < 0.005
+
+    # stereo mixes down
+    wav3 = _make_wav(freq_hz=200, sr=4000, n=2000, amp=0.8, channels=2)
+    fmt, sr, ch, ns, dur, rms, peak, zcr = M.decode_audio_pcm(wav3)
+    assert (ch, ns, dur) == (2, 2000, 500)
+
+    with _pytest.raises(NotImplementedError):
+        M.decode_audio_pcm(b"ID3\x04" + b"\x00" * 64)
+
+
+def test_extract_audio_features_spark(spark, tmp_path):
+    """End-to-end: binaryFile scan → mapInPandas numpy decode; a non-WAV
+    file degrades to a sentinel row instead of failing the batch."""
+    import os as _os
+
+    from event_streaming_spark.operators.multimodal import extract_audio_features
+    from event_streaming_spark.sources.readers import load_file
+
+    d = tmp_path / "audio"
+    d.mkdir()
+    (d / "tone.wav").write_bytes(_make_wav(freq_hz=440, sr=8000, n=8000, amp=0.5))
+    (d / "bad.mp3").write_bytes(b"ID3\x04" + b"\x00" * 64)
+    rows = {
+        _os.path.basename(r["path"]): r
+        for r in extract_audio_features(load_file(spark, str(d))).collect()
+    }
+    assert rows["tone.wav"]["format"] == "wav"
+    assert rows["tone.wav"]["duration_ms"] == 1000
+    assert abs(rows["tone.wav"]["rms"] - 0.3536) < 0.01
+    assert rows["bad.mp3"]["format"] == "undecodable"
