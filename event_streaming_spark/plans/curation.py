@@ -431,3 +431,49 @@ def docs_winsorize_chars_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame
             exact_avg(clamped).alias("winsorized_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-dup overlap matrix: which ingest sources copy from
+# each other — the LSH pair list annotated with each side's source and
+# rolled up per unordered source pair.  This is the audit that decides
+# "drop source B, it's 80% mirror of A" before burning tokens on both.
+# Scale: pair list is LSH-sized (near-linear), the two doc_id→source
+# lookups are shuffle equi-joins on doc_id (or map-side if documents is
+# bucketed by doc_id — sources/bucketed.py); the rollup output is at
+# most |sources|² rows.
+# ---------------------------------------------------------------------------
+
+_XSRC_ORACLE = f"""
+WITH pairs AS ({{lsh}}),
+ann AS (
+  SELECT da.source AS sa, db.source AS sb FROM pairs
+  JOIN documents da ON pairs.doc_a = da.doc_id
+  JOIN documents db ON pairs.doc_b = db.doc_id
+)
+SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       count(*) AS n_near_dup_pairs
+FROM ann GROUP BY 1, 2
+"""
+
+
+@register(
+    "dedup_cross_source_overlap",
+    _XSRC_ORACLE.format(lsh=_LSH_ORACLE),
+    tags=("llm", "dedup", "agg"),
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = minhash_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ann = (
+        pairs.join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+        .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+    )
+    return (
+        ann.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
+    )

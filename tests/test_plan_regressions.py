@@ -133,3 +133,38 @@ def test_spread_skips_already_parallel_input(spark):
     narrow = spark.range(0, 1000, 1, 1)
     out = spread(narrow)
     assert out.rdd.getNumPartitions() == target     # deficient scan gets rebalanced
+
+
+def test_budget_mix_broadcasts_rate_table(spark):
+    # the per-source rate table is source-cardinality — must broadcast;
+    # the doc scan must never shuffle into a SortMergeJoin against it
+    p = _plan(spark, "docs_token_budget_mix", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    p = _plan(spark, "docs_winsorize_chars_per_lang", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_heavy_hitters_window_is_partitioned(spark):
+    # rank window must partition by source — a global (unpartitioned)
+    # window would serialize the whole vocabulary through one task
+    df = REGISTRY["text_heavy_hitters_per_source"].fn(spark, SF_SMALL)
+    import io as _io, contextlib as _ctx
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    import re as _re
+    w = _re.search(r"Window.*?partition.*?\n", p, _re.IGNORECASE | _re.DOTALL)
+    assert "windowspecdefinition(source" in p.replace(" ", "").lower() or (
+        w and "source" in w.group(0)
+    )
+
+
+def test_modal_type_window_is_partitioned(spark):
+    p = _plan(spark, "events_modal_type_per_user")
+    assert "windowspecdefinition(user_id" in p.replace(" ", "").lower()
