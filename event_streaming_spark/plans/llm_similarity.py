@@ -445,3 +445,92 @@ def docs_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prefix_edit_dist") >= 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: match an incoming INCREMENT of documents against the
+# existing corpus INDEX without touching index×index pairs — the shape
+# every production ingest runs (per-batch dedup against a persisted
+# signature table; recomputing all pairs per ingest is O(corpus²) and
+# impossible at 100 TB).  The increment here is carved out by a hash
+# gate (~10% of docs) so the query is self-contained and oracle-exact;
+# in production the increment is the new batch and the index signatures
+# are the materialized table the `table` materializer strategy writes.
+# Scale: signatures computed once per side, banded equi-join is
+# increment-bands × index-bands only — candidate volume scales with the
+# INCREMENT, not the corpus, and a small increment's band table
+# broadcasts under AQE.
+# ---------------------------------------------------------------------------
+
+from event_streaming_spark.functions.hashing import sql_stable_hash32 as _sql_h32  # noqa: E402
+
+_INCR_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id, {S.sql_shingle_hashes('text')} AS hs,
+         {_sql_h32("'incr|' || cast(doc_id AS VARCHAR)")} % 10 AS g
+  FROM documents
+), sig AS (
+  SELECT doc_id, g, {', '.join(S.sql_minhash_exprs('hs'))} FROM hs
+), banded AS (
+  SELECT doc_id, g, {', '.join(S.sql_band_hash_exprs())} FROM sig
+), bands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, g, {j} AS band_idx, band{j} AS bh FROM banded" for j in range(S.LSH_BANDS))}
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, x.doc_id AS index_doc
+  FROM bands n JOIN bands x ON n.band_idx = x.band_idx AND n.bh = x.bh
+  WHERE n.g = 7 AND x.g <> 7
+), scored AS (
+  SELECT new_doc, index_doc,
+         round(cast({_EQ_SUM} as double) / {S.MINHASH_K}, 6) AS est_jaccard
+  FROM cand JOIN sig sa ON sa.doc_id = new_doc JOIN sig sb ON sb.doc_id = index_doc
+)
+SELECT new_doc, count(*) AS n_index_matches,
+       max(est_jaccard) AS best_est, min(index_doc) AS first_match
+FROM scored WHERE est_jaccard >= 0.3
+GROUP BY new_doc
+"""
+
+
+@register("dedup_incremental_vs_index", _INCR_ORACLE, tags=("llm", "dedup", "join"))
+def dedup_incremental_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.functions.hashing import stable_hash32
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    hs = docs.select(
+        "doc_id",
+        S.shingle_hashes(F.col("text")).alias("hs"),
+        (stable_hash32(F.concat(F.lit("incr|"), F.col("doc_id").cast("string"))) % 10).alias("g"),
+    )
+    sig = materialize(
+        hs.select("doc_id", "g", F.array(*S.minhash_cols(F.col("hs"))).alias("sig")),
+        "incr-signatures",
+    )
+    bands = sig.select(
+        "doc_id", "g", "sig",
+        F.posexplode(F.array(*S.band_hashes_over(F.col("sig")))).alias("band_idx", "bh"),
+    )
+    incr = bands.filter(F.col("g") == 7).alias("n")
+    index = bands.filter(F.col("g") != 7).alias("x")
+    cand = (
+        incr.join(
+            index,
+            (F.col("n.band_idx") == F.col("x.band_idx")) & (F.col("n.bh") == F.col("x.bh")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("x.doc_id").alias("index_doc"),
+            F.col("n.sig").alias("sig_a"),
+            F.col("x.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["new_doc", "index_doc"])
+    )
+    scored = cand.select(
+        "new_doc",
+        "index_doc",
+        S.minhash_est_jaccard_arrays(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= 0.3)
+    return scored.groupBy("new_doc").agg(
+        F.count(F.lit(1)).alias("n_index_matches"),
+        F.max("est_jaccard").alias("best_est"),
+        F.min("index_doc").alias("first_match"),
+    )

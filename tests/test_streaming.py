@@ -400,3 +400,72 @@ def test_streaming_incremental_rollup_refresh(agency, spark, tmp_path):
     )
     direct = {tuple(r)[:2]: tuple(r)[2:] for r in finalize(partial_rollup(raw, keys, "value"), keys).collect()}
     assert got == direct
+
+
+def test_streaming_ingest_dedup_against_signature_store(agency, spark, tmp_path):
+    """The streaming face of dedup_incremental_vs_index: each micro-batch
+    is minhash-signed and band-joined against a persisted signature
+    store; clean docs append their signatures so later batches dedupe
+    against everything seen so far.  This is the production ingest loop —
+    per-batch work scales with the batch, never the corpus."""
+    import os
+
+    from event_streaming_spark.operators import similarity as S
+
+    store = str(tmp_path / "sigstore")
+    flagged = []
+
+    def bands_of(docs_df):
+        hs = docs_df.select("doc_id", S.shingle_hashes(F.col("text")).alias("hs"))
+        sig = hs.select("doc_id", F.array(*S.minhash_cols(F.col("hs"))).alias("sig"))
+        return sig.select(
+            "doc_id", "sig",
+            F.posexplode(F.array(*S.band_hashes_over(F.col("sig")))).alias("band_idx", "bh"),
+        )
+
+    def on_notify(ctx, batch_df, batch_id):
+        docs = batch_df.select(
+            F.col("event_id").alias("doc_id"),
+            F.get_json_object("props", "$.text").alias("text"),
+        )
+        bands = bands_of(docs)
+        if os.path.exists(store):
+            idx = spark.read.parquet(store)
+            cand = (
+                bands.alias("n")
+                .join(idx.alias("x"), (F.col("n.band_idx") == F.col("x.band_idx")) & (F.col("n.bh") == F.col("x.bh")))
+                .select(
+                    F.col("n.doc_id").alias("new_doc"),
+                    F.col("x.doc_id").alias("index_doc"),
+                    S.minhash_est_jaccard_arrays(F.col("n.sig"), F.col("x.sig")).alias("est"),
+                )
+                .filter(F.col("est") >= 0.3)
+                .dropDuplicates(["new_doc", "index_doc"])
+            )
+            dups = {r["new_doc"] for r in cand.collect()}
+            flagged.extend(sorted(dups))
+        else:
+            dups = set()
+        clean = bands.filter(~F.col("doc_id").isin(list(dups)) if dups else F.lit(True))
+        clean.write.mode("append").parquet(store)
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away tonight "
+        "while the silver moon rises slowly above the quiet sleeping village and "
+        "every small light goes out one by one across the whole valley floor"
+    )
+    ctx = agency._get_or_create("b", "ingest")
+    ctx.publish([
+        ev(1, "2024-01-01T00:00:00", 1, k=1) | {"props": f'{{"text": "{base}"}}'},
+        ev(2, "2024-01-01T00:00:01", 1, k=1) | {"props": '{"text": "completely different words about spark shuffles and partitions here now"}'},
+    ])
+    ctx.consume(on_notify, once=True)
+    ctx.publish([
+        ev(3, "2024-01-01T00:01:00", 2, k=1) | {"props": f'{{"text": "{base.replace("dog", "cat")}"}}'},
+        ev(4, "2024-01-01T00:01:01", 2, k=1) | {"props": '{"text": "yet another unrelated document with totally fresh vocabulary in it"}'},
+    ])
+    ctx.consume(on_notify, once=True)
+
+    assert flagged == [3]  # near-copy of doc 1 caught; fresh docs pass
+    kept = {r["doc_id"] for r in spark.read.parquet(store).select("doc_id").distinct().collect()}
+    assert kept == {1, 2, 4}
