@@ -477,3 +477,38 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling via priority keys (Duffield/Thorup/Alon "priority
+# sampling"): each doc draws priority = u / weight with u uniform; the N
+# SMALLEST priorities form a sample whose inclusion probability is
+# proportional to weight.  All-integer arithmetic (hash32 scaled, floor
+# division) so Spark and the oracle — and any two production runs — pick
+# the identical sample; float pow/log variants are not replay-safe across
+# libm builds.  Scale: stateless projection + TakeOrdered top-N — no
+# shuffle beyond the final N-row merge.
+# ---------------------------------------------------------------------------
+
+_WPS_ORACLE = f"""
+SELECT doc_id, source, n_chars, priority FROM (
+  SELECT doc_id, source, n_chars,
+         ({sql_stable_hash32("'wps|' || cast(doc_id AS VARCHAR)")} * 1000000)
+           // greatest(n_chars, 1) AS priority
+  FROM documents
+) ORDER BY priority, doc_id LIMIT 100
+"""
+
+
+@register("docs_weighted_priority_sample", _WPS_ORACLE, tags=("llm", "sample"))
+def docs_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pri = F.expr(
+        "(conv(substr(md5(concat('wps|', cast(doc_id as string))), 1, 8), 16, 10) * 1000000)"
+        " div greatest(n_chars, 1)"
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", pri.cast("long").alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )

@@ -426,3 +426,136 @@ def events_modal_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("modal_type"), F.col("n").alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram of event values: 9 exact decile boundaries (one
+# tiny global aggregate, broadcast as a single row), then a stateless
+# bucket-index projection and one count shuffle on ≤10 keys — the data
+# profile that feeds skew decisions and range-partition planning.
+# Boundaries are rounded to 6 dp before bucketing so both engines cut at
+# identical doubles.  At 100 TB: swap percentile → approx_percentile,
+# identical downstream plan.
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+WITH b AS (
+  SELECT [round(quantile_cont(value, 0.1), 6), round(quantile_cont(value, 0.2), 6), round(quantile_cont(value, 0.3), 6), round(quantile_cont(value, 0.4), 6), round(quantile_cont(value, 0.5), 6), round(quantile_cont(value, 0.6), 6), round(quantile_cont(value, 0.7), 6), round(quantile_cont(value, 0.8), 6), round(quantile_cont(value, 0.9), 6)] AS bs
+  FROM events
+)
+SELECT bucket, count(*) AS n_events,
+       round(min(value), 6) AS lo, round(max(value), 6) AS hi
+FROM (
+  SELECT value, len(list_filter(b.bs, x -> x <= value)) AS bucket
+  FROM events, b
+)
+GROUP BY bucket
+"""
+
+
+@register("events_value_equidepth_histogram", _EQUIDEPTH_ORACLE, tags=("events", "agg", "profile"))
+def events_value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.array(
+            *[F.round(F.expr(f"percentile(value, {x/10.0})"), 6) for x in range(1, 10)]
+        ).alias("bs")
+    )
+    bucket = F.size(F.filter(F.col("bs"), lambda x: x <= F.col("value")))
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select("value", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew report: the 20 hottest keys with their event share — the diagnosis
+# run BEFORE choosing salting / AQE skew-join settings (operators/
+# skew.py).  Scale: per-key count with map-side combine, TakeOrdered
+# top-20 (never a global sort), then rank/share computed over the 20
+# surviving rows — bounded state by construction, no unpartitioned
+# window over the key space.
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH c AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+), tot AS (SELECT sum(n_events) AS t FROM c),
+top AS (
+  SELECT user_id, n_events FROM c ORDER BY n_events DESC, user_id LIMIT 20
+)
+SELECT row_number() OVER (ORDER BY n_events DESC, user_id) AS rnk,
+       user_id, n_events,
+       round(cast(n_events AS DOUBLE) / t, 6) AS share
+FROM top, tot
+"""
+
+
+@register("events_skew_report_hot_users", _SKEW_ORACLE, tags=("events", "agg", "profile"))
+def events_skew_report_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = counts.agg(F.sum("n_events").alias("t"))
+    top = counts.orderBy(F.desc("n_events"), F.asc("user_id")).limit(20)
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))  # 20 rows — bounded
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "rnk",
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("t"), 6).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap percentiles per event type: lag() partitioned by user
+# (per-user partitions — never global), gaps in integer microseconds, then an
+# exact percentile aggregate per type.  The latency/recency profile that
+# sets session-gap and watermark thresholds.  Tie-break on event_id makes
+# the lag deterministic under equal timestamps (replay-safe).
+# ---------------------------------------------------------------------------
+
+_GAPS_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       count(gap_us) AS n_gaps,
+       round(quantile_cont(gap_us, 0.5), 6) AS p50_us,
+       round(quantile_cont(gap_us, 0.9), 6) AS p90_us,
+       round(quantile_cont(gap_us, 0.99), 6) AS p99_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("events_user_gap_percentiles", _GAPS_ORACLE, tags=("events", "window", "agg"))
+def events_user_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_micros(F.col("ts"))
+    g = ev.select(
+        "event_type", (sec - F.lag(sec).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("p50_us"),
+        F.round(F.expr("percentile(gap_us, 0.9)"), 6).alias("p90_us"),
+        F.round(F.expr("percentile(gap_us, 0.99)"), 6).alias("p99_us"),
+    )
