@@ -1,0 +1,386 @@
+"""Curation tranche 3: semantic clustering, context chunking, boilerplate
+detection, and LM-surprisal quality scoring — north-star training-data
+passes beyond the C reference (like plans/curation.py, curation2.py).
+
+Determinism design (the theme of this module): every pipeline that an
+engine pair could disagree on in the last float ulp is computed in EXACT
+integer space instead —
+
+* k-means runs on fixed-point quantized vectors (``floor(x*1000+0.5)``),
+  so distances are exact bigints and centroid updates are exact floor
+  divisions; Spark (parallel) and DuckDB (serial) elect bit-identical
+  clusters.  Real fleets do the same thing for reproducible re-runs
+  (quantized/int8 clustering); the docstring on each op says what the
+  float variant would relax.
+* the surprisal score uses the INTEGER log2 ``len(bin(c))-1`` (exact in
+  both engines) rather than libm ``log`` whose last-ulp may differ.
+
+Scale notes inline per op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streaming_spark.functions.hashing import (
+    normalize_text,
+    shingles,
+    sql_normalize_text,
+    sql_stable_hash32,
+    stable_hash32,
+    tokens,
+)
+from event_streaming_spark.plans.catalog import load, register, spread
+
+# ---------------------------------------------------------------------------
+# Exact-integer distributed k-means over the embeddings table.
+#
+# Batch Lloyd's iterations, Spark-first:
+#   * centroids live on the DRIVER (K x D ints = tiny) and broadcast into
+#     the assignment crossJoin — the corpus NEVER shuffles for assignment;
+#     distance is a zip_with/aggregate fold inside codegen (no UDF).
+#   * the update step is one posexplode + (cluster, pos) partial-agg
+#     shuffle of K*D groups — map-side combine reduces each task's
+#     contribution to <= K*D rows regardless of corpus size.  At 100 TB
+#     with K=1024, D=1024 that is ~1M rows per round: trivially
+#     collectable, which is why driver-held centroids are the right
+#     topology (MLlib KMeans does the same treeAggregate shape).
+#   * iterations are a driver loop; each round reads the (cached)
+#     quantized corpus once.  Fixed iteration count => deterministic.
+#
+# Quantization makes every distance an exact bigint: |q| <= ~1000*|x|,
+# dist <= D*(2*1000)^2 ~ 2.6e8 for unit-norm-ish vectors — no overflow,
+# and ties break on cluster id, so the argmin is total.  Centroid update
+# is floor(sum/n) per dim (exact; both engines compute it as
+# floor(double(sum)/n), safe because |sum| << 2^53 and a non-integer
+# quotient is >= 1/n away from an integer).  Empty clusters drop out of
+# the next round in both engines.  A float k-means would relax the exact
+# hash-match to a tolerance compare; the plan shape is identical.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8  # initial centroids = quantized vectors of vec_id 0..7
+_KM_SCALE = 1000
+_KM_DIM = 64
+
+
+def _kmeans_oracle(select: str) -> str:
+    """Shared CTE chain: quantize -> c0 -> assign -> update -> final assign."""
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> cast(floor(cast(x as double)*{_KM_SCALE} + 0.5) as bigint)) AS q
+  FROM embeddings
+),
+e AS (SELECT vec_id, label, unnest(range(1, {_KM_DIM + 1})) AS pos, unnest(q) AS v FROM q),
+c0 AS (SELECT vec_id AS cluster, pos, v AS cv FROM e WHERE vec_id < {_KM_K}),
+d1 AS (SELECT e.vec_id, c.cluster, sum((e.v - c.cv)*(e.v - c.cv)) AS dist
+       FROM e JOIN c0 c ON e.pos = c.pos GROUP BY e.vec_id, c.cluster),
+a1 AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         FROM d1) WHERE rn = 1),
+c1 AS (SELECT a1.cluster, e.pos,
+              cast(floor(cast(sum(e.v) as double)/count(*)) as bigint) AS cv
+       FROM a1 JOIN e ON a1.vec_id = e.vec_id GROUP BY a1.cluster, e.pos),
+d2 AS (SELECT e.vec_id, e.label, c.cluster, sum((e.v - c.cv)*(e.v - c.cv)) AS dist
+       FROM e JOIN c1 c ON e.pos = c.pos GROUP BY e.vec_id, e.label, c.cluster),
+a2 AS (SELECT vec_id, label, cluster, dist FROM (
+         SELECT vec_id, label, cluster, dist,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         FROM d2) WHERE rn = 1)
+{select}
+"""
+
+
+def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the fixed 2-assignment / 1-update schedule; return
+    (vec_id, label, cluster, dist) under the updated centroids."""
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_SCALE + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+    # One corpus materialization reused by both rounds (at real scale this
+    # would go through operators/materialize.py; here the table is small).
+    qdf = qdf.cache()
+
+    init = qdf.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("q").alias("c")
+    )
+    centroid_rows = [(r["cluster"], list(r["c"])) for r in init.collect()]
+
+    def assign(rows: list[tuple[int, list[int]]]) -> DataFrame:
+        cent = spark.createDataFrame(rows, "cluster int, c array<bigint>")
+        dist = F.aggregate(
+            F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = qdf.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "label", "q", "cluster", dist.alias("dist")
+        )
+        return scored.groupBy("vec_id").agg(
+            F.first("label").alias("label"),
+            F.first("q").alias("q"),
+            F.min(F.struct("dist", "cluster")).alias("m"),
+        )
+
+    a1 = assign(centroid_rows).select("vec_id", "q", F.col("m.cluster").alias("cluster"))
+    sums = (
+        a1.select("cluster", F.posexplode("q").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_cluster: dict[int, list[int]] = {}
+    for r in sums:
+        by_cluster.setdefault(r["cluster"], [0] * _KM_DIM)[r["pos"]] = r["s"] // r["n"]
+    updated = sorted(by_cluster.items())
+
+    a2 = assign(updated)
+    return a2.select(
+        "vec_id",
+        "label",
+        F.col("m.cluster").alias("cluster"),
+        F.col("m.dist").alias("dist"),
+    )
+
+
+@register(
+    "emb_kmeans_clusters",
+    _kmeans_oracle("SELECT vec_id, cluster, dist FROM a2"),
+    tags=("llm", "ann", "clustering"),
+)
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cluster assignment after one exact Lloyd's update.
+
+    Semantic-dedup / topic-bucketing primitive: cluster id is the
+    coarse partition key under which finer near-dup passes (cosine
+    pairs, minhash) run per-bucket instead of corpus-wide."""
+    return _kmeans_final_assignment(spark, sf_dir).select("vec_id", "cluster", "dist")
+
+
+_KM_PROFILE_SELECT = """
+, lab AS (SELECT cluster, label, count(*) AS c FROM a2 GROUP BY cluster, label),
+modal AS (SELECT cluster, label AS modal_label, c AS modal_n FROM (
+            SELECT cluster, label, c,
+                   row_number() OVER (PARTITION BY cluster ORDER BY c DESC, label) AS rn
+            FROM lab) WHERE rn = 1)
+SELECT a.cluster,
+       cast(count(*) as bigint) AS n_vectors,
+       any_value(m.modal_label) AS modal_label,
+       round(cast(any_value(m.modal_n) as double)/count(*), 6) AS label_purity,
+       round(cast(sum(a.dist) as double)/count(*), 6) AS avg_dist
+FROM a2 a JOIN modal m ON a.cluster = m.cluster
+GROUP BY a.cluster
+"""
+
+
+@register(
+    "emb_kmeans_cluster_profile",
+    _kmeans_oracle(_KM_PROFILE_SELECT),
+    tags=("llm", "ann", "clustering"),
+)
+def emb_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster quality report: size, modal ground-truth label, purity,
+    mean quantized distance.  Modal label is deterministic (max count,
+    ties to the smaller label).  All divisions are exact-int / n, so the
+    rounded doubles are bit-identical across engines."""
+    a2 = _kmeans_final_assignment(spark, sf_dir)
+    lab = a2.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("c"))
+    modal = (
+        lab.groupBy("cluster")
+        .agg(F.min(F.struct((-F.col("c")).alias("neg"), F.col("label"))).alias("m"))
+        .select(
+            "cluster",
+            F.col("m.label").alias("modal_label"),
+            (-F.col("m.neg")).alias("modal_n"),
+        )
+    )
+    per = a2.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.sum("dist").alias("sum_dist")
+    )
+    return per.join(modal, "cluster").select(
+        "cluster",
+        "n_vectors",
+        "modal_label",
+        F.round(F.col("modal_n").cast("double") / F.col("n_vectors"), 6).alias("label_purity"),
+        F.round(F.col("sum_dist").cast("double") / F.col("n_vectors"), 6).alias("avg_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window context chunking: the standard LM pre-tokenization
+# layout when documents must stay intact (vs docs_pack_into_contexts,
+# which packs ACROSS documents).  W=64-token windows, stride 48
+# (16-token overlap); every token is covered, the last window is ragged.
+# Stateless explode — no shuffle, runs at scan speed at 100 TB; output
+# rows ~= tokens/stride.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 64, 48
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split({sql_normalize_text('text')}, ' ') AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= {_CHUNK_W} THEN 1
+              ELSE cast(floor((len(toks) - {_CHUNK_W} + {_CHUNK_S - 1})/{_CHUNK_S}.0) as bigint) + 1
+         END AS nc
+  FROM t
+),
+c AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS chunk_idx FROM n),
+s AS (
+  SELECT doc_id, chunk_idx, chunk_idx*{_CHUNK_S} AS chunk_start,
+         array_to_string(toks[chunk_idx*{_CHUNK_S} + 1 : chunk_idx*{_CHUNK_S} + {_CHUNK_W}], ' ') AS body,
+         len(toks[chunk_idx*{_CHUNK_S} + 1 : chunk_idx*{_CHUNK_S} + {_CHUNK_W}]) AS n_chunk_tokens
+  FROM c
+)
+SELECT doc_id, chunk_idx, chunk_start, n_chunk_tokens,
+       {sql_stable_hash32('body')} AS chunk_sig,
+       substr(body, 1, 40) AS chunk_head
+FROM s
+"""
+
+
+@register("docs_chunk_sliding_windows", _CHUNK_ORACLE, tags=("llm", "text", "chunking"))
+def docs_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    nc = F.when(n <= _CHUNK_W, F.lit(1).cast("long")).otherwise(
+        F.floor((n - _CHUNK_W + (_CHUNK_S - 1)) / float(_CHUNK_S)) + 1
+    )
+    with_idx = docs.select(
+        "doc_id", toks.alias("toks"), F.posexplode(F.sequence(F.lit(0), nc - 1))
+    ).withColumnRenamed("pos", "chunk_idx")
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * _CHUNK_S + 1, _CHUNK_W)
+    body = F.array_join(chunk, " ")
+    return with_idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * _CHUNK_S).cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        stable_hash32(body).alias("chunk_sig"),
+        F.substring(body, 1, 40).alias("chunk_head"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-hot n-gram boilerplate detection (the n-gram form of CCNet's
+# repeated-paragraph removal — these docs have no line structure, so the
+# repeated-span unit is the 3-token shingle).  A span present in >= 3
+# documents is "boilerplate"; each doc reports what fraction of its
+# distinct spans are corpus-hot.
+# Scale: two wordcount-shaped shuffles with map-side combine; the hot-set
+# is the df>=threshold TAIL of the gram table (small by construction:
+# boilerplate is the frequent minority), so the count-back join
+# broadcasts under AQE.  At 100 TB the gram key would be
+# stable_hash32(gram) instead of the raw string — same plan, narrower
+# shuffle rows.
+# ---------------------------------------------------------------------------
+
+_HOT_DF = 3
+
+_BOILER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split({sql_normalize_text('text')}, ' ') AS toks FROM documents
+),
+g0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks)-2, 0) + 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS gs
+  FROM t
+),
+grams AS (SELECT doc_id, unnest(gs) AS gram FROM g0),
+df AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+hot AS (SELECT gram FROM df WHERE df >= {_HOT_DF}),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+nh AS (SELECT g.doc_id, count(*) AS n_hot FROM grams g JOIN hot h ON g.gram = h.gram
+       GROUP BY g.doc_id)
+SELECT t.doc_id, t.n_grams, coalesce(nh.n_hot, 0) AS n_hot,
+       round(cast(coalesce(nh.n_hot, 0) as double)/t.n_grams, 6) AS hot_frac,
+       coalesce(nh.n_hot, 0) > t.n_grams * 0.5 AS is_boilerplate_heavy
+FROM tot t LEFT JOIN nh ON t.doc_id = nh.doc_id
+"""
+
+
+@register("text_hot_ngram_boilerplate", _BOILER_ORACLE, tags=("llm", "text", "quality"))
+def text_hot_ngram_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    grams = docs.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("gram"))
+    df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    hot = df_counts.filter(F.col("df") >= _HOT_DF).select("gram")
+    tot = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    nh = grams.join(hot, "gram").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hot"))
+    n_hot = F.coalesce(F.col("n_hot"), F.lit(0)).cast("long")
+    return tot.join(nh, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_hot.alias("n_hot"),
+        F.round(n_hot.cast("double") / F.col("n_grams"), 6).alias("hot_frac"),
+        (n_hot > F.col("n_grams") * 0.5).alias("is_boilerplate_heavy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal quality score (the deterministic core of a
+# KenLM-style perplexity filter).  Corpus unigram counts -> per-token
+# integer surprisal ilog2(T) - ilog2(c) where ilog2(x) = len(bin(x))-1
+# (EXACT in both engines; a float -log2(c/T) would differ in the last
+# ulp between libm implementations and under Spark's parallel sum
+# reorder — the repo-wide exact-accumulation rule, functions/numeric.py).
+# Scale: the count table is VOCAB-sized -> broadcast; the scoring join
+# is then map-side only, and the per-doc agg combines map-side.  Rare
+# (low-c) tokens score high; a doc of frequent tokens scores low —
+# ordering matches the float filter, granularity is 1 bit.
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({sql_normalize_text('text')}, ' ')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS t FROM cnt),
+scored AS (
+  SELECT toks.doc_id,
+         (length(bin(tot.t)) - 1) - (length(bin(cnt.c)) - 1) AS surprisal
+  FROM toks JOIN cnt ON toks.tok = cnt.tok CROSS JOIN tot
+)
+SELECT doc_id,
+       cast(count(*) as bigint) AS n_tokens,
+       cast(sum(surprisal) as bigint) AS sum_surprisal,
+       round(cast(sum(surprisal) as double)/count(*), 6) AS avg_surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
+def _ilog2(c: F.Column) -> F.Column:
+    return F.length(F.bin(c)) - 1
+
+
+@register("text_unigram_surprisal_score", _SURPRISAL_ORACLE, tags=("llm", "text", "quality"))
+def text_unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(F.broadcast(cnt), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (_ilog2(F.col("t")) - _ilog2(F.col("c"))).alias("surprisal"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("surprisal").cast("long").alias("sum_surprisal"),
+        F.round(F.sum("surprisal").cast("double") / F.count(F.lit(1)), 6).alias("avg_surprisal"),
+    )

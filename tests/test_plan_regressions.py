@@ -168,3 +168,29 @@ def test_heavy_hitters_window_is_partitioned(spark):
 def test_modal_type_window_is_partitioned(spark):
     p = _plan(spark, "events_modal_type_per_user")
     assert "windowspecdefinition(user_id" in p.replace(" ", "").lower()
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    # centroid table (K rows) must broadcast into the assignment join;
+    # the corpus must never shuffle for assignment, and distance must be
+    # a codegen fold (zip_with/aggregate), not a Python UDF
+    p = _plan(spark, "emb_kmeans_clusters", "simple")
+    assert "BroadcastNestedLoopJoin" in p            # crossJoin(broadcast(cent))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_surprisal_scoring_join_broadcasts_vocab(spark):
+    # unigram count table is vocab-sized: scoring join must be broadcast,
+    # never a SortMergeJoin that shuffles the exploded token stream
+    p = _plan(spark, "text_unigram_surprisal_score", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_chunking_is_stateless_scan(spark):
+    # sliding-window chunking is a pure projection+explode: no shuffle
+    p = _plan(spark, "docs_chunk_sliding_windows", "simple")
+    # the only allowed Exchange is spread()'s round-robin parallelism fix;
+    # no hash shuffle may appear (chunking has no keyed operator)
+    assert "hashpartitioning" not in p.lower()
+    assert "Generate explode" in p or "Generate posexplode" in p
