@@ -309,7 +309,7 @@ def test_image_kernel_selection(monkeypatch):
     from event_streaming_spark.operators import multimodal as M
 
     name, kernel = M.select_image_kernel()  # container has no Pillow
-    assert (name, kernel) == ("stub", M.decode_image_stub)
+    assert (name, kernel) == ("stdlib", M.decode_image_stdlib)
 
     class _FakeImage:
         format, size = "JPEG", (8, 6)
@@ -680,3 +680,120 @@ def test_extract_audio_features_spark(spark, tmp_path):
     assert rows["tone.wav"]["duration_ms"] == 1000
     assert abs(rows["tone.wav"]["rms"] - 0.3536) < 0.01
     assert rows["bad.mp3"]["format"] == "undecodable"
+
+
+# ---------------------------------------------------------------------------
+# Real PNG decode: fixtures are encoded IN-TEST by applying the scanline
+# filters FORWARD (independent arithmetic); decode_png must invert them.
+# ---------------------------------------------------------------------------
+
+
+def _png_encode(px, color, filters, palette=None):
+    """Minimal PNG writer: px is an (h, stride) ndarray of uint8; one
+    filter type per row from `filters` (cycled)."""
+    import struct as s
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return s.pack(">I", len(data)) + body + s.pack(">I", zlib.crc32(body))
+
+    h, stride = px.shape
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    w = stride // ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = px[y].astype(np.int32)
+        enc = np.empty(stride, dtype=np.int32)
+        for i in range(stride):
+            a = int(cur[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if f == 0:
+                enc[i] = cur[i]
+            elif f == 1:
+                enc[i] = cur[i] - a
+            elif f == 2:
+                enc[i] = cur[i] - b
+            elif f == 3:
+                enc[i] = cur[i] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = cur[i] - pred
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = s.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    out += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_all_filters_rgb():
+    import numpy as np
+
+    from event_streaming_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 6 * 3), dtype=np.uint8)  # 6x5 RGB
+    data = _png_encode(px, color=2, filters=[0, 1, 2, 3, 4])
+    assert decode_png(data) == ("png", 6, 5, int(px.astype(np.int64).sum()))
+
+
+def test_png_decode_gray_rgba_and_palette():
+    import numpy as np
+
+    from event_streaming_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(4, 7), dtype=np.uint8)
+    assert decode_png(_png_encode(gray, 0, [4, 3, 1, 2])) == (
+        "png", 7, 4, int(gray.astype(np.int64).sum()))
+
+    rgba = rng.randint(0, 256, size=(3, 4 * 4), dtype=np.uint8)
+    assert decode_png(_png_encode(rgba, 6, [1, 4, 2])) == (
+        "png", 4, 3, int(rgba.astype(np.int64).sum()))
+
+    # palette: checksum is over EXPANDED RGB bytes, not indices
+    idx = rng.randint(0, 4, size=(3, 5), dtype=np.uint8)
+    pal = bytes(range(12))  # 4 RGB entries
+    want = sum(pal[3 * int(i) + k] for i in idx.reshape(-1) for k in range(3))
+    assert decode_png(_png_encode(idx, 3, [0, 1], palette=pal)) == ("png", 5, 3, want)
+
+
+def test_png_stdlib_kernel_in_spark_pipeline(spark, tmp_path):
+    import os as _os
+
+    import numpy as np
+
+    from event_streaming_spark.operators.multimodal import extract_image_meta
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(8, 9 * 3), dtype=np.uint8)
+    p = tmp_path / "pngs"
+    p.mkdir()
+    (p / "real.png").write_bytes(_png_encode(px, 2, [0, 1, 2, 3, 4]))
+    # 16-bit depth → kernel degrades to header dims + byte checksum, no sentinel
+    import struct as _s
+    import zlib as _z
+    exotic = (b"\x89PNG\r\n\x1a\n"
+              + _s.pack(">I", 13) + b"IHDR" + _s.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+              + _s.pack(">I", 0)
+              + _s.pack(">I", 1) + b"IDAT" + _z.compress(b"\x00") + _s.pack(">I", 0))
+    (p / "deep.png").write_bytes(exotic)
+    df = spark.read.format("binaryFile").load(str(p))
+    rows = {_os.path.basename(r["path"]): r for r in extract_image_meta(df).collect()}
+    real = rows["real.png"]
+    assert (real["format"], real["width"], real["height"], real["checksum64"]) == (
+        "png", 9, 8, int(px.astype(np.int64).sum()))
+    deep = rows["deep.png"]
+    assert (deep["format"], deep["width"], deep["height"]) == ("png", 2, 2)
+    assert deep["checksum64"] > 0  # header-parse fallback, not the -2 sentinel
