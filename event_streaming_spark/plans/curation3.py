@@ -364,6 +364,84 @@ FROM scored GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Product-quantization encode: split the 64-dim space into 8 subspaces of
+# 8 dims; per subspace, code = nearest codebook entry (here the K=8 seed
+# vectors' subvectors, exact quantized distance, ties to the smaller
+# seed).  PQ codes are the storage layer of IVF-PQ — the ANN shape that
+# actually runs at 100 TB (emb_ivf_two_stage_ann provides the IVF half).
+# Scale: the codebook broadcasts (K rows); subspace distances are a
+# zip_with/aggregate fold over slices inside codegen (corpus never
+# shuffles to score); the only shuffle is the (vec, subspace) argmin with
+# map-side combine.  Exact-integer distances => deterministic codes.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_DSUB = 8, 8  # 8 subspaces x 8 dims
+
+_PQ_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> cast(floor(cast(x as double)*{_KM_SCALE} + 0.5) as bigint)) AS q
+  FROM embeddings
+),
+e AS (SELECT vec_id, unnest(range(1, {_KM_DIM + 1})) AS pos, unnest(q) AS v FROM q),
+cb AS (SELECT vec_id AS seed, pos, v AS cv FROM e WHERE vec_id < {_PQ_M}),
+d AS (SELECT e.vec_id, cb.seed, (e.pos - 1)//{_PQ_DSUB} AS s,
+             sum((e.v - cb.cv)*(e.v - cb.cv)) AS dist
+      FROM e JOIN cb ON e.pos = cb.pos GROUP BY 1, 2, 3),
+best AS (SELECT vec_id, s, seed AS code, dist FROM (
+           SELECT vec_id, s, seed, dist,
+                  row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, seed) AS rn
+           FROM d) WHERE rn = 1)
+SELECT vec_id,
+       string_agg(cast(code as varchar), '-' ORDER BY s) AS pq_code,
+       cast(sum(dist) as bigint) AS total_err
+FROM best GROUP BY vec_id
+"""
+
+
+@register("emb_pq_encode", _PQ_ORACLE, tags=("llm", "ann", "clustering"))
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_SCALE + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+    codebook = qdf.filter(F.col("vec_id") < _PQ_M).select(
+        F.col("vec_id").cast("int").alias("seed"), F.col("q").alias("c")
+    )
+
+    def sub_dist(s):
+        a = F.slice(F.col("q"), s * _PQ_DSUB + 1, _PQ_DSUB)
+        b = F.slice(F.col("c"), s * _PQ_DSUB + 1, _PQ_DSUB)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    subd = F.transform(F.sequence(F.lit(0), F.lit(_PQ_M - 1)), sub_dist)
+    scored = (
+        qdf.crossJoin(F.broadcast(codebook))
+        .select("vec_id", "seed", F.posexplode(subd).alias("s", "dist"))
+    )
+    best = scored.groupBy("vec_id", "s").agg(F.min(F.struct("dist", "seed")).alias("m"))
+    return best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", F.col("m.seed").alias("code")))),
+                lambda x: x["code"].cast("string"),
+            ),
+            "-",
+        ).alias("pq_code"),
+        F.sum("m.dist").cast("long").alias("total_err"),
+    )
+
+
 def _ilog2(c: F.Column) -> F.Column:
     return F.length(F.bin(c)) - 1
 

@@ -194,3 +194,24 @@ def test_chunking_is_stateless_scan(spark):
     # no hash shuffle may appear (chunking has no keyed operator)
     assert "hashpartitioning" not in p.lower()
     assert "Generate explode" in p or "Generate posexplode" in p
+
+
+def test_twa_window_is_user_partitioned(spark):
+    # the lead() window must partition by (user, day) — key cardinality
+    # scales with data, so the sort parallelizes; no global window
+    p = _plan(spark, "events_time_weighted_avg_daily")
+    assert "windowspecdefinition(user_id" in p.replace(" ", "").lower()
+
+
+def test_ohlc_single_agg_no_window(spark):
+    # open/close come from struct-min/max in ONE map-side-combining agg;
+    # no Window operator, no sort of the fact table
+    p = _plan(spark, "events_ohlc_daily", "simple")
+    assert "Window" not in p
+    assert "partial_min" in p or "partial_max" in p
+
+
+def test_pq_encode_broadcasts_codebook(spark):
+    p = _plan(spark, "emb_pq_encode", "simple")
+    assert "BroadcastNestedLoopJoin" in p            # codebook broadcast crossJoin
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
