@@ -156,6 +156,7 @@ def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_kmeans_clusters",
     _kmeans_oracle("SELECT vec_id, cluster, dist FROM a2"),
     tags=("llm", "ann", "clustering"),
+    bench=True,
 )
 def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector cluster assignment after one exact Lloyd's update.
@@ -313,7 +314,7 @@ FROM tot t LEFT JOIN nh ON t.doc_id = nh.doc_id
 """
 
 
-@register("text_hot_ngram_boilerplate", _BOILER_ORACLE, tags=("llm", "text", "quality"))
+@register("text_hot_ngram_boilerplate", _BOILER_ORACLE, tags=("llm", "text", "quality"), bench=True)
 def text_hot_ngram_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents"))
     grams = docs.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("gram"))

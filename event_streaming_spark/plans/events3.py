@@ -48,7 +48,7 @@ GROUP BY event_date
 """
 
 
-@register("events_time_weighted_avg_daily", _TWA_ORACLE, tags=("events", "timeseries"))
+@register("events_time_weighted_avg_daily", _TWA_ORACLE, tags=("events", "timeseries"), bench=True)
 def events_time_weighted_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day TWA of `value` across all users' holding segments.
 
@@ -173,6 +173,56 @@ SELECT event_type, CAST(ts AS DATE) AS event_date,
 FROM events
 GROUP BY event_type, CAST(ts AS DATE)
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate limiting (admission audit): capacity 3 tokens, refill
+# 1 token / 2 h of EVENT time, per user, full bucket at start, (ts,
+# event_id) processing order.  The per-key recurrence is sequential —
+# Spark runs it as a grouped-map Pandas fold (operators/ratelimit.py, one
+# key shuffle then linear per-group work); the oracle expresses the same
+# integer µtoken recurrence as a recursive CTE.  Bit-identical because
+# every step is bigint min/floor-div.
+# ---------------------------------------------------------------------------
+
+_RL_CAP = 3 * 1_000_000
+_RL_DEN_US = 7200 * 1_000_000
+
+_RL_REFILL = f"least({_RL_CAP}, r.tokens + (s.us - r.us) * 1000000 // {_RL_DEN_US})"
+
+_RL_ORACLE = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events
+),
+r AS (
+  SELECT user_id, event_id, event_type, i, us,
+         TRUE AS admitted, cast({_RL_CAP - 1_000_000} as bigint) AS tokens
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.event_type, s.i, s.us,
+         {_RL_REFILL} >= 1000000 AS admitted,
+         {_RL_REFILL} - CASE WHEN {_RL_REFILL} >= 1000000 THEN 1000000 ELSE 0 END AS tokens
+  FROM r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+)
+SELECT event_type,
+       cast(count(*) as bigint) AS n_events,
+       cast(sum(CASE WHEN admitted THEN 1 ELSE 0 END) as bigint) AS n_admitted,
+       cast(sum(CASE WHEN admitted THEN 0 ELSE 1 END) as bigint) AS n_rejected
+FROM r GROUP BY event_type
+"""
+
+
+@register("events_rate_limit_admission", _RL_ORACLE, tags=("events", "streaming", "state"))
+def events_rate_limit_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.ratelimit import admission_summary, token_bucket_batch
+
+    ev = load(spark, sf_dir, "events")
+    audited = token_bucket_batch(
+        ev, rate_seconds_per_token=7200, capacity_tokens=3
+    )
+    return admission_summary(audited)
 
 
 @register("events_ohlc_daily", _OHLC_ORACLE, tags=("events", "timeseries"))

@@ -469,3 +469,55 @@ def test_streaming_ingest_dedup_against_signature_store(agency, spark, tmp_path)
     assert flagged == [3]  # near-copy of doc 1 caught; fresh docs pass
     kept = {r["doc_id"] for r in spark.read.parquet(store).select("doc_id").distinct().collect()}
     assert kept == {1, 2, 4}
+
+
+def test_token_bucket_stream_matches_batch(agency, spark):
+    """Rate limiting: the streaming GroupState recurrence must converge to
+    the batch twin when events arrive in event-time order per key, and
+    state must carry across micro-batches (a drained bucket stays
+    drained)."""
+    from event_streaming_spark.operators.ratelimit import (
+        token_bucket_batch,
+        token_bucket_stream,
+    )
+
+    # bursts that drain the 3-token bucket + a gap long enough to refill 1
+    batch1 = [
+        ev(1, "2024-01-01T00:00:00", 1), ev(2, "2024-01-01T00:00:01", 1),
+        ev(3, "2024-01-01T00:00:02", 1), ev(4, "2024-01-01T00:00:03", 1),
+        ev(5, "2024-01-01T00:00:00", 2),
+    ]
+    batch2 = [
+        ev(6, "2024-01-01T00:30:00", 1),   # still drained (refill 2h/token)
+        ev(7, "2024-01-01T02:00:10", 1),   # ~2h after last -> 1 token back
+        ev(8, "2024-01-01T02:00:11", 1),   # consumed again -> reject
+        ev(9, "2024-01-01T00:00:01", 2),
+    ]
+    ctx = agency._get_or_create("b", "ratelimit")
+    got = {}
+
+    def drain():
+        ctx.consume(
+            lambda c, df, i: got.update({r["event_id"]: r["admitted"] for r in df.collect()}),
+            once=True,
+            transform=lambda df: token_bucket_stream(
+                df, rate_seconds_per_token=7200, capacity_tokens=3
+            ),
+        )
+
+    ctx.publish(batch1)
+    drain()
+    ctx.publish(batch2)
+    drain()
+
+    rows = spark.createDataFrame(batch1 + batch2).withColumn("ts", F.to_timestamp("ts"))
+    want = {
+        r["event_id"]: r["admitted"]
+        for r in token_bucket_batch(
+            rows, rate_seconds_per_token=7200, capacity_tokens=3
+        ).collect()
+    }
+    assert got == want
+    # and the semantics are what the docstring promises
+    assert [want[i] for i in (1, 2, 3, 4)] == [True, True, True, False]
+    assert want[6] is False and want[7] is True and want[8] is False
