@@ -244,3 +244,81 @@ def triangle_self_pair_join(
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
     return a.join(b, cond)
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    exact: bool = True,
+) -> DataFrame:
+    """Semi join with a Bloom-filter pre-filter on the probe side.
+
+    The scale problem: ``probe SEMI JOIN build`` shuffles the ENTIRE
+    probe side on the key even when only a sliver of it survives.  At
+    100 TB the shuffle of the 99% that will be discarded dominates the
+    job.  A Bloom filter of the build keys, applied map-side before the
+    exchange, drops non-matching rows at scan speed, so only candidate
+    rows (matches + the false-positive sliver) ever reach the shuffle —
+    the same idea as Spark's runtime bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter.*), but as an explicit
+    operator with a chosen size.
+
+    Build: the distinct build keys fan out to ``num_hashes`` bit
+    positions (xxhash64 seeded by the probe index), folded into
+    ``num_bits/64`` words with bit_or — a bounded aggregate whose result
+    (128 KiB at the 2²⁰ default) collects to the driver and re-enters
+    the plan as ONE array<long> literal, independent of build-side row
+    count.  Probe: each row tests its k bits with element_at + bitwise
+    AND — pure JVM expressions inside whole-stage codegen, evaluated at
+    the scan before any exchange.
+
+    ``exact=True`` (default) follows with the real semi join over the
+    thinned probe side, so false positives are removed and the result is
+    EXACTLY the semi join (the oracle is the plain SQL semi join).
+    ``exact=False`` returns the filtered superset (sized by the false
+    positive rate ≈ (1-e^{-kn/m})^k) for pipelines that tolerate it.
+
+    Sizing: for n build keys, m = num_bits ≥ 10n gives fpp < 1% at k=5.
+    The driver collect is O(m) — size m for the key cardinality, never
+    for probe volume.
+    """
+    words = num_bits // 64
+    keyc = F.col(key)
+
+    def positions(c):
+        return [
+            F.pmod(F.xxhash64(F.lit(i), c), F.lit(num_bits)) for i in range(num_hashes)
+        ]
+
+    keys = build.select(keyc.alias("__k")).distinct()
+    bits = (
+        keys.select(
+            F.explode(F.array(*positions(F.col("__k")))).alias("__pos")
+        )
+        .select(
+            (F.col("__pos") / 64).cast("int").alias("__w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")
+            ).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__bits"))
+        .collect()
+    )
+    dense = [0] * words
+    for row in bits:
+        dense[row["__w"]] = row["__bits"]
+    arr = F.lit(dense)
+
+    cond = F.lit(True)
+    for pos in positions(keyc):
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int"))
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    thinned = probe.where(cond)
+    if not exact:
+        return thinned
+    return thinned.join(keys.withColumnRenamed("__k", key), key, "left_semi")

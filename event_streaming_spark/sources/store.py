@@ -104,18 +104,8 @@ class EventStore:
         import os
         import shutil
 
-        part = os.path.join(self.path, f"event_date={event_date.isoformat()}")
-        tmp = os.path.join(self.path, f"_compacting-{event_date.isoformat()}")
-        old = os.path.join(self.path, f"_old-{event_date.isoformat()}")
-        # Recover from a previous crash: an interrupted swap leaves the
-        # day's data in `old`; stale rewrite output in `tmp` is garbage.
-        if os.path.isdir(old):
-            if os.path.isdir(part):
-                shutil.rmtree(old)  # swap completed; cleanup died
-            else:
-                os.rename(old, part)  # swap interrupted; restore the day
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
+        part, tmp, old = self._day_dirs(event_date)
+        self._recover_day(part, tmp, old)
         if not os.path.isdir(part):
             return 0
         day = self.spark.read.parquet(part)
@@ -130,6 +120,91 @@ class EventStore:
         os.rename(tmp, part)
         shutil.rmtree(old)
         return len(glob.glob(os.path.join(part, "*.parquet")))
+
+    def _day_dirs(self, event_date: dt.date) -> tuple[str, str, str]:
+        import os
+
+        part = os.path.join(self.path, f"event_date={event_date.isoformat()}")
+        tmp = os.path.join(self.path, f"_compacting-{event_date.isoformat()}")
+        old = os.path.join(self.path, f"_old-{event_date.isoformat()}")
+        return part, tmp, old
+
+    @staticmethod
+    def _recover_day(part: str, tmp: str, old: str) -> None:
+        """Repair an interrupted rewrite: an interrupted swap leaves the
+        day's data in `old`; stale rewrite output in `tmp` is garbage."""
+        import os
+        import shutil
+
+        if os.path.isdir(old):
+            if os.path.isdir(part):
+                shutil.rmtree(old)  # swap completed; cleanup died
+            else:
+                os.rename(old, part)  # swap interrupted; restore the day
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+
+    def delete_where(self, predicate, dates: list[dt.date] | None = None) -> int:
+        """Targeted row deletion (GDPR erasure / retention purge).
+
+        Parquet is immutable, so deletion = rewrite — the expensive part
+        at 100 TB is WHICH files get rewritten.  This touches only the
+        day-partitions that actually contain matching rows: one
+        column-pruned scan finds the affected dates (callers who already
+        know them — retention cutoffs, a subpoena's date range — pass
+        ``dates`` and skip the scan entirely), then each affected day is
+        rewritten without the matching rows through the same
+        crash-recoverable underscore-dir swap as compact().  Partitions
+        without matches keep their original files byte-for-byte — at
+        production scale, deleting one user touches ~the days they were
+        active, not the table.
+
+        ``predicate`` (Column or SQL string) selects rows to DELETE; a
+        NULL predicate value means "keep" (SQL DELETE semantics).  May
+        reference ``event_date``.  Returns the number of rows deleted.
+        """
+        import os
+        import shutil
+
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if dates is None:
+            dates = [
+                r["event_date"]
+                for r in self.read()
+                .filter(pred)
+                .select("event_date")
+                .distinct()
+                .collect()
+            ]
+        deleted = 0
+        for d in sorted(dates):
+            part, tmp, old = self._day_dirs(d)
+            self._recover_day(part, tmp, old)
+            if not os.path.isdir(part):
+                continue
+            day = self.spark.read.parquet(part).withColumn(
+                "event_date", F.lit(d).cast("date")
+            )
+            hit = F.coalesce(pred, F.lit(False))
+            n_before = day.count()
+            keep = day.filter(~hit).drop("event_date")
+            n_keep = keep.count()
+            if n_keep == n_before:
+                continue
+            deleted += n_before - n_keep
+            if n_keep == 0:  # whole day erased: drop the partition
+                os.rename(part, old)
+                shutil.rmtree(old)
+                continue
+            (
+                keep.write.mode("overwrite")
+                .option("maxRecordsPerFile", self.max_records_per_file)
+                .parquet(tmp)
+            )
+            os.rename(part, old)
+            os.rename(tmp, part)
+            shutil.rmtree(old)
+        return deleted
 
     # -- reads ------------------------------------------------------------------
     def read(self) -> DataFrame:

@@ -1,0 +1,183 @@
+"""Operator-level tests for the scale-technique tranche.
+
+(The four catalog queries in plans/scale_ops.py are additionally
+differential-tested against DuckDB by tests/test_catalog.py.)
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from event_streaming_spark.operators.components import (
+    connected_components,
+    connected_components_star,
+)
+from event_streaming_spark.operators.joins import bloom_semi_join
+from event_streaming_spark.operators.layout import cluster_by_zorder, zorder_key
+
+
+# ---------------------------------------------------------------------------
+# star-contraction connected components
+# ---------------------------------------------------------------------------
+
+
+def _brute_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress, then label = min of component (find with path halving
+    # toward min root already yields min since we union by min)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def test_star_cc_long_chain(spark):
+    """A 300-node path: diameter 299.  Label propagation needs ~300
+    rounds; star contraction must finish within its 60-round cap."""
+    n = 300
+    nodes = spark.range(n).toDF("id")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["a", "b"]
+    )
+    out = connected_components_star(nodes, edges).collect()
+    assert len(out) == n
+    assert all(r["component"] == 0 for r in out)
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """Random sparse graph: both CC implementations and a driver-side
+    union-find must agree exactly."""
+    rng = random.Random(7)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = spark.range(n).toDF("id")
+    edf = spark.createDataFrame(edges, ["a", "b"])
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(nodes, edf).collect()
+    }
+    prop = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edf).collect()
+    }
+    brute = _brute_components(n, edges)
+    assert star == brute
+    assert prop == brute
+
+
+# ---------------------------------------------------------------------------
+# bloom semi join
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_semi_join_exact_matches_plain_semi(spark):
+    probe = spark.range(0, 5000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("payload")
+    )
+    build = spark.range(0, 120).select((F.col("id") * 13).alias("k"))
+    got = bloom_semi_join(probe, build, "k")
+    want = probe.join(build.distinct(), "k", "left_semi")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bloom_prefilter_thins_probe_side(spark):
+    """exact=False returns a superset of the true matches whose size is
+    close to them — i.e. the Bloom layer really discards non-matches
+    map-side instead of passing everything to the join."""
+    probe = spark.range(0, 20000).select((F.col("id") % 10007).alias("k"))
+    build = spark.range(0, 50).select((F.col("id") * 101).alias("k"))
+    thinned = bloom_semi_join(probe, build, "k", num_bits=1 << 16, exact=False)
+    exact = probe.join(build, "k", "left_semi")
+    n_thin, n_exact, n_all = thinned.count(), exact.count(), probe.count()
+    assert n_exact <= n_thin  # no false negatives, ever
+    # fpp at m=65536, n=50, k=5 is ~0: allow a generous 2% of the probe
+    assert n_thin <= n_exact + 0.02 * n_all
+
+
+def test_bloom_filter_is_jvm_side_and_pre_join(spark):
+    probe = spark.range(0, 100).select((F.col("id")).alias("k"))
+    build = spark.range(0, 10).select((F.col("id") * 3).alias("k"))
+    explained = bloom_semi_join(probe, build, "k")._jdf.queryExecution().toString()
+    # the k bit-tests are element_at lookups into the broadcast literal —
+    # present in the optimized plan as a Filter, not a Python eval
+    assert "element_at" in explained
+    assert "BatchEvalPython" not in explained and "ArrowEvalPython" not in explained
+
+
+# ---------------------------------------------------------------------------
+# z-order layout
+# ---------------------------------------------------------------------------
+
+
+def _py_interleave(x, y, bits=16):
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i + 1)
+        z |= ((y >> i) & 1) << (2 * i)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(i * 37 % 65536, i * 101 % 65536) for i in range(200)]
+    df = spark.createDataFrame(rows, ["x", "y"]).withColumn(
+        "z", zorder_key(["x", "y"])
+    )
+    for r in df.collect():
+        assert r["z"] == _py_interleave(r["x"], r["y"])
+
+
+def test_zorder_clustering_tightens_file_stats(spark, tmp_path):
+    """Write the same 2-D data unclustered and z-clustered; per-file
+    min/max envelopes (what parquet pruning uses) must cover far less
+    area after clustering — that's the entire point of the layout."""
+    n = 20000
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(4096)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(4096)).alias("y"),
+    )
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    df.repartition(8).write.parquet(plain_dir)
+    cluster_by_zorder(df, ["x", "y"], bits_per_col=12, num_files=8).write.parquet(
+        z_dir
+    )
+
+    def area(path):
+        total = 0
+        ds = pq.ParquetDataset(path)
+        for frag in ds.fragments:
+            md = frag.metadata
+            xs, ys = [], []
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if name == "x":
+                        xs += [st.min, st.max]
+                    elif name == "y":
+                        ys += [st.min, st.max]
+            total += (max(xs) - min(xs)) * (max(ys) - min(ys))
+        return total
+
+    # random layout: every file spans ~the full 4096² square (8× total).
+    # z-order: files tile the square, so summed area ≈ 1× the square.
+    assert area(z_dir) < area(plain_dir) / 3
+
+
+def test_zorder_rejects_overflow():
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c", "d"], bits_per_col=16)

@@ -797,3 +797,61 @@ def test_png_stdlib_kernel_in_spark_pipeline(spark, tmp_path):
     deep = rows["deep.png"]
     assert (deep["format"], deep["width"], deep["height"]) == ("png", 2, 2)
     assert deep["checksum64"] > 0  # header-parse fallback, not the -2 sentinel
+
+
+def test_store_delete_where_touches_only_affected_days(spark, tmp_path):
+    """GDPR-style erasure: only partitions containing the victim's rows
+    are rewritten; every other day keeps its original files untouched."""
+    import glob
+    import os as _os
+
+    store = EventStore(spark, str(tmp_path / "dstore"))
+    ev = load(spark, SF_SMALL, "events")
+    store.append(ev)
+
+    victim = ev.select("user_id").first()["user_id"]
+    victim_rows = ev.filter(F.col("user_id") == victim)
+    victim_days = {
+        r[0] for r in victim_rows.select(F.to_date("ts")).distinct().collect()
+    }
+    all_days = {r[0] for r in ev.select(F.to_date("ts")).distinct().collect()}
+    untouched_days = all_days - victim_days
+    assert untouched_days, "fixture too small: victim active every day"
+
+    stamp = {
+        d: sorted(
+            (p, _os.path.getmtime(p))
+            for p in glob.glob(f"{store.path}/event_date={d.isoformat()}/*.parquet")
+        )
+        for d in untouched_days
+    }
+
+    n = store.delete_where(F.col("user_id") == victim)
+    assert n == victim_rows.count()
+    assert store.read().filter(F.col("user_id") == victim).count() == 0
+    assert store.read().count() == ev.count() - n
+    for d, files in stamp.items():
+        now = sorted(
+            (p, _os.path.getmtime(p))
+            for p in glob.glob(f"{store.path}/event_date={d.isoformat()}/*.parquet")
+        )
+        assert now == files, f"untouched day {d} was rewritten"
+
+
+def test_store_delete_where_whole_day_and_null_predicate(spark, tmp_path):
+    import datetime as dt
+    import os as _os
+
+    store = EventStore(spark, str(tmp_path / "d2store"))
+    ev = load(spark, SF_SMALL, "events")
+    store.append(ev)
+    # delete an entire day via the event_date column: partition dir must vanish
+    day = sorted(r[0] for r in ev.select(F.to_date("ts")).distinct().collect())[0]
+    n_day = ev.filter(F.to_date("ts") == day).count()
+    got = store.delete_where(F.col("event_date") == F.lit(day), dates=[day])
+    assert got == n_day
+    assert not _os.path.isdir(f"{store.path}/event_date={day.isoformat()}")
+    # NULL predicate value = keep (SQL DELETE semantics): props->>missing IS NULL
+    before = store.read().count()
+    assert store.delete_where(F.expr("value > cast('nan' as double)")) == 0
+    assert store.read().count() == before
