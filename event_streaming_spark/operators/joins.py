@@ -311,14 +311,24 @@ def bloom_semi_join(
     dense = [0] * words
     for row in bits:
         dense[row["__w"]] = row["__bits"]
-    arr = F.lit(dense)
+    # The bitmap re-enters the plan as ONE array VALUE via a broadcast
+    # single-row cross join — not as F.lit(list), which PySpark expands
+    # into a per-element literal tree (16k expression nodes at the 2²⁰
+    # default: measured 10s+ of analyzer/codegen time).
+    from pyspark.sql import types as T
+
+    bitmap = probe.sparkSession.createDataFrame(
+        [(dense,)],
+        T.StructType([T.StructField("__bloom", T.ArrayType(T.LongType()))]),
+    )
+    arr = F.col("__bloom")
 
     cond = F.lit(True)
     for pos in positions(keyc):
         word = F.element_at(arr, (pos / 64).cast("int") + 1)
         bit = F.call_function("shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int"))
         cond = cond & (word.bitwiseAND(bit) != 0)
-    thinned = probe.where(cond)
+    thinned = probe.crossJoin(F.broadcast(bitmap)).where(cond).drop("__bloom")
     if not exact:
         return thinned
     return thinned.join(keys.withColumnRenamed("__k", key), key, "left_semi")
