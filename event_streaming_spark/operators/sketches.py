@@ -1,0 +1,192 @@
+"""Cross-engine-deterministic sketches: HyperLogLog and Count-Min.
+
+Approximate sketches are usually engine-specific black boxes (Spark's
+approx_count_distinct and DuckDB's approx_distinct disagree by design),
+which forces the correctness gate down to a weak rows-only check.  These
+implementations make the sketch itself REPRODUCIBLE: every hash is the
+md5-derived stable_hash32 (functions/hashing.py) and every arithmetic
+step is either exact-integer or a single rounded float op, so Spark and
+the ANSI oracle build bit-identical registers and estimates — an
+approximate ANSWER with an exact, hash-verifiable DEFINITION.
+
+Scale shape (the reason sketches exist): both reduce unbounded key
+cardinality to a FIXED-size state (m registers / d·w counters) with a
+map-side-combining aggregate — the shuffle carries at most the sketch,
+never the keys.  Sketches of disjoint partitions merge by max
+(HLL) / sum (CM), so they compose across days/sources for free — the
+same monoid discipline as operators/rollup.py.
+
+HLL (Flajolet et al. 2007): bucket = top ``b`` bits of a 32-bit hash,
+register = 1 + leading-zero count of the remaining ``32-b`` bits,
+estimate = alpha·m²/Σ2^(-reg) with the standard small-range (linear
+counting) correction.  The 2^(-reg) terms are dyadic rationals —
+summing them SCALED BY 2³² is exact integer math; the only floats are
+one division and (in the small branch) one ln(), rounded to 4 decimals
+which absorbs any last-ulp libm difference between the JVM and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from event_streaming_spark.functions.hashing import sql_stable_hash32, stable_hash32
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+#: alpha_m constants from the HLL paper (m = 2^b)
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_estimate(df: DataFrame, key: Column, b: int = 6) -> DataFrame:
+    """One-row DataFrame ``(hll_estimate double)`` for ``key``'s
+    distinct count.  ``b`` index bits → m = 2^b registers."""
+    m = 1 << b
+    w_bits = 32 - b
+    h = stable_hash32(key.cast("string"))
+    bucket = F.shiftright(h, w_bits)
+    w = h.bitwiseAND(F.lit((1 << w_bits) - 1))
+    # rank = 1 + leading zeros of the w_bits-wide suffix.  bin() prints
+    # an integer without leading zeros in BOTH engines, so
+    # length(bin(w)) is the bit position of w's highest set bit.
+    rank = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        df.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+    # Σ 2^(-reg) scaled by 2³² is an exact integer sum; empty registers
+    # contribute 2^(-0) = 1 each, added as (m - #present)·2³².
+    acc = regs.agg(
+        F.sum(F.call_function("shiftleft", F.lit(1).cast("long"), 32 - F.col("reg"))).alias(
+            "s_scaled"
+        ),
+        F.count(F.lit(1)).alias("m_present"),
+    )
+    two32 = float(1 << 32)
+    raw = (_alpha(m) * m * m * two32) / (
+        F.col("s_scaled") + (F.lit(m) - F.col("m_present")) * F.lit(1 << 32)
+    )
+    zeros = F.lit(m) - F.col("m_present")  # registers still at 0
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros), 4),
+    ).otherwise(F.round(raw, 4))
+    return acc.select(est.alias("hll_estimate"))
+
+
+def sql_hll_estimate(key_expr: str, from_clause: str, b: int = 6) -> str:
+    """ANSI/DuckDB twin of :func:`hll_estimate` (one definition, two
+    engines — every constant below mirrors the Column version)."""
+    m = 1 << b
+    w_bits = 32 - b
+    mask = (1 << w_bits) - 1
+    alpha = _alpha(m)
+    h = sql_stable_hash32(f"cast({key_expr} AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT {h} AS h FROM {from_clause}
+), br AS (
+  SELECT h >> {w_bits} AS bucket,
+         CASE WHEN (h & {mask}) = 0 THEN {w_bits + 1}
+              ELSE {w_bits + 1} - length(bin(h & {mask})) END AS rank
+  FROM hashed
+), regs AS (
+  SELECT bucket, max(rank) AS reg FROM br GROUP BY bucket
+), acc AS (
+  SELECT sum(1::BIGINT << (32 - reg)) AS s_scaled,
+         count(*) AS m_present,
+         sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS never
+  FROM regs
+)
+SELECT CASE
+  WHEN ({alpha} * {m} * {m} * 4294967296.0)
+         / (s_scaled + ({m} - m_present) * 4294967296) <= {2.5 * m}
+       AND ({m} - m_present) > 0
+  THEN round({float(m)} * ln({float(m)} / ({m} - m_present)), 4)
+  ELSE round(({alpha} * {m} * {m} * 4294967296.0)
+         / (s_scaled + ({m} - m_present) * 4294967296), 4)
+END AS hll_estimate
+FROM acc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+
+def count_min_table(
+    df: DataFrame, key: Column, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """The CM counter table ``(d, pos, cnt)`` — d·width rows max,
+    regardless of input cardinality.  Seeded rows fan out map-side
+    (explode of ``depth`` ints), then ONE map-side-combining count."""
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    k = key.cast("string").alias("__k")
+    return (
+        df.select(k, seeds)
+        .select(
+            "d",
+            F.pmod(
+                stable_hash32(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("__k"))),
+                F.lit(width),
+            ).alias("pos"),
+        )
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_lookup(
+    cm: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point estimates for ``keys``: min over the d rows each key hashes
+    to.  ``cm`` is bounded (d·width rows) → broadcast to the keys side."""
+    probes = keys.select(
+        key_col,
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+    ).withColumn(
+        "pos",
+        F.pmod(
+            stable_hash32(
+                F.concat(F.col("d").cast("string"), F.lit("|"), F.col(key_col).cast("string"))
+            ),
+            F.lit(width),
+        ),
+    )
+    return (
+        probes.join(F.broadcast(cm), ["d", "pos"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_estimate"))
+    )
+
+
+def sql_count_min_estimates(
+    key_expr: str, from_clause: str, depth: int = 4, width: int = 256
+) -> str:
+    """ANSI twin: CM estimates for every distinct key in the input."""
+    h = sql_stable_hash32(f"cast(d AS VARCHAR) || '|' || cast(k AS VARCHAR)")
+    return f"""
+WITH keyed AS (
+  SELECT cast({key_expr} AS VARCHAR) AS k FROM {from_clause}
+), seeded AS (
+  SELECT k, d, {h} % {width} AS pos
+  FROM keyed CROSS JOIN (SELECT unnest(range({depth})) AS d)
+), cm AS (
+  SELECT d, pos, count(*) AS cnt FROM seeded GROUP BY d, pos
+), probes AS (
+  SELECT DISTINCT k, d, pos FROM seeded
+)
+SELECT probes.k, min(cm.cnt) AS cm_estimate
+FROM probes JOIN cm USING (d, pos)
+GROUP BY probes.k
+"""

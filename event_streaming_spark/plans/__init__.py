@@ -24,6 +24,7 @@ from event_streaming_spark.plans import curation2  # noqa: F401,E402
 from event_streaming_spark.plans import curation3  # noqa: F401,E402
 from event_streaming_spark.plans import events3  # noqa: F401,E402
 from event_streaming_spark.plans import scale_ops  # noqa: F401,E402
+from event_streaming_spark.plans import scale_ops2  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness

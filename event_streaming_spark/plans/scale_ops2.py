@@ -1,0 +1,131 @@
+"""Sketches + hierarchy tranche.
+
+- HyperLogLog and Count-Min with md5-derived hashes: the sketch is
+  REPRODUCIBLE, so the approximate answers are full value-hash-verified
+  against the oracle (vs. the rows-only check engine-native sketches
+  force — see `agg_approx_distinct_sketch`);
+- parent-chain resolution by pointer doubling, pinned by a plain
+  WITH RECURSIVE oracle — the recursive-CTE capability Spark lacks,
+  re-expressed in O(log depth) shuffle rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streaming_spark.operators.hierarchy import resolve_to_root
+from event_streaming_spark.operators.sketches import (
+    count_min_lookup,
+    count_min_table,
+    hll_estimate,
+    sql_count_min_estimates,
+    sql_hll_estimate,
+)
+from event_streaming_spark.plans.catalog import load, register
+
+# ---------------------------------------------------------------------------
+# HLL distinct-count sketch, both correction branches in one query:
+# user_id (~150·sf keys → linear-counting branch) and event_id (unique
+# per row → raw-estimate branch).  The exact distinct count rides along
+# so the result exhibits the approximation error while the VALUES remain
+# bit-deterministic.
+# ---------------------------------------------------------------------------
+
+_HLL_ORACLE = f"""
+SELECT 'event_id' AS key_name,
+       (SELECT count(DISTINCT event_id) FROM events) AS exact_distinct,
+       hll_estimate
+FROM ({sql_hll_estimate("event_id", "events")})
+UNION ALL
+SELECT 'user_id' AS key_name,
+       (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct,
+       hll_estimate
+FROM ({sql_hll_estimate("user_id", "events")})
+ORDER BY key_name
+"""
+
+
+@register("sketch_hll_distinct_cross_engine", _HLL_ORACLE, tags=("sketch", "agg"))
+def sketch_hll_distinct_cross_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = None
+    for key in ("event_id", "user_id"):
+        est = hll_estimate(ev, F.col(key))
+        exact = ev.agg(F.countDistinct(key).alias("exact_distinct"))
+        branch = exact.crossJoin(est).select(
+            F.lit(key).alias("key_name"), "exact_distinct", "hll_estimate"
+        )
+        out = branch if out is None else out.union(branch)
+    return out.orderBy("key_name")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy-hitter estimates: the counter table is d·w rows no
+# matter the key cardinality; estimates for the top-10 true-hot users
+# come from a broadcast join against it.  cm_estimate ≥ true_cnt always
+# (CM errs upward only) — the test asserts it.
+# ---------------------------------------------------------------------------
+
+_CM_ORACLE = f"""
+WITH est AS ({sql_count_min_estimates("user_id", "events")}),
+true_counts AS (
+  SELECT cast(user_id AS VARCHAR) AS user_key, count(*) AS true_cnt
+  FROM events GROUP BY 1
+)
+SELECT t.user_key, t.true_cnt, e.cm_estimate
+FROM true_counts t JOIN est e ON e.k = t.user_key
+ORDER BY true_cnt DESC, user_key
+LIMIT 10
+"""
+
+
+@register("sketch_count_min_hot_users", _CM_ORACLE, tags=("sketch", "agg"))
+def sketch_count_min_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cm = count_min_table(ev, F.col("user_id"))
+    true_counts = ev.groupBy(F.col("user_id").cast("string").alias("user_key")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    est = count_min_lookup(cm, true_counts.select("user_key"), "user_key")
+    return (
+        true_counts.join(est, "user_key")
+        .select("user_key", "true_cnt", "cm_estimate")
+        .orderBy(F.desc("true_cnt"), "user_key")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parent-chain hierarchy: parent(c) = c div 7 (self-root below 7) — a
+# deterministic synthetic org-chart over customers, ~5 levels deep at
+# sf0.01 and one level deeper every 7× more customers.  Spark resolves
+# it in O(log depth) pointer-doubling rounds; the oracle walks it with
+# WITH RECURSIVE.  Output: every customer's root and depth.
+# ---------------------------------------------------------------------------
+
+_HIER_ORACLE = """
+WITH RECURSIVE walk(node, cur, d) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT node, cur // 7, d + 1 FROM walk WHERE cur >= 7
+)
+SELECT node AS c_custkey, cur AS root, d AS depth
+FROM walk WHERE cur < 7
+ORDER BY c_custkey
+"""
+
+
+@register("hier_customer_chain_depth", _HIER_ORACLE, tags=("hierarchy", "iterative"))
+def hier_customer_chain_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    parents = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") >= 7, F.expr("c_custkey div 7"))
+        .otherwise(F.col("c_custkey"))
+        .alias("parent"),
+    )
+    out = resolve_to_root(parents, "node", "parent")
+    return out.select(
+        F.col("node").alias("c_custkey"), "root", F.col("depth")
+    ).orderBy("c_custkey")

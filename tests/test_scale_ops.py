@@ -181,3 +181,71 @@ def test_zorder_clustering_tightens_file_stats(spark, tmp_path):
 def test_zorder_rejects_overflow():
     with pytest.raises(ValueError):
         zorder_key(["a", "b", "c", "d"], bits_per_col=16)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sketches
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_accuracy(spark):
+    """m=64 registers → standard error ≈ 1.04/√64 = 13%; assert the
+    estimate lands within 3σ of a 10k-key exact count."""
+    from event_streaming_spark.operators.sketches import hll_estimate
+
+    df = spark.range(10_000).select(F.col("id"))
+    est = hll_estimate(df, F.col("id")).collect()[0]["hll_estimate"]
+    assert abs(est - 10_000) / 10_000 < 0.4
+
+
+def test_count_min_never_underestimates(spark):
+    from event_streaming_spark.operators.sketches import (
+        count_min_lookup,
+        count_min_table,
+    )
+
+    df = spark.range(30_000).select(F.pmod(F.xxhash64("id"), F.lit(500)).alias("k"))
+    cm = count_min_table(df, F.col("k"))
+    true = df.groupBy(F.col("k").cast("string").alias("kk")).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    est = count_min_lookup(cm, true.select("kk"), "kk")
+    joined = true.join(est, "kk").collect()
+    assert len(joined) == 500
+    assert all(r["cm_estimate"] >= r["t"] for r in joined)
+    # width=256 for 500 keys: collisions exist but the min-over-d rows
+    # keeps inflation bounded; median inflation should be modest
+    infl = sorted(r["cm_estimate"] / r["t"] for r in joined)
+    assert infl[len(infl) // 2] < 3.0
+
+
+# ---------------------------------------------------------------------------
+# pointer-doubling hierarchy
+# ---------------------------------------------------------------------------
+
+
+def test_pointer_doubling_deep_chain(spark):
+    """A 500-deep parent chain must resolve in ≤ ceil(log2 500)+1 = 10
+    doubling rounds (the operator caps at 40; one-level-per-round would
+    need 500)."""
+    from event_streaming_spark.operators.hierarchy import resolve_to_root
+
+    n = 500
+    parents = spark.createDataFrame(
+        [(i, max(i - 1, 0)) for i in range(n)], ["node", "parent"]
+    )
+    out = {r["node"]: (r["root"], r["depth"]) for r in
+           resolve_to_root(parents, "node", "parent", max_rounds=12).collect()}
+    assert out[0] == (0, 0)
+    assert out[n - 1] == (0, n - 1)
+    assert all(out[i] == (0, i) for i in range(0, n, 97))
+
+
+def test_pointer_doubling_forest_with_null_roots(spark):
+    from event_streaming_spark.operators.hierarchy import resolve_to_root
+
+    rows = [(1, None), (2, 1), (3, 1), (4, 2), (10, None), (11, 10)]
+    parents = spark.createDataFrame(rows, "node int, parent int")
+    out = {r["node"]: (r["root"], r["depth"]) for r in
+           resolve_to_root(parents, "node", "parent").collect()}
+    assert out == {1: (1, 0), 2: (1, 1), 3: (1, 1), 4: (1, 2), 10: (10, 0), 11: (10, 1)}
