@@ -129,3 +129,64 @@ def hier_customer_chain_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("c_custkey"), "root", F.col("depth")
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span coverage: for every document, the fraction of its
+# 3-token shingles that also occur in at least one OTHER document —
+# the per-document "how much of me is boilerplate/copied" score that
+# complements pair-level near-dup detection (a doc can be 40% copied
+# without any single pair crossing a similarity threshold).
+#
+# Scale shape: explode to (doc, shingle-hash) — linear in token count —
+# then ONE count-distinct agg keyed on the hash and ONE join back on the
+# same key (AQE reuses the partitioning).  No pair join anywhere: cost
+# is corpus-linear, unlike pairwise Jaccard.
+# ---------------------------------------------------------------------------
+
+_DUPSPAN_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, unnest({SHINGLES}) AS h FROM documents
+), freq AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h
+)
+SELECT sh.doc_id,
+       count(*) AS n_shingles,
+       sum(CASE WHEN freq.nd >= 2 THEN 1 ELSE 0 END) AS n_shared,
+       round(sum(CASE WHEN freq.nd >= 2 THEN 1 ELSE 0 END)
+             / cast(count(*) AS DOUBLE), 6) AS dup_fraction
+FROM sh JOIN freq USING (h)
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+"""
+
+
+def _dupspan_oracle() -> str:
+    from event_streaming_spark.operators.similarity import sql_shingle_hashes
+
+    return _DUPSPAN_ORACLE.replace("{SHINGLES}", sql_shingle_hashes("text"))
+
+
+@register("text_dup_span_fraction", _dupspan_oracle(), tags=("llm", "text", "dedup"))
+def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.similarity import shingle_hashes
+    from event_streaming_spark.plans.catalog import spread
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = docs.select(
+        "doc_id", F.explode(shingle_hashes(F.col("text"))).alias("h")
+    )
+    freq = sh.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        sh.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            shared.alias("n_shared"),
+            F.round(shared / F.count(F.lit(1)).cast("double"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+        .orderBy("doc_id")
+    )
