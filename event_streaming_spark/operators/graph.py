@@ -1,0 +1,120 @@
+"""Graph analytics: integer-deterministic PageRank.
+
+Use case in the curation pipeline: after near-dup detection produces a
+document graph, centrality picks the CANONICAL representative per
+cluster (the doc most-connected to its duplicates) and surfaces hub
+documents whose text radiates through the corpus — a ranking signal
+pair-level similarity can't provide.
+
+Determinism design: classic PageRank iterates floating-point averages,
+whose parallel summation is order-dependent — unreproducible across
+partitionings, let alone engines.  This implementation does the entire
+recurrence in SCALED INTEGERS with explicit floor division:
+
+    r₀(v)    = SCALE
+    c_k(u)   = r_k(u) div outdeg(u)            -- integer contribution
+    r_{k+1}(v) = BASE + (DAMP_NUM · Σ c_k(u)) div DAMP_DEN
+               where BASE = ((DAMP_DEN-DAMP_NUM)·SCALE) div DAMP_DEN
+
+Every step is exact int64 arithmetic, so any partitioning, any engine,
+any run produces bit-identical ranks; the oracle unrolls the same
+recurrence as generated SQL.  The truncation error vs. float PageRank
+is ≤ outdeg ulps per node per round — irrelevant for ranking.
+
+Scale shape: each round is one shuffle join (ranks ⋈ edges on src) and
+one shuffle agg (sum per dst) — the same shape as a round of label
+propagation (components.py), partitioned on the same key so AQE
+coalesces; rounds are fixed (iters), not data-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from event_streaming_spark.operators.materialize import materialize
+
+SCALE = 1_000_000
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
+BASE = ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN
+
+
+def pagerank_integer(
+    nodes: DataFrame, edges: DataFrame, iters: int = 3, directed: bool = False
+) -> DataFrame:
+    """``(node, pr_scaled)`` after ``iters`` exact-integer rounds.
+
+    ``nodes``: one column of ids.  ``edges``: two columns (src, dst);
+    undirected by default (each edge contributes both ways).  Nodes with
+    no out-edges keep rank BASE + damped 0 (their mass is dropped, the
+    simple dangling-node convention — documented, mirrored in the
+    oracle).
+    """
+    n_col = nodes.columns[0]
+    s, d = edges.columns[0], edges.columns[1]
+    fwd = edges.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+    if not directed:
+        fwd = fwd.union(
+            edges.select(F.col(d).alias("src"), F.col(s).alias("dst"))
+        )
+    e = materialize(fwd.distinct(), "pr-edges")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select(
+        F.col(n_col).alias("node"), F.lit(SCALE).cast("long").alias("pr_scaled")
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, ranks.node == deg.src, "inner")
+            .select("src", F.expr("pr_scaled div outdeg").alias("c"))
+            .join(e, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = materialize(
+            ranks.join(contrib, ranks.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(BASE)
+                    + F.expr(f"({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}")
+                ).cast("long").alias("pr_scaled"),
+            ),
+            "pr-ranks",
+        )
+    return ranks
+
+
+def sql_pagerank_integer(
+    nodes_sql: str, edges_sql: str, iters: int = 3, directed: bool = False
+) -> str:
+    """ANSI twin: the same recurrence with the iterations UNROLLED as
+    chained CTEs (standard SQL forbids aggregation in a recursive term,
+    and the round count is fixed anyway).  ``nodes_sql`` yields column
+    ``node``; ``edges_sql`` yields ``src, dst``."""
+    undirect = (
+        f"SELECT src, dst FROM raw UNION SELECT dst AS src, src AS dst FROM raw"
+        if not directed
+        else "SELECT DISTINCT src, dst FROM raw"
+    )
+    parts = [
+        f"WITH raw AS ({edges_sql})",
+        f"e AS ({undirect})",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, {SCALE}::BIGINT AS pr_scaled FROM ({nodes_sql}))",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""s{k} AS (
+  SELECT e.dst, sum(r{k}.pr_scaled // deg.outdeg) AS s
+  FROM r{k} JOIN deg ON deg.src = r{k}.node JOIN e ON e.src = r{k}.node
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{k + 1} AS (
+  SELECT r{k}.node,
+         ({BASE} + ({DAMP_NUM} * coalesce(s{k}.s, 0)) // {DAMP_DEN})::BIGINT AS pr_scaled
+  FROM r{k} LEFT JOIN s{k} ON s{k}.dst = r{k}.node
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT node, pr_scaled FROM r{iters}"

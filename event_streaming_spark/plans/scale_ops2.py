@@ -190,3 +190,35 @@ def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph, exact-integer recurrence: centrality
+# picks canonical representatives and surfaces hub documents.  Both
+# engines run the identical int64 recurrence (operators/graph.py); the
+# oracle unrolls the fixed 3 rounds as chained CTEs.
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle() -> str:
+    from event_streaming_spark.operators.graph import sql_pagerank_integer
+    from event_streaming_spark.plans.llm_similarity import _LSH_ORACLE
+
+    return (
+        sql_pagerank_integer(
+            "SELECT doc_id AS node FROM documents",
+            f"SELECT doc_a AS src, doc_b AS dst FROM ({_LSH_ORACLE})",
+        ).replace("SELECT node, pr_scaled FROM r3",
+                  "SELECT node AS doc_id, pr_scaled FROM r3 ORDER BY doc_id")
+    )
+
+
+@register("graph_pagerank_near_dup", _pagerank_oracle(), tags=("graph", "iterative", "llm"))
+def graph_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.graph import pagerank_integer
+    from event_streaming_spark.plans.llm_similarity import minhash_lsh_near_dup_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = minhash_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pr = pagerank_integer(docs, edges, iters=3)
+    return pr.select(F.col("node").alias("doc_id"), "pr_scaled").orderBy("doc_id")

@@ -249,3 +249,57 @@ def test_pointer_doubling_forest_with_null_roots(spark):
     out = {r["node"]: (r["root"], r["depth"]) for r in
            resolve_to_root(parents, "node", "parent").collect()}
     assert out == {1: (1, 0), 2: (1, 1), 3: (1, 1), 4: (1, 2), 10: (10, 0), 11: (10, 1)}
+
+
+# ---------------------------------------------------------------------------
+# integer PageRank
+# ---------------------------------------------------------------------------
+
+
+def _py_pagerank(n, edges, iters=3, directed=False):
+    from event_streaming_spark.operators.graph import BASE, DAMP_DEN, DAMP_NUM, SCALE
+
+    adj = set(edges)
+    if not directed:
+        adj |= {(b, a) for a, b in edges}
+    out = {}
+    for a, b in adj:
+        out.setdefault(a, set()).add(b)
+    r = {v: SCALE for v in range(n)}
+    for _ in range(iters):
+        s = {v: 0 for v in range(n)}
+        for u, nbrs in out.items():
+            c = r[u] // len(nbrs)
+            for v in nbrs:
+                s[v] += c
+        r = {v: BASE + (DAMP_NUM * s[v]) // DAMP_DEN for v in range(n)}
+    return r
+
+
+def test_pagerank_integer_matches_python_replica(spark):
+    import random as _random
+
+    from event_streaming_spark.operators.graph import pagerank_integer
+
+    rng = _random.Random(11)
+    n = 80
+    edges = list(
+        {(a, b) for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(150)) if a != b}
+    )
+    nodes = spark.range(n).toDF("id")
+    edf = spark.createDataFrame(edges, ["a", "b"])
+    got = {r["node"]: r["pr_scaled"] for r in pagerank_integer(nodes, edf).collect()}
+    want = _py_pagerank(n, edges)
+    assert got == want
+
+
+def test_pagerank_hub_outranks_leaves_and_singletons_get_base(spark):
+    from event_streaming_spark.operators.graph import BASE, pagerank_integer
+
+    # star: node 0 at the center of 1..9; node 10 isolated
+    nodes = spark.range(11).toDF("id")
+    edges = spark.createDataFrame([(0, i) for i in range(1, 10)], ["a", "b"])
+    r = {x["node"]: x["pr_scaled"] for x in pagerank_integer(nodes, edges).collect()}
+    assert r[0] > r[1] > BASE
+    assert all(r[i] == r[1] for i in range(2, 10))
+    assert r[10] == BASE
