@@ -47,7 +47,15 @@ def _alpha(m: int) -> float:
 def hll_estimate(df: DataFrame, key: Column, b: int = 6) -> DataFrame:
     """One-row DataFrame ``(hll_estimate double)`` for ``key``'s
     distinct count.  ``b`` index bits → m = 2^b registers."""
-    m = 1 << b
+    return hll_finalize(hll_registers(df, key, b), b)
+
+
+def hll_registers(df: DataFrame, key: Column, b: int = 6) -> DataFrame:
+    """The sketch STATE: ``(bucket, reg)`` rows, ≤ m of them.  Registers
+    of disjoint inputs merge by per-bucket max (a commutative,
+    idempotent monoid) — union + ``hll_merge`` gives the sketch of the
+    union of the inputs, which is what makes the sketch streamable and
+    partition-parallel."""
     w_bits = 32 - b
     h = stable_hash32(key.cast("string"))
     bucket = F.shiftright(h, w_bits)
@@ -58,11 +66,21 @@ def hll_estimate(df: DataFrame, key: Column, b: int = 6) -> DataFrame:
     rank = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
         F.lit(w_bits + 1) - F.length(F.bin(w))
     )
-    regs = (
+    return (
         df.select(bucket.alias("bucket"), rank.alias("rank"))
         .groupBy("bucket")
         .agg(F.max("rank").alias("reg"))
     )
+
+
+def hll_merge(regs: DataFrame) -> DataFrame:
+    """Fold a union of register sets back to one register set."""
+    return regs.groupBy("bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_finalize(regs: DataFrame, b: int = 6) -> DataFrame:
+    """Estimate from a register set (see module doc for the arithmetic)."""
+    m = 1 << b
     # Σ 2^(-reg) scaled by 2³² is an exact integer sum; empty registers
     # contribute 2^(-0) = 1 each, added as (m - #present)·2³².
     acc = regs.agg(

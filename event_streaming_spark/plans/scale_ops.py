@@ -42,6 +42,7 @@ from event_streaming_spark.plans.llm_similarity import minhash_lsh_near_dup_pair
     "dedup_clusters_star_variant",
     _CC_ORACLE,
     tags=("llm", "dedup", "iterative", "scale"),
+    bench=True,
 )
 def dedup_clusters_star_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
@@ -79,6 +80,7 @@ ORDER BY l_returnflag
     "join_bloom_semi_lineitem_big_orders",
     _BLOOM_ORACLE,
     tags=("join", "bloom", "scale"),
+    bench=True,
 )
 def join_bloom_semi_lineitem_big_orders(
     spark: SparkSession, sf_dir: str

@@ -167,7 +167,9 @@ def _dupspan_oracle() -> str:
     return _DUPSPAN_ORACLE.replace("{SHINGLES}", sql_shingle_hashes("text"))
 
 
-@register("text_dup_span_fraction", _dupspan_oracle(), tags=("llm", "text", "dedup"))
+@register(
+    "text_dup_span_fraction", _dupspan_oracle(), tags=("llm", "text", "dedup"), bench=True
+)
 def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_spark.operators.similarity import shingle_hashes
     from event_streaming_spark.plans.catalog import spread
@@ -213,7 +215,9 @@ def _pagerank_oracle() -> str:
     )
 
 
-@register("graph_pagerank_near_dup", _pagerank_oracle(), tags=("graph", "iterative", "llm"))
+@register(
+    "graph_pagerank_near_dup", _pagerank_oracle(), tags=("graph", "iterative", "llm"), bench=True
+)
 def graph_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_spark.operators.graph import pagerank_integer
     from event_streaming_spark.plans.llm_similarity import minhash_lsh_near_dup_pairs

@@ -1,0 +1,81 @@
+"""Streaming distinct-count via mergeable HLL registers.
+
+The batch sketch (operators/sketches.py) is a per-bucket-max monoid, so
+streaming it needs NO new math: each micro-batch contributes its ≤ m
+register rows, appended to a durable register log; the estimate at any
+moment is merge-at-read (per-bucket max) + the shared finalizer.  This
+is the standard mergeable-summary pattern: state is O(m · #batches)
+until compaction, never O(#distinct keys), and the log is append-only —
+crash-safe without coordination.
+
+Idempotency: foreachBatch is at-least-once, so each batch's append is
+gated on a batch-id ledger mark (same discipline as sources/store.py's
+sink) — replays of an already-appended batch are no-ops, keeping the
+register log duplicate-free per batch (duplicates would be HARMLESS for
+the estimate — max is idempotent — but would grow the log).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streaming_spark.operators.sketches import (
+    hll_finalize,
+    hll_merge,
+    hll_registers,
+)
+
+
+class HllStreamingSketch:
+    def __init__(
+        self, spark: SparkSession, path: str, key_col: str, b: int = 6
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.b = b
+
+    def sink(self, stream_df: DataFrame, checkpoint: str):
+        ledger = os.path.join(checkpoint, "hll-ledger")
+
+        def _batch(batch_df: DataFrame, batch_id: int) -> None:
+            mark = os.path.join(ledger, f"batch-{batch_id}.done")
+            if os.path.exists(mark):
+                return
+            regs = hll_registers(batch_df, F.col(self.key_col), self.b)
+            regs.write.mode("append").parquet(self.path)
+            os.makedirs(ledger, exist_ok=True)
+            with open(mark, "w") as fh:
+                fh.write("done")
+
+        return (
+            stream_df.writeStream.foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def registers(self) -> DataFrame:
+        return hll_merge(self.spark.read.parquet(self.path))
+
+    def estimate(self) -> float:
+        return float(
+            hll_finalize(self.registers(), self.b).collect()[0]["hll_estimate"]
+        )
+
+    def compact(self) -> None:
+        """Fold the append-only log back to ≤ m rows (optional hygiene;
+        estimates are identical before and after)."""
+        merged = self.registers().collect()
+        df = self.spark.createDataFrame(merged, "bucket long, reg int")
+        tmp = self.path + "._compacting"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        final, bak = self.path, self.path + "._old"
+        os.rename(final, bak)
+        os.rename(tmp, final)
+        import shutil
+
+        shutil.rmtree(bak)

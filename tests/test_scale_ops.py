@@ -303,3 +303,45 @@ def test_pagerank_hub_outranks_leaves_and_singletons_get_base(spark):
     assert r[0] > r[1] > BASE
     assert all(r[i] == r[1] for i in range(2, 10))
     assert r[10] == BASE
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL (mergeable registers)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_hll_equals_batch_hll(spark, tmp_path):
+    """Three micro-batches of register appends must finalize to the
+    EXACT batch estimate over the union — max-merge is lossless."""
+    from event_streaming_spark.operators.sketches import hll_estimate
+    from event_streaming_spark.streaming.sketches import HllStreamingSketch
+
+    src = str(tmp_path / "src")
+    full = spark.range(9000).select((F.col("id") * 7919 % 100000).alias("k"))
+    # three files → three micro-batches with maxFilesPerTrigger=1
+    for i in range(3):
+        full.filter(F.col("id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+
+    sk = HllStreamingSketch(spark, str(tmp_path / "regs"), "k")
+    stream = (
+        spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = sk.sink(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    batch_est = hll_estimate(full, F.col("k")).collect()[0]["hll_estimate"]
+    assert sk.estimate() == batch_est
+
+    # replay: re-running the stream over the same source adds nothing
+    n_log = spark.read.parquet(sk.path).count()
+    q2 = sk.sink(
+        spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sk.path).count() == n_log
+
+    # compaction folds the log without changing the estimate
+    sk.compact()
+    assert spark.read.parquet(sk.path).count() <= 64
+    assert sk.estimate() == batch_est
