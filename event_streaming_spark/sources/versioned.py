@@ -1,0 +1,186 @@
+"""VersionedStore — snapshot isolation + time travel over plain parquet.
+
+Reference parity note: the reference's store is a mutable Berkeley-DB
+file with no history (/root/reference/src/main.c:44-58).  At 100 TB the
+mutable-store model breaks: readers racing a rewrite see half-states,
+deletes can't be audited, and a bad pipeline run is unrecoverable.  The
+lakehouse answer (Delta/Iceberg, re-derived here from first principles
+with zero dependencies) is: DATA FILES ARE IMMUTABLE, and a table
+version is just a MANIFEST — a JSON list of the files that constitute
+that snapshot.
+
+- Commits are atomic: the manifest is staged to a temp name and
+  published with ``os.link`` (create-if-absent), so version N+1 either
+  exists completely or not at all.  Concurrent committers race on the
+  link; the loser re-reads the new head and retries its commit on top
+  (optimistic concurrency, bounded retries).
+- Readers are isolated for free: a read pins one manifest; every file
+  it names is immutable, so a concurrent append/delete/compact can NOT
+  change or tear what the reader sees — no locks anywhere.
+- Time travel: ``read(version=k)`` reconstructs any retained snapshot;
+  every destructive operation (delete_where, compact) just writes NEW
+  files + a NEW manifest, leaving history readable for audit/rollback.
+- ``vacuum`` is the only thing that ever deletes a data file, and only
+  files unreferenced by the retained manifest window.
+
+Scale: a manifest holds file paths, not row data — O(#files), kept
+small by compact().  File-level delete granularity ("rewrite only files
+containing matching rows", found via the _metadata.file_path pseudo
+column) is exactly Delta's copy-on-write semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+class VersionedStore:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.manifest_dir = os.path.join(path, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifest plumbing ----------------------------------------------------
+    def latest_version(self) -> int:
+        """Highest committed version, or -1 for an empty table."""
+        vs = [
+            int(f[1:-5])
+            for f in os.listdir(self.manifest_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(vs, default=-1)
+
+    def _manifest(self, version: int) -> dict:
+        p = os.path.join(self.manifest_dir, f"v{version}.json")
+        with open(p) as fh:
+            return json.load(fh)
+
+    def files(self, version: int | None = None) -> list[str]:
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            return []
+        return [os.path.join(self.data_dir, f) for f in self._manifest(v)["files"]]
+
+    def _commit(self, compute_files, op: str, retries: int = 20) -> int:
+        """Publish a new manifest atomically.  ``compute_files`` maps the
+        parent's file list → the child's (called fresh per attempt so a
+        lost race recomputes against the new head)."""
+        for _ in range(retries):
+            parent = self.latest_version()
+            files = compute_files(
+                self._manifest(parent)["files"] if parent >= 0 else []
+            )
+            nxt = parent + 1
+            tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump({"version": nxt, "parent": parent, "op": op, "files": files}, fh)
+            final = os.path.join(self.manifest_dir, f"v{nxt}.json")
+            try:
+                os.link(tmp, final)  # atomic create-if-absent
+                return nxt
+            except FileExistsError:
+                continue  # lost the race: retry on the new head
+            finally:
+                os.unlink(tmp)
+        raise CommitConflict(f"gave up after {retries} commit attempts ({op})")
+
+    def _stage_files(self, df: DataFrame, tag: str) -> list[str]:
+        """Write ``df`` to immutable uniquely-named files in data/."""
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        df.write.parquet(staging)
+        moved = []
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            unique = f"{tag}-{uuid.uuid4().hex}-{name}"
+            os.rename(os.path.join(staging, name), os.path.join(self.data_dir, unique))
+            moved.append(unique)
+        shutil.rmtree(staging)
+        return moved
+
+    # -- operations -----------------------------------------------------------
+    def append(self, df: DataFrame) -> int:
+        new = self._stage_files(df, "append")
+        return self._commit(lambda prev: prev + new, "append")
+
+    def read(self, version: int | None = None) -> DataFrame:
+        files = self.files(version)
+        if not files:
+            raise ValueError(f"no snapshot at version {version!r}")
+        return self.spark.read.parquet(*files)
+
+    def delete_where(self, predicate) -> int:
+        """Copy-on-write delete: rewrite ONLY the files that contain
+        matching rows; untouched files carry over by reference.  Returns
+        the new version."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        base = self.latest_version()
+        df = self.read(base)
+        # _metadata.file_path is a URI; compare by basename (unique by
+        # construction — every staged file embeds a uuid)
+        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        hit_files = {
+            r["f"]
+            for r in df.filter(pred).select(fname.alias("f")).distinct().collect()
+        }
+        if not hit_files:
+            return base
+        survivors = df.filter(fname.isin(*hit_files)).filter(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        new = self._stage_files(survivors, "delete") if survivors.count() else []
+
+        def compute(prev: list[str]) -> list[str]:
+            missing = hit_files - set(prev)
+            if missing:
+                # a concurrent compact/delete replaced files under us —
+                # retrying blindly would resurrect deleted rows
+                raise CommitConflict(f"files vanished mid-delete: {sorted(missing)}")
+            return [f for f in prev if f not in hit_files] + new
+
+        return self._commit(compute, "delete")
+
+    def compact(self, target_files: int = 1) -> int:
+        base = self.latest_version()
+        df = self.read(base)
+        old = set(self._manifest(base)["files"])
+        new = self._stage_files(df.coalesce(target_files), "compact")
+
+        def compute(prev: list[str]) -> list[str]:
+            if set(prev) != old:
+                raise CommitConflict("table changed under compact; rerun")
+            return new
+
+        return self._commit(compute, "compact")
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Drop manifests older than the last ``keep_last`` and delete
+        data files no retained manifest references.  The ONLY deletion
+        in the system; time travel works for every retained version."""
+        head = self.latest_version()
+        keep = {v for v in range(max(0, head - keep_last + 1), head + 1)}
+        referenced: set[str] = set()
+        for v in keep:
+            referenced |= set(self._manifest(v)["files"])
+        removed = []
+        for f in os.listdir(self.data_dir):
+            if f not in referenced:
+                os.unlink(os.path.join(self.data_dir, f))
+                removed.append(f)
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("v") and int(f[1:-5]) not in keep:
+                os.unlink(os.path.join(self.manifest_dir, f))
+        return removed
