@@ -208,3 +208,67 @@ SELECT probes.k, min(cm.cnt) AS cm_estimate
 FROM probes JOIN cm USING (d, pos)
 GROUP BY probes.k
 """
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def bottomk_quantile_sample(
+    df: DataFrame, group: Column, value: Column, ident: Column, k: int = 64
+) -> DataFrame:
+    """Deterministic bottom-k sample per group: the k rows whose
+    md5-derived hash is smallest form a uniform sample that any engine,
+    any partitioning, any run reproduces EXACTLY (unlike reservoir
+    sampling, whose content depends on encounter order).  Mergeable:
+    bottom-k of a union = bottom-k of the combined bottom-k's — the same
+    monoid story as the HLL registers.
+
+    Scale shape: a per-group count (one map-side-combining agg,
+    group-cardinality rows, broadcast back) sets an integer hash
+    threshold ≈ 4k/n so the window that ranks candidates sees ~4k rows
+    per group, not n — the full-data sort the naive RANK()<=k plan
+    would do never happens.  Wider-than-k survivors only cost a few
+    rows; a shortfall (impossible beyond vanishing probability at 4×
+    oversampling) would surface as a sample_n < k in the output.
+
+    Returns ``(grp, hash, val)`` candidate rows ranked ≤ k.
+    """
+    from pyspark.sql import Window
+
+    h = stable_hash32(F.concat(F.lit("q|"), ident.cast("string")))
+    base = df.select(group.alias("grp"), value.alias("val"), h.alias("h"))
+    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    thr = F.expr(f"({4 * k} * 4294967296) div n")
+    cand = base.join(F.broadcast(counts.select("grp", thr.alias("thr"))), "grp").where(
+        F.col("h") < F.col("thr")
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        cand.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .select("grp", "h", "val")
+    )
+
+
+def sql_bottomk_quantile_sample(
+    group_expr: str, value_expr: str, ident_expr: str, from_clause: str, k: int = 64
+) -> str:
+    """ANSI twin of :func:`bottomk_quantile_sample`."""
+    h = sql_stable_hash32(f"'q|' || cast({ident_expr} AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT {group_expr} AS grp, {value_expr} AS val, {h} AS h FROM {from_clause}
+), counts AS (
+  SELECT grp, count(*) AS n FROM base GROUP BY grp
+), cand AS (
+  SELECT base.grp, base.val, base.h
+  FROM base JOIN counts USING (grp)
+  WHERE base.h < ({4 * k} * 4294967296) // counts.n
+), ranked AS (
+  SELECT grp, h, val, row_number() OVER (PARTITION BY grp ORDER BY h) AS r
+  FROM cand
+)
+SELECT grp, h, val FROM ranked WHERE r <= {k}
+"""

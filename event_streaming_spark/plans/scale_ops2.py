@@ -226,3 +226,67 @@ def graph_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = minhash_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     pr = pagerank_integer(docs, edges, iters=3)
     return pr.select(F.col("node").alias("doc_id"), "pr_scaled").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch: deterministic uniform sample per group (the k
+# smallest md5-hashes), quantiles read off the sorted sample by integer
+# position — approximate quantiles whose VALUES are bit-reproducible in
+# both engines, the quantile analogue of the HLL story.  The hash
+# threshold prefilter keeps the ranking window at ~4k rows per group
+# instead of n (see operators/sketches.py::bottomk_quantile_sample).
+# ---------------------------------------------------------------------------
+
+
+def _bottomk_oracle() -> str:
+    from event_streaming_spark.operators.sketches import sql_bottomk_quantile_sample
+
+    sample = sql_bottomk_quantile_sample("event_type", "value", "event_id", "events")
+    return f"""
+WITH sample AS ({sample}),
+pos AS (
+  SELECT grp, val,
+         row_number() OVER (PARTITION BY grp ORDER BY val, h) AS rv,
+         count(*) OVER (PARTITION BY grp) AS s
+  FROM sample
+)
+SELECT grp AS event_type,
+       max(CASE WHEN rv = 1 + (s - 1) // 2 THEN val END) AS p50_est,
+       max(CASE WHEN rv = 1 + (9 * (s - 1)) // 10 THEN val END) AS p90_est,
+       max(s) AS sample_n
+FROM pos
+GROUP BY grp
+ORDER BY event_type
+"""
+
+
+@register("sketch_bottomk_value_quantiles", _bottomk_oracle(), tags=("sketch", "agg"))
+def sketch_bottomk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from event_streaming_spark.operators.sketches import bottomk_quantile_sample
+
+    ev = load(spark, sf_dir, "events")
+    samp = bottomk_quantile_sample(
+        ev, F.col("event_type"), F.col("value"), F.col("event_id")
+    )
+    w = Window.partitionBy("grp").orderBy("val", "h")
+    pos = samp.select(
+        "grp",
+        "val",
+        F.row_number().over(w).alias("rv"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("s"),
+    )
+    return (
+        pos.groupBy(F.col("grp").alias("event_type"))
+        .agg(
+            F.max(F.when(F.col("rv") == 1 + F.expr("(s - 1) div 2"), F.col("val"))).alias(
+                "p50_est"
+            ),
+            F.max(
+                F.when(F.col("rv") == 1 + F.expr("(9 * (s - 1)) div 10"), F.col("val"))
+            ).alias("p90_est"),
+            F.max("s").alias("sample_n"),
+        )
+        .orderBy("event_type")
+    )

@@ -345,3 +345,19 @@ def test_streaming_hll_equals_batch_hll(spark, tmp_path):
     sk.compact()
     assert spark.read.parquet(sk.path).count() <= 64
     assert sk.estimate() == batch_est
+
+
+def test_bottomk_sample_is_partitioning_invariant(spark):
+    from event_streaming_spark.operators.sketches import bottomk_quantile_sample
+
+    base = spark.range(30000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") * 31 % 997).alias("v"), F.col("id")
+    )
+    outs = []
+    for parts in (1, 16):
+        samp = bottomk_quantile_sample(
+            base.repartition(parts), F.col("g"), F.col("v"), F.col("id"), k=32
+        )
+        outs.append(sorted(map(tuple, samp.collect())))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 3 * 32
