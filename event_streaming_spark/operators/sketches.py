@@ -272,3 +272,75 @@ WITH base AS (
 )
 SELECT grp, h, val FROM ranked WHERE r <= {k}
 """
+
+
+def hll_estimate_by(
+    df: DataFrame, group: Column, key: Column, b: int = 6
+) -> DataFrame:
+    """Per-group HLL estimates ``(grp, hll_estimate)`` — the grouped form
+    (distinct users per day/type/source).  State: ≤ m registers PER
+    GROUP, one (grp, bucket) shuffle; same exact-integer finalizer as
+    the global sketch."""
+    m = 1 << b
+    w_bits = 32 - b
+    h = stable_hash32(key.cast("string"))
+    bucket = F.shiftright(h, w_bits)
+    w = h.bitwiseAND(F.lit((1 << w_bits) - 1))
+    rank = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        df.select(group.alias("grp"), bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+    acc = regs.groupBy("grp").agg(
+        F.sum(
+            F.call_function("shiftleft", F.lit(1).cast("long"), 32 - F.col("reg"))
+        ).alias("s_scaled"),
+        F.count(F.lit(1)).alias("m_present"),
+    )
+    raw = (_alpha(m) * m * m * float(1 << 32)) / (
+        F.col("s_scaled") + (F.lit(m) - F.col("m_present")) * F.lit(1 << 32)
+    )
+    zeros = F.lit(m) - F.col("m_present")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros), 4),
+    ).otherwise(F.round(raw, 4))
+    return acc.select("grp", est.alias("hll_estimate"))
+
+
+def sql_hll_estimate_by(
+    group_expr: str, key_expr: str, from_clause: str, b: int = 6
+) -> str:
+    """ANSI twin of :func:`hll_estimate_by`."""
+    m = 1 << b
+    w_bits = 32 - b
+    mask = (1 << w_bits) - 1
+    alpha = _alpha(m)
+    h = sql_stable_hash32(f"cast({key_expr} AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT {group_expr} AS grp, {h} AS h FROM {from_clause}
+), br AS (
+  SELECT grp, h >> {w_bits} AS bucket,
+         CASE WHEN (h & {mask}) = 0 THEN {w_bits + 1}
+              ELSE {w_bits + 1} - length(bin(h & {mask})) END AS rank
+  FROM hashed
+), regs AS (
+  SELECT grp, bucket, max(rank) AS reg FROM br GROUP BY grp, bucket
+), acc AS (
+  SELECT grp, sum(1::BIGINT << (32 - reg)) AS s_scaled, count(*) AS m_present
+  FROM regs GROUP BY grp
+)
+SELECT grp, CASE
+  WHEN ({alpha} * {m} * {m} * 4294967296.0)
+         / (s_scaled + ({m} - m_present) * 4294967296) <= {2.5 * m}
+       AND ({m} - m_present) > 0
+  THEN round({float(m)} * ln({float(m)} / ({m} - m_present)), 4)
+  ELSE round(({alpha} * {m} * {m} * 4294967296.0)
+         / (s_scaled + ({m} - m_present) * 4294967296), 4)
+END AS hll_estimate
+FROM acc
+"""

@@ -107,6 +107,18 @@ _PRIORITY = [
     "events_retention_weekly_cohorts",
     "events_daily_anomaly_zscore",
     "events_enrich_purchases_by_segment",
+    # --- round-2 flagships: scale techniques, sketches, graph, layout ---
+    "dedup_clusters_star_variant",
+    "join_bloom_semi_lineitem_big_orders",
+    "sketch_hll_distinct_cross_engine",
+    "sketch_hll_users_per_type",
+    "sketch_count_min_hot_users",
+    "sketch_bottomk_value_quantiles",
+    "graph_pagerank_near_dup",
+    "hier_customer_chain_depth",
+    "text_dup_span_fraction",
+    "events_zorder_curve_head",
+    "events_weighted_median_value_per_type",
 ]
 
 

@@ -290,3 +290,39 @@ def sketch_bottomk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL: distinct users per event type — the per-segment form the
+# sketch is actually deployed in (distinct users per day/source/cohort).
+# One (grp, bucket) shuffle, ≤ m register rows per group.
+# ---------------------------------------------------------------------------
+
+
+def _hll_by_oracle() -> str:
+    from event_streaming_spark.operators.sketches import sql_hll_estimate_by
+
+    inner = sql_hll_estimate_by("event_type", "user_id", "events")
+    return f"""
+SELECT grp AS event_type, hll_estimate,
+       (SELECT count(DISTINCT user_id) FROM events e2 WHERE e2.event_type = s.grp)
+         AS exact_distinct
+FROM ({inner}) s
+ORDER BY event_type
+"""
+
+
+@register("sketch_hll_users_per_type", _hll_by_oracle(), tags=("sketch", "agg"))
+def sketch_hll_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.sketches import hll_estimate_by
+
+    ev = load(spark, sf_dir, "events")
+    est = hll_estimate_by(ev, F.col("event_type"), F.col("user_id"))
+    exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "grp")
+        .select(F.col("grp").alias("event_type"), "hll_estimate", "exact_distinct")
+        .orderBy("event_type")
+    )
