@@ -166,6 +166,66 @@ class VersionedStore:
 
         return self._commit(compute, "compact")
 
+    def rollback(self, to_version: int) -> int:
+        """Restore an earlier snapshot as the NEW head (history preserved
+        — this is a forward commit whose file list is the old one, the
+        lakehouse RESTORE).  Fails if the target was vacuumed."""
+        files = self._manifest(to_version)["files"]
+        for f in files:
+            if not os.path.exists(os.path.join(self.data_dir, f)):
+                raise ValueError(f"version {to_version} no longer restorable: {f} vacuumed")
+        return self._commit(lambda prev: list(files), f"rollback:{to_version}")
+
+    def table_changes(self, from_version: int, to_version: int):
+        """Change feed between two snapshots: ``(row..., _change)`` with
+        ``insert`` / ``delete`` rows (an update surfaces as both).
+
+        File-level diff first — rows in carried-over files are identical
+        BY CONSTRUCTION (files are immutable), so only the added/removed
+        files are read and anti-joined.  At production scale this is why
+        the feed is cheap: an append's feed reads ONLY the new files.
+        """
+        old = set(self._manifest(from_version)["files"])
+        new = set(self._manifest(to_version)["files"])
+        added = [os.path.join(self.data_dir, f) for f in sorted(new - old)]
+        removed = [os.path.join(self.data_dir, f) for f in sorted(old - new)]
+        empty = None
+        if added and removed:
+            a = self.spark.read.parquet(*added)
+            r = self.spark.read.parquet(*removed)
+            ins = a.exceptAll(r).withColumn("_change", F.lit("insert"))
+            dels = r.exceptAll(a).withColumn("_change", F.lit("delete"))
+            return ins.union(dels)
+        if added:
+            return self.spark.read.parquet(*added).withColumn("_change", F.lit("insert"))
+        if removed:
+            return self.spark.read.parquet(*removed).withColumn("_change", F.lit("delete"))
+        return empty  # no structural change
+
+    def sink(self, stream_df: DataFrame, checkpoint: str):
+        """Streaming append: each micro-batch commits ONE new version
+        (atomic, so readers see batch boundaries, never partial
+        batches).  Idempotent under foreachBatch replay via a batch-id
+        ledger — a replayed batch maps to the already-committed version
+        instead of double-appending."""
+        ledger = os.path.join(checkpoint, "vstore-ledger")
+
+        def _batch(batch_df: DataFrame, batch_id: int) -> None:
+            mark = os.path.join(ledger, f"batch-{batch_id}.done")
+            if os.path.exists(mark):
+                return
+            v = self.append(batch_df)
+            os.makedirs(ledger, exist_ok=True)
+            with open(mark, "w") as fh:
+                fh.write(str(v))
+
+        return (
+            stream_df.writeStream.foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop manifests older than the last ``keep_last`` and delete
         data files no retained manifest references.  The ONLY deletion

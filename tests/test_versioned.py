@@ -108,3 +108,57 @@ def test_vacuum_retention_window(spark, store):
     assert store.read().count() == 200
     with pytest.raises(Exception):
         store.read(0)
+
+
+def test_rollback_restores_and_preserves_history(spark, store):
+    store.append(spark.range(100).select(F.col("id")))            # v0
+    store.delete_where("id < 50")                                  # v1
+    assert store.read().count() == 50
+    v = store.rollback(0)                                          # v2
+    assert v == 2
+    assert store.read().count() == 100
+    assert store.read(1).count() == 50  # the delete is still auditable
+
+
+def test_table_changes_feed(spark, store):
+    store.append(spark.range(100).select(F.col("id")))             # v0
+    store.append(spark.range(100, 130).select(F.col("id")))        # v1
+    store.delete_where("id >= 120")                                # v2
+    ins = store.table_changes(0, 1)
+    assert {r["_change"] for r in ins.collect()} == {"insert"}
+    assert ins.count() == 30
+    chg = store.table_changes(1, 2).collect()
+    # the delete rewrote only the second append's files: feed = 10
+    # deletes (120..129); rows 100..119 cancel out via exceptAll
+    assert sorted(r["id"] for r in chg if r["_change"] == "delete") == list(range(120, 130))
+    assert all(r["_change"] == "delete" for r in chg)
+    assert store.table_changes(0, 0) is None
+
+
+def test_streaming_sink_one_version_per_batch_and_replay_safe(spark, store, tmp_path):
+    src = str(tmp_path / "ssrc")
+    full = spark.range(300).select(F.col("id"))
+    for i in range(3):
+        full.filter(F.col("id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("id long").option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = store.sink(stream, str(tmp_path / "sckpt"))
+    q.awaitTermination(120)
+    assert store.latest_version() == 2          # three batches → v0,v1,v2
+    assert store.read().count() == 300
+    # replay the whole stream: ledger short-circuits, no new versions
+    q2 = store.sink(
+        spark.readStream.schema("id long").option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "sckpt"),
+    )
+    q2.awaitTermination(120)
+    assert store.latest_version() == 2
+
+
+def test_schema_evolution_read(spark, store):
+    store.append(spark.range(10).select(F.col("id")))
+    store.append(spark.range(10, 20).select(F.col("id"), F.lit("b").alias("tag")))
+    merged = store.spark.read.option("mergeSchema", "true").parquet(*store.files())
+    assert set(merged.columns) == {"id", "tag"}
+    assert merged.where(F.col("tag").isNull()).count() == 10
