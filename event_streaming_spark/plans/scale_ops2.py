@@ -403,3 +403,74 @@ def corpus_canonical_by_centrality(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: distinct users who BOTH viewed and purchased,
+# estimated from three sketches via inclusion-exclusion
+# (|A∩B| ≈ est(A) + est(B) − est(A∪B)) — no join between the two event
+# streams ever happens; the union sketch is register-max of the two
+# sides' registers (the merge monoid), so the entire question costs
+# three fixed-size sketches.  Exact values ride along for error audit.
+# ---------------------------------------------------------------------------
+
+
+def _hll_algebra_oracle() -> str:
+    from event_streaming_spark.operators.sketches import sql_hll_estimate
+
+    a = sql_hll_estimate("user_id", "events WHERE event_type = 'view'")
+    b = sql_hll_estimate("user_id", "events WHERE event_type = 'purchase'")
+    u = sql_hll_estimate(
+        "user_id", "events WHERE event_type IN ('view', 'purchase')"
+    )
+    return f"""
+SELECT round(a.hll_estimate, 4) AS est_view,
+       round(b.hll_estimate, 4) AS est_purchase,
+       round(u.hll_estimate, 4) AS est_union,
+       round(a.hll_estimate + b.hll_estimate - u.hll_estimate, 4) AS est_both,
+       (SELECT count(DISTINCT user_id) FROM events
+        WHERE event_type = 'view'
+          AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase'))
+         AS exact_both
+FROM ({a}) a, ({b}) b, ({u}) u
+"""
+
+
+@register("sketch_hll_set_intersection", _hll_algebra_oracle(), tags=("sketch", "agg"))
+def sketch_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.sketches import (
+        hll_finalize,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view")
+    buys = ev.where(F.col("event_type") == "purchase")
+    ra = hll_registers(views, F.col("user_id"))
+    rb = hll_registers(buys, F.col("user_id"))
+    ea = hll_finalize(ra).select(F.col("hll_estimate").alias("est_view"))
+    eb = hll_finalize(rb).select(F.col("hll_estimate").alias("est_purchase"))
+    # union sketch = register-max merge; NOT a recount of the union rows
+    eu = hll_finalize(hll_merge(ra.union(rb))).select(
+        F.col("hll_estimate").alias("est_union")
+    )
+    exact = (
+        views.select("user_id")
+        .intersect(buys.select("user_id"))
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(exact)
+        .select(
+            F.round("est_view", 4).alias("est_view"),
+            F.round("est_purchase", 4).alias("est_purchase"),
+            F.round("est_union", 4).alias("est_union"),
+            F.round(
+                F.col("est_view") + F.col("est_purchase") - F.col("est_union"), 4
+            ).alias("est_both"),
+            "exact_both",
+        )
+    )
