@@ -474,3 +474,58 @@ def sketch_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_both",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile: per (event_type, ISO dow) volume and
+# exact mean value, plus the deviation from the type's overall mean —
+# the weekly-pattern diagnostic for traffic shaping.  One fact-sized
+# agg to 7·types rows; the type-level mean comes from a second agg over
+# the SUMMARY (35 rows), broadcast back.  ISO dow (Mon=1): Spark
+# weekday()+1 == DuckDB isodow().
+# ---------------------------------------------------------------------------
+
+_SEASON_ORACLE = """
+WITH by_dow AS (
+  SELECT event_type, isodow(ts) AS dow, count(*) AS n,
+         cast(sum(cast(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_v
+  FROM events GROUP BY 1, 2
+), typ AS (
+  SELECT event_type, sum(sum_v) AS tot_v, sum(n) AS tot_n FROM by_dow GROUP BY 1
+)
+SELECT b.event_type, b.dow, b.n,
+       round(b.sum_v / b.n, 6) AS mean_value,
+       round(b.sum_v / b.n - t.tot_v / t.tot_n, 6) AS dev_from_type_mean
+FROM by_dow b JOIN typ t USING (event_type)
+ORDER BY event_type, dow
+"""
+
+
+@register("events_dow_seasonality", _SEASON_ORACLE, tags=("events", "timeseries"))
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    by_dow = (
+        ev.groupBy("event_type", F.expr("weekday(ts) + 1").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 1e6).cast("long")).cast("double") / 1e6
+            ).alias("sum_v"),
+        )
+    )
+    typ = by_dow.groupBy("event_type").agg(
+        F.sum("sum_v").alias("tot_v"), F.sum("n").alias("tot_n")
+    )
+    return (
+        by_dow.join(F.broadcast(typ), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            F.round(F.col("sum_v") / F.col("n"), 6).alias("mean_value"),
+            F.round(
+                F.col("sum_v") / F.col("n") - F.col("tot_v") / F.col("tot_n"), 6
+            ).alias("dev_from_type_mean"),
+        )
+        .orderBy("event_type", "dow")
+    )
