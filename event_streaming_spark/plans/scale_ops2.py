@@ -529,3 +529,63 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation from Count-Min sketches: |A ⋈_k B| is estimated
+# by the inner product of the two sides' CM counter rows, min'd over the
+# d hash rows — the classic optimizer statistic (AMS/CM inner product),
+# computed WITHOUT touching the join itself.  Both sketches are d·w
+# integers; the estimate is exact integer arithmetic, so it
+# hash-verifies.  True join count rides along for the error audit.
+# Upward-biased only (collisions add), like all CM estimates.
+# ---------------------------------------------------------------------------
+
+_CM_JOIN_ORACLE = f"""
+WITH a AS (
+  SELECT d, {{H}} % 256 AS pos, count(*) AS cnt
+  FROM (SELECT cast(o_custkey AS VARCHAR) AS k FROM orders)
+       CROSS JOIN (SELECT unnest(range(4)) AS d)
+  GROUP BY 1, 2
+), b AS (
+  SELECT d, {{H}} % 256 AS pos, count(*) AS cnt
+  FROM (SELECT cast(c_custkey AS VARCHAR) AS k FROM customer)
+       CROSS JOIN (SELECT unnest(range(4)) AS d)
+  GROUP BY 1, 2
+), prods AS (
+  SELECT a.d, sum(a.cnt * b.cnt) AS ip
+  FROM a JOIN b ON a.d = b.d AND a.pos = b.pos
+  GROUP BY a.d
+)
+SELECT (SELECT min(ip) FROM prods) AS est_join_size,
+       (SELECT count(*) FROM orders JOIN customer ON c_custkey = o_custkey)
+         AS exact_join_size
+"""
+
+
+def _cm_join_oracle() -> str:
+    from event_streaming_spark.functions.hashing import sql_stable_hash32
+
+    h = sql_stable_hash32("cast(d AS VARCHAR) || '|' || k")
+    return _CM_JOIN_ORACLE.replace("{H}", h)
+
+
+@register("sketch_cm_join_size_estimate", _cm_join_oracle(), tags=("sketch", "join"))
+def sketch_cm_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.sketches import count_min_table
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cm_a = count_min_table(orders, F.col("o_custkey"))
+    cm_b = count_min_table(cust, F.col("c_custkey"))
+    prods = (
+        cm_a.alias("a")
+        .join(cm_b.alias("b"), ["d", "pos"])
+        .groupBy("d")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    est = prods.agg(F.min("ip").alias("est_join_size"))
+    exact = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).agg(F.count(F.lit(1)).alias("exact_join_size"))
+    return est.crossJoin(exact)

@@ -79,3 +79,56 @@ class HllStreamingSketch:
         import shutil
 
         shutil.rmtree(bak)
+
+
+class CountMinStreamingSketch:
+    """Streaming heavy-hitter state: per-micro-batch CM counter tables
+    appended to a log (idempotent via ledger); the live sketch is the
+    per-(d,pos) SUM at read — Count-Min's merge monoid is addition, so
+    stream-accumulated counters equal the batch sketch over all data
+    EXACTLY (asserted in tests).  State: ≤ d·w rows per batch."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, key_col: str, depth: int = 4, width: int = 256
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.depth = depth
+        self.width = width
+
+    def sink(self, stream_df: DataFrame, checkpoint: str):
+        from event_streaming_spark.operators.sketches import count_min_table
+
+        ledger = os.path.join(checkpoint, "cm-ledger")
+
+        def _batch(batch_df: DataFrame, batch_id: int) -> None:
+            mark = os.path.join(ledger, f"batch-{batch_id}.done")
+            if os.path.exists(mark):
+                return
+            cm = count_min_table(
+                batch_df, F.col(self.key_col), self.depth, self.width
+            )
+            cm.write.mode("append").parquet(self.path)
+            os.makedirs(ledger, exist_ok=True)
+            with open(mark, "w") as fh:
+                fh.write("done")
+
+        return (
+            stream_df.writeStream.foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def table(self) -> DataFrame:
+        return (
+            self.spark.read.parquet(self.path)
+            .groupBy("d", "pos")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def lookup(self, keys: DataFrame, key_col: str) -> DataFrame:
+        from event_streaming_spark.operators.sketches import count_min_lookup
+
+        return count_min_lookup(self.table(), keys, key_col, self.depth, self.width)

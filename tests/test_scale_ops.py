@@ -361,3 +361,29 @@ def test_bottomk_sample_is_partitioning_invariant(spark):
         outs.append(sorted(map(tuple, samp.collect())))
     assert outs[0] == outs[1]
     assert len(outs[0]) == 3 * 32
+
+
+def test_streaming_count_min_equals_batch(spark, tmp_path):
+    from event_streaming_spark.operators.sketches import count_min_lookup, count_min_table
+    from event_streaming_spark.streaming.sketches import CountMinStreamingSketch
+
+    src = str(tmp_path / "cmsrc")
+    full = spark.range(12000).select((F.col("id") % 321).alias("k"))
+    for i in range(3):
+        full.filter(F.col("id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+
+    sk = CountMinStreamingSketch(spark, str(tmp_path / "cmregs"), "k")
+    q = sk.sink(
+        spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "cmckpt"),
+    )
+    q.awaitTermination(120)
+
+    keys = full.select(F.col("k").cast("string").alias("kk")).distinct()
+    stream_est = {r["kk"]: r["cm_estimate"] for r in sk.lookup(keys, "kk").collect()}
+    batch_cm = count_min_table(full, F.col("k"))
+    batch_est = {
+        r["kk"]: r["cm_estimate"]
+        for r in count_min_lookup(batch_cm, keys, "kk").collect()
+    }
+    assert stream_est == batch_est
