@@ -379,8 +379,10 @@ FROM scored GROUP BY doc_id
 
 _PQ_M, _PQ_DSUB = 8, 8  # 8 subspaces x 8 dims
 
-_PQ_ORACLE = f"""
-WITH q AS (
+#: the shared CTE chain (quantize -> explode -> codebook -> per-subspace
+#: distances -> argmin codes); reused by the ADC search oracle in
+#: plans/scale_ops2.py so encode and search share ONE definition.
+_PQ_CTES = f"""q AS (
   SELECT vec_id,
          list_transform(embedding,
              x -> cast(floor(cast(x as double)*{_KM_SCALE} + 0.5) as bigint)) AS q
@@ -394,7 +396,10 @@ d AS (SELECT e.vec_id, cb.seed, (e.pos - 1)//{_PQ_DSUB} AS s,
 best AS (SELECT vec_id, s, seed AS code, dist FROM (
            SELECT vec_id, s, seed, dist,
                   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, seed) AS rn
-           FROM d) WHERE rn = 1)
+           FROM d) WHERE rn = 1)"""
+
+_PQ_ORACLE = f"""
+WITH {_PQ_CTES}
 SELECT vec_id,
        string_agg(cast(code as varchar), '-' ORDER BY s) AS pq_code,
        cast(sum(dist) as bigint) AS total_err
@@ -402,8 +407,9 @@ FROM best GROUP BY vec_id
 """
 
 
-@register("emb_pq_encode", _PQ_ORACLE, tags=("llm", "ann", "clustering"))
-def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_frames(spark: SparkSession, sf_dir: str):
+    """(scored, best): per-(vec, seed, subspace) distances and argmin
+    codes — the shared building blocks of PQ encode AND ADC search."""
     emb = load(spark, sf_dir, "embeddings")
     qdf = emb.select(
         "vec_id",
@@ -431,6 +437,12 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "seed", F.posexplode(subd).alias("s", "dist"))
     )
     best = scored.groupBy("vec_id", "s").agg(F.min(F.struct("dist", "seed")).alias("m"))
+    return scored, best
+
+
+@register("emb_pq_encode", _PQ_ORACLE, tags=("llm", "ann", "clustering"))
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, best = pq_frames(spark, sf_dir)
     return best.groupBy("vec_id").agg(
         F.array_join(
             F.transform(

@@ -589,3 +589,71 @@ def sketch_cm_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, orders.o_custkey == cust.c_custkey
     ).agg(F.count(F.lit(1)).alias("exact_join_size"))
     return est.crossJoin(exact)
+
+
+# ---------------------------------------------------------------------------
+# PQ-ADC top-k search — the QUERY half of IVF-PQ (emb_pq_encode is the
+# storage half, emb_ivf_two_stage_ann the coarse half).  Asymmetric
+# Distance Computation: a query's lookup table is its per-(subspace,
+# codeword) distance row — already computed by the shared CTE chain —
+# and a corpus vector's approximate distance is the SUM of table entries
+# selected by its stored codes.  All integer (quantized vectors), so
+# both engines rank identically.  Scale: corpus distances come from a
+# broadcast-joined LUT (queries × M × K rows), never a vector-to-vector
+# join; per-query top-k via rank window over corpus-sized summary.
+# ---------------------------------------------------------------------------
+
+_ADC_QUERIES = (100, 200, 300)
+_ADC_K = 5
+
+
+def _adc_oracle() -> str:
+    from event_streaming_spark.plans.curation3 import _PQ_CTES
+
+    qs = ", ".join(map(str, _ADC_QUERIES))
+    return f"""
+WITH {_PQ_CTES},
+qd AS (
+  SELECT vec_id AS query_vec, s, seed, dist FROM d WHERE vec_id IN ({qs})
+), adc AS (
+  SELECT qd.query_vec, best.vec_id AS neighbor, sum(qd.dist) AS adc_dist
+  FROM best JOIN qd ON qd.s = best.s AND qd.seed = best.code
+  WHERE best.vec_id <> qd.query_vec
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_vec, neighbor, adc_dist,
+         row_number() OVER (PARTITION BY query_vec ORDER BY adc_dist, neighbor) AS rn
+  FROM adc
+)
+SELECT query_vec, neighbor, adc_dist, rn AS rank
+FROM ranked WHERE rn <= {_ADC_K}
+ORDER BY query_vec, rank
+"""
+
+
+@register("emb_pq_adc_topk", _adc_oracle(), tags=("llm", "ann"))
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from event_streaming_spark.plans.curation3 import pq_frames
+
+    scored, best = pq_frames(spark, sf_dir)
+    qd = scored.where(F.col("vec_id").isin(*_ADC_QUERIES)).select(
+        F.col("vec_id").alias("query_vec"), "s", "seed", "dist"
+    )
+    codes = best.select("vec_id", "s", F.col("m.seed").alias("code"))
+    adc = (
+        codes.join(
+            F.broadcast(qd),
+            (qd.s == codes.s) & (qd.seed == codes.code),
+        )
+        .where(F.col("vec_id") != F.col("query_vec"))
+        .groupBy("query_vec", F.col("vec_id").alias("neighbor"))
+        .agg(F.sum("dist").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_vec").orderBy("adc_dist", "neighbor")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _ADC_K)
+        .orderBy("query_vec", "rank")
+    )
