@@ -479,3 +479,171 @@ def extract_audio_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.select("path", "content").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Pixel-level kernels: full-raster decode → numpy array, nearest-neighbor
+# resize, and frame sampling over PPM streams (the `ffmpeg -f image2pipe
+# -c:v ppm` wire format: concatenated P6 frames).  All numpy + stdlib —
+# REAL implementations, not stubs; jpeg/gif/h264 remain codec-gated.
+# ---------------------------------------------------------------------------
+
+
+def _ppm_header(content: bytes, offset: int = 0) -> tuple[int, int, int, int]:
+    """Parse one P6 header at ``offset`` → (w, h, maxval, raster_offset)."""
+    if content[offset : offset + 2] != b"P6":
+        raise NotImplementedError("not a P6 PPM frame")
+    parts, idx = [], offset + 2
+    while len(parts) < 3:
+        while idx < len(content) and content[idx : idx + 1].isspace():
+            idx += 1
+        if content[idx : idx + 1] == b"#":
+            idx = content.index(b"\n", idx) + 1
+            continue
+        start = idx
+        while idx < len(content) and not content[idx : idx + 1].isspace():
+            idx += 1
+        parts.append(int(content[start:idx]))
+    idx += 1  # single whitespace before raster
+    w, h, maxval = parts
+    return w, h, maxval, idx
+
+
+def decode_pixels(content: bytes):
+    """Full raster → uint8 ndarray (h, w, 3), for PPM / BMP / PNG.
+
+    Alpha channels are dropped, grayscale is expanded, palettes resolved,
+    BMP's bottom-up BGR rows flipped/reordered — callers always get RGB.
+    """
+    import zlib
+
+    import numpy as np
+
+    fmt = sniff_format(content)
+    if fmt == "ppm":
+        w, h, maxval, off = _ppm_header(content)
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        return (
+            np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=off)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    if fmt == "bmp":
+        data_off = struct.unpack("<I", content[10:14])[0]
+        w, h = struct.unpack("<ii", content[18:26])
+        bpp = struct.unpack("<H", content[28:30])[0]
+        compression = struct.unpack("<I", content[30:34])[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError("BMP beyond 24bpp BI_RGB needs a codec")
+        row_bytes = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            content, dtype=np.uint8, count=row_bytes * abs(h), offset=data_off
+        ).reshape(abs(h), row_bytes)[:, : w * 3].reshape(abs(h), w, 3)
+        if h > 0:  # bottom-up storage
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR → RGB
+    if fmt == "png":
+        ihdr = plte = None
+        idat = bytearray()
+        for ctype, data in _png_chunks(content):
+            if ctype == "IHDR":
+                ihdr = data
+            elif ctype == "PLTE":
+                plte = data
+            elif ctype == "IDAT":
+                idat.extend(data)
+        if ihdr is None or not idat:
+            raise NotImplementedError("missing IHDR/IDAT")
+        w, h, depth, color, _c, _f, interlace = struct.unpack(">IIBBBBB", ihdr)
+        if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+            raise NotImplementedError("PNG variant beyond this kernel")
+        ch = _PNG_CHANNELS[color]
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (w * ch + 1):
+            raise NotImplementedError("raster size mismatch")
+        px = _png_defilter(raw, h, w * ch, bpp=ch).reshape(h, w, ch)
+        if color == 3:
+            if plte is None:
+                raise NotImplementedError("palette PNG without PLTE")
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            return pal[px.reshape(h, w)].copy()
+        if ch == 1:
+            return np.repeat(px, 3, axis=2).copy()
+        if ch == 2:  # gray + alpha: drop alpha, expand
+            return np.repeat(px[:, :, :1], 3, axis=2).copy()
+        return px[:, :, :3].copy()  # RGB / RGBA
+    raise NotImplementedError(f"no pixel kernel for format {fmt!r}")
+
+
+def resize_nearest(px, out_w: int, out_h: int):
+    """Nearest-neighbor resize via integer index mapping — the exact
+    deterministic scaler (src = (dst·in) div out, the floor mapping),
+    pure numpy fancy indexing, no interpolation arithmetic."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return px[rows][:, cols]
+
+
+def iter_ppm_stream(content: bytes):
+    """Frames of a concatenated-P6 stream → yields (idx, w, h, offset)."""
+    off, idx = 0, 0
+    while off < len(content):
+        w, h, maxval, roff = _ppm_header(content, off)
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM stream")
+        yield idx, w, h, roff
+        off = roff + w * h * 3
+        idx += 1
+
+
+def sample_frames(content: bytes, every_n: int = 2) -> list[tuple[int, int, int, int]]:
+    """Every n-th frame of a PPM stream → (frame_idx, w, h, checksum64).
+    The frame-sampling primitive of a video pipeline, on the one wire
+    format decodable without codecs."""
+    import numpy as np
+
+    out = []
+    for idx, w, h, roff in iter_ppm_stream(content):
+        if idx % every_n:
+            continue
+        raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=roff)
+        out.append((idx, w, h, int(raster.sum())))
+    return out
+
+
+def extract_thumbnails(
+    binary_df: DataFrame, thumb_w: int = 8, thumb_h: int = 8
+) -> DataFrame:
+    """binaryFile rows → (path, width, height, thumb_w, thumb_h,
+    thumb_checksum64) via Arrow-batched mapInPandas: decode → resize →
+    feature, the shape of every image-preprocessing stage (batch-wise
+    Python on binary columns, schema declared, partition-parallel)."""
+    schema = (
+        "path string, width int, height int, thumb_w int, thumb_h int, "
+        "thumb_checksum64 long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    px = decode_pixels(bytes(content))
+                    th = resize_nearest(px, thumb_w, thumb_h)
+                    rows.append(
+                        (path, px.shape[1], px.shape[0], thumb_w, thumb_h,
+                         int(th.astype("int64").sum()))
+                    )
+                except NotImplementedError:
+                    rows.append((path, -1, -1, -1, -1, -1))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "width", "height", "thumb_w", "thumb_h",
+                         "thumb_checksum64"],
+            )
+
+    return binary_df.select("path", "content").mapInPandas(run, schema)

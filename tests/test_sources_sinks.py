@@ -855,3 +855,84 @@ def test_store_delete_where_whole_day_and_null_predicate(spark, tmp_path):
     before = store.read().count()
     assert store.delete_where(F.expr("value > cast('nan' as double)")) == 0
     assert store.read().count() == before
+
+
+def test_decode_pixels_and_resize_nearest():
+    import numpy as np
+
+    from event_streaming_spark.operators.multimodal import (
+        decode_pixels,
+        resize_nearest,
+    )
+
+    # 4x2 gradient PPM
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    ppm = b"P6\n4 2\n255\n" + px.tobytes()
+    got = decode_pixels(ppm)
+    assert np.array_equal(got, px)
+    # nearest resize 4x2 -> 2x1: rows [0], cols [0, 2] (floor mapping)
+    th = resize_nearest(got, 2, 1)
+    assert np.array_equal(th, px[[0]][:, [0, 2]])
+
+
+def test_decode_pixels_png_roundtrip():
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    from event_streaming_spark.operators.multimodal import decode_pixels
+
+    w, h = 5, 3
+    px = (np.arange(w * h * 3, dtype=np.uint64) * 7 % 256).astype(np.uint8).reshape(h, w, 3)
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))  # filter 0 rows
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return _struct.pack(">I", len(data)) + body + _struct.pack(">I", zlib.crc32(body))
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_pixels(png), px)
+
+
+def test_ppm_stream_frame_sampling():
+    import numpy as np
+
+    from event_streaming_spark.operators.multimodal import sample_frames
+
+    frames = []
+    for i in range(5):
+        px = np.full((2, 3, 3), i + 1, dtype=np.uint8)
+        frames.append(b"P6\n3 2\n255\n" + px.tobytes())
+    stream = b"".join(frames)
+    got = sample_frames(stream, every_n=2)
+    assert [(i, w, h) for i, w, h, _ in got] == [(0, 3, 2), (2, 3, 2), (4, 3, 2)]
+    assert [ck for *_, ck in got] == [18 * 1, 18 * 3, 18 * 5]
+
+
+def test_extract_thumbnails_spark_op(spark, tmp_path):
+    import numpy as np
+
+    from event_streaming_spark.operators.multimodal import (
+        decode_pixels,
+        extract_thumbnails,
+        resize_nearest,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    px = (np.arange(16 * 8 * 3, dtype=np.uint64) * 11 % 256).astype(np.uint8).reshape(8, 16, 3)
+    (d / "grad.ppm").write_bytes(b"P6\n16 8\n255\n" + px.tobytes())
+    (d / "junk.bin").write_bytes(b"\x00\x01\x02")
+    df = spark.read.format("binaryFile").load(str(d))
+    rows = {r["path"].split("/")[-1]: r for r in extract_thumbnails(df, 4, 4).collect()}
+    want = int(resize_nearest(decode_pixels(b"P6\n16 8\n255\n" + px.tobytes()), 4, 4)
+               .astype("int64").sum())
+    g = rows["grad.ppm"]
+    assert (g["width"], g["height"], g["thumb_checksum64"]) == (16, 8, want)
+    assert rows["junk.bin"]["width"] == -1
