@@ -82,6 +82,8 @@ class EventStore:
         event_date: dt.date,
         target_files: int = 1,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 16,
     ) -> int:
         """Rewrite one day-partition into `target_files` files (small-file
         compaction).  Streaming appends create one file per micro-batch;
@@ -109,13 +111,24 @@ class EventStore:
         if not os.path.isdir(part):
             return 0
         day = self.spark.read.parquet(part)
-        if sort_by:
-            day = day.sort(*sort_by)
-        (
-            day.coalesce(target_files)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
+        if zorder_by:
+            # multi-dimensional clustering: one range shuffle on the
+            # interleaved key -> per-file min/max stats tight on EVERY
+            # zorder column (operators/layout.py)
+            from event_streaming_spark.operators.layout import cluster_by_zorder
+
+            day = cluster_by_zorder(
+                day, zorder_by, bits_per_col=zorder_bits, num_files=target_files
+            )
+            day.write.mode("overwrite").parquet(tmp)
+        else:
+            if sort_by:
+                day = day.sort(*sort_by)
+            (
+                day.coalesce(target_files)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
         os.rename(part, old)
         os.rename(tmp, part)
         shutil.rmtree(old)

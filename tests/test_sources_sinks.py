@@ -936,3 +936,21 @@ def test_extract_thumbnails_spark_op(spark, tmp_path):
     g = rows["grad.ppm"]
     assert (g["width"], g["height"], g["thumb_checksum64"]) == (16, 8, want)
     assert rows["junk.bin"]["width"] == -1
+
+
+def test_store_compact_zorder(spark, tmp_path):
+    import datetime as _dt
+    import glob as _glob
+
+    store = EventStore(spark, str(tmp_path / "zstore"))
+    ev = load(spark, SF_SMALL, "events").filter(F.to_date("ts") == "2024-01-05")
+    n = ev.count()
+    store.append(ev)
+    # z-order clamp inputs: user_id and integer value bucket both < 2^16
+    after = store.compact(
+        _dt.date(2024, 1, 5), target_files=2,
+        zorder_by=["user_id", "cast(value as int) & 65535"],
+    )
+    assert after == 2
+    assert store.read_key("event_date", "2024-01-05").count() == n
+    assert len(_glob.glob(f"{store.path}/event_date=2024-01-05/*.parquet")) == 2
