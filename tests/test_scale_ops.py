@@ -387,3 +387,15 @@ def test_streaming_count_min_equals_batch(spark, tmp_path):
         for r in count_min_lookup(batch_cm, keys, "kk").collect()
     }
     assert stream_est == batch_est
+
+
+def test_bloom_semi_join_string_and_null_keys(spark):
+    probe = spark.createDataFrame(
+        [("a",), ("b",), (None,), ("c",), ("dd",)], "k string"
+    )
+    build = spark.createDataFrame([("a",), ("dd",), (None,)], "k string")
+    got = sorted(r["k"] for r in bloom_semi_join(probe, build, "k").collect())
+    want = sorted(
+        r["k"] for r in probe.join(build.distinct(), "k", "left_semi").collect()
+    )
+    assert got == want == ["a", "dd"]  # NULL never equals NULL in a semi join
