@@ -399,3 +399,18 @@ def test_bloom_semi_join_string_and_null_keys(spark):
         r["k"] for r in probe.join(build.distinct(), "k", "left_semi").collect()
     )
     assert got == want == ["a", "dd"]  # NULL never equals NULL in a semi join
+
+
+def test_hll_ignores_consistency_with_duckdb_on_null_keys(spark, duck):
+    """NULL keys hash to NULL in BOTH engines (md5(NULL) = NULL), so the
+    sketches stay bit-identical even with nulls present."""
+    from event_streaming_spark.operators.sketches import hll_estimate, sql_hll_estimate
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)] + [(None,)] * 5, "k int"
+    )
+    spark_est = hll_estimate(df, F.col("k")).collect()[0]["hll_estimate"]
+    duck.sql("CREATE OR REPLACE TABLE _hllnull AS SELECT * FROM (VALUES " +
+             ", ".join(f"({i})" for i in range(200)) + ", (NULL), (NULL), (NULL), (NULL), (NULL)) t(k)")
+    duck_est = duck.sql(sql_hll_estimate("k", "_hllnull")).fetchone()[0]
+    assert spark_est == duck_est
