@@ -526,19 +526,42 @@ def events_skew_report_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the lag deterministic under equal timestamps (replay-safe).
 # ---------------------------------------------------------------------------
 
-_GAPS_ORACLE = """
+# Exact-integer linear interpolation (type-7, the quantile_cont /
+# percentile() formula) computed BY HAND in both engines: engine-native
+# interpolation differs in float evaluation order, which showed up as a
+# last-ulp mismatch at sf0.1 (p99 over 240k gaps).  Gaps are integer µs,
+# so with t = (n-1)·p: lo = gap[t div 100], f = t mod 100, the
+# interpolated value is (lo·(100-f) + hi·f)/100 — an exact int64
+# numerator and ONE identical division.
+
+_PCTS = (50, 90, 99)
+
+
+def _pct_sql(p: int) -> str:
+    lo = f"max(CASE WHEN rv - 1 = ((n - 1) * {p}) // 100 THEN gap_us END)"
+    hi = f"max(CASE WHEN rv - 1 = ((n - 1) * {p}) // 100 + 1 THEN gap_us END)"
+    f_ = f"max(((n - 1) * {p}) % 100)"
+    return (
+        f"round(({lo} * (100 - {f_}) + coalesce({hi}, {lo}) * {f_}) / 100.0, 6)"
+        f" AS p{p}_us"
+    )
+
+
+_GAPS_ORACLE = f"""
 WITH g AS (
   SELECT event_type,
          epoch_us(ts) - lag(epoch_us(ts)) OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
   FROM events
+), pos AS (
+  SELECT event_type, gap_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rv,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM g WHERE gap_us IS NOT NULL
 )
-SELECT event_type,
-       count(gap_us) AS n_gaps,
-       round(quantile_cont(gap_us, 0.5), 6) AS p50_us,
-       round(quantile_cont(gap_us, 0.9), 6) AS p90_us,
-       round(quantile_cont(gap_us, 0.99), 6) AS p99_us
-FROM g WHERE gap_us IS NOT NULL
+SELECT event_type, max(n) AS n_gaps,
+       {", ".join(_pct_sql(p) for p in _PCTS)}
+FROM pos
 GROUP BY event_type
 """
 
@@ -553,9 +576,24 @@ def events_user_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.select(
         "event_type", (sec - F.lag(sec).over(w)).alias("gap_us")
     ).filter(F.col("gap_us").isNotNull())
-    return g.groupBy("event_type").agg(
-        F.count("gap_us").alias("n_gaps"),
-        F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("p50_us"),
-        F.round(F.expr("percentile(gap_us, 0.9)"), 6).alias("p90_us"),
-        F.round(F.expr("percentile(gap_us, 0.99)"), 6).alias("p99_us"),
+    wt = Window.partitionBy("event_type").orderBy("gap_us")
+    pos = g.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wt).alias("rv"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def pct(p: int):
+        lo = F.max(F.when(F.expr(f"rv - 1 = ((n - 1) * {p}) div 100"), F.col("gap_us")))
+        hi = F.max(
+            F.when(F.expr(f"rv - 1 = ((n - 1) * {p}) div 100 + 1"), F.col("gap_us"))
+        )
+        f_ = F.max(F.expr(f"((n - 1) * {p}) % 100"))
+        return F.round(
+            (lo * (100 - f_) + F.coalesce(hi, lo) * f_) / 100.0, 6
+        ).alias(f"p{p}_us")
+
+    return pos.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"), *[pct(p) for p in _PCTS]
     )
