@@ -162,3 +162,39 @@ def test_schema_evolution_read(spark, store):
     merged = store.spark.read.option("mergeSchema", "true").parquet(*store.files())
     assert set(merged.columns) == {"id", "tag"}
     assert merged.where(F.col("tag").isNull()).count() == 10
+
+
+def test_incremental_view_maintenance_from_change_feed(spark, store):
+    """Delta-applying the change feed must reproduce the full recompute
+    exactly, through an append AND a delete."""
+    from event_streaming_spark.operators.ivm import apply_group_delta, count_sum_view
+
+    base = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") % 100).alias("v")
+    )
+    store.append(base)                                     # v0
+    view = count_sum_view(store.read(0), ["k"], "v")
+
+    store.append(
+        spark.range(2000, 2600).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") % 100).alias("v")
+        )
+    )                                                      # v1
+    store.delete_where("id % 13 = 0")                      # v2
+
+    for v_from, v_to in ((0, 1), (1, 2)):
+        changes = store.table_changes(v_from, v_to)
+        view = apply_group_delta(view, changes, ["k"], "v")
+        want = sorted(map(tuple, count_sum_view(store.read(v_to), ["k"], "v").collect()))
+        got = sorted(map(tuple, view.collect()))
+        assert got == want, f"IVM diverged at v{v_to}"
+
+
+def test_ivm_drops_groups_reaching_zero(spark, store):
+    from event_streaming_spark.operators.ivm import apply_group_delta, count_sum_view
+
+    store.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string"))
+    view = count_sum_view(store.read(0), ["k"])
+    store.delete_where("k = 'a'")
+    view2 = apply_group_delta(view, store.table_changes(0, 1), ["k"])
+    assert [tuple(r) for r in view2.collect()] == [("b", 1)]
