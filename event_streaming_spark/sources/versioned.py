@@ -226,21 +226,37 @@ class VersionedStore:
             .start()
         )
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(self, keep_last: int = 2, min_age_s: float = 3600.0) -> list[str]:
         """Drop manifests older than the last ``keep_last`` and delete
         data files no retained manifest references.  The ONLY deletion
-        in the system; time travel works for every retained version."""
+        in the system; time travel works for every retained version.
+
+        ``min_age_s``: unreferenced files younger than this survive —
+        they may belong to a commit IN FLIGHT (staged data lands before
+        its manifest), and deleting them would make that commit publish
+        dangling references.  The same retention-grace rule as Delta's
+        ``VACUUM ... RETAIN``; pass 0 only when no writer can be live.
+        Stale ``_staging-*`` dirs (crashed writers) past the grace age
+        are swept too."""
+        import time
+
         head = self.latest_version()
         keep = {v for v in range(max(0, head - keep_last + 1), head + 1)}
         referenced: set[str] = set()
         for v in keep:
             referenced |= set(self._manifest(v)["files"])
+        now = time.time()
         removed = []
         for f in os.listdir(self.data_dir):
-            if f not in referenced:
-                os.unlink(os.path.join(self.data_dir, f))
+            p = os.path.join(self.data_dir, f)
+            if f not in referenced and now - os.path.getmtime(p) >= min_age_s:
+                os.unlink(p)
                 removed.append(f)
         for f in os.listdir(self.manifest_dir):
             if f.startswith("v") and int(f[1:-5]) not in keep:
                 os.unlink(os.path.join(self.manifest_dir, f))
+        for f in os.listdir(self.path):
+            p = os.path.join(self.path, f)
+            if f.startswith("_staging-") and now - os.path.getmtime(p) >= min_age_s:
+                shutil.rmtree(p)
         return removed

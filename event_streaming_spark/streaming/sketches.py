@@ -58,7 +58,23 @@ class HllStreamingSketch:
             .start()
         )
 
+    def _recover(self) -> None:
+        """Repair an interrupted compact(): data displaced to ``._old``
+        with the live path missing → restore it; stale ``._compacting``
+        output is garbage either way."""
+        import shutil
+
+        bak, tmp = self.path + "._old", self.path + "._compacting"
+        if os.path.isdir(bak):
+            if os.path.isdir(self.path):
+                shutil.rmtree(bak)
+            else:
+                os.rename(bak, self.path)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+
     def registers(self) -> DataFrame:
+        self._recover()
         return hll_merge(self.spark.read.parquet(self.path))
 
     def estimate(self) -> float:
@@ -68,7 +84,8 @@ class HllStreamingSketch:
 
     def compact(self) -> None:
         """Fold the append-only log back to ≤ m rows (optional hygiene;
-        estimates are identical before and after)."""
+        estimates are identical before and after).  Crash-recoverable:
+        an interrupted swap is repaired on the next read (``_recover``)."""
         merged = self.registers().collect()
         df = self.spark.createDataFrame(merged, "bucket long, reg int")
         tmp = self.path + "._compacting"

@@ -414,3 +414,29 @@ def test_hll_ignores_consistency_with_duckdb_on_null_keys(spark, duck):
              ", ".join(f"({i})" for i in range(200)) + ", (NULL), (NULL), (NULL), (NULL), (NULL)) t(k)")
     duck_est = duck.sql(sql_hll_estimate("k", "_hllnull")).fetchone()[0]
     assert spark_est == duck_est
+
+
+def test_streaming_hll_compact_crash_recovery(spark, tmp_path):
+    import os as _os
+    import shutil as _shutil
+
+    from event_streaming_spark.streaming.sketches import HllStreamingSketch
+
+    sk = HllStreamingSketch(spark, str(tmp_path / "regs"), "k")
+    # seed the register log directly (no stream needed for this test)
+    from event_streaming_spark.operators.sketches import hll_registers
+    from pyspark.sql import functions as _F
+
+    hll_registers(spark.range(5000).select(_F.col("id").alias("k")), _F.col("k")).write.mode(
+        "append"
+    ).parquet(sk.path)
+    est = sk.estimate()
+    # simulate a crash between compact()'s two renames: live path moved
+    # to ._old, replacement never landed
+    _os.rename(sk.path, sk.path + "._old")
+    assert not _os.path.isdir(sk.path)
+    assert sk.estimate() == est  # _recover restored the log
+    # stale ._compacting garbage is swept as well
+    _shutil.copytree(sk.path, sk.path + "._compacting")
+    assert sk.estimate() == est
+    assert not _os.path.isdir(sk.path + "._compacting")

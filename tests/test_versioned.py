@@ -103,7 +103,9 @@ def test_vacuum_retention_window(spark, store):
     store.append(spark.range(100).select(F.col("id")))          # v0
     store.append(spark.range(100, 200).select(F.col("id")))     # v1
     store.compact()                                             # v2
-    removed = store.vacuum(keep_last=1)
+    # default grace period protects in-flight commits: nothing young dies
+    assert store.vacuum(keep_last=1) == []
+    removed = store.vacuum(keep_last=1, min_age_s=0)
     assert removed  # pre-compaction files gone
     assert store.read().count() == 200
     with pytest.raises(Exception):
