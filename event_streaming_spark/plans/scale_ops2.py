@@ -657,3 +657,82 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _ADC_K)
         .orderBy("query_vec", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Welch z-test between event types' value distributions — the
+# A/B-significance primitive.  Moments come from exact integer sums
+# (scaled 1e6 per functions/numeric.py discipline), so mean/variance are
+# bit-identical across engines; the z statistic is a fixed chain of
+# IEEE ops on those identical doubles, rounded to 6.  One
+# map-side-combining aggregate over the fact — no shuffle beyond the
+# 5-row type summary, pairs formed by a self-join of that summary.
+# ---------------------------------------------------------------------------
+
+_ZTEST_ORACLE = """
+WITH m AS (
+  SELECT event_type, count(*) AS n,
+         sum(cast(round(value * 1e6) AS BIGINT)) AS s1,
+         sum(cast(round(value * 1e6) AS DECIMAL(19,0))
+             * cast(round(value * 1e6) AS DECIMAL(19,0))) AS s2
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT event_type, n,
+         (cast(s1 AS DOUBLE) / 1e6) / n AS mean,
+         (cast(s2 AS DOUBLE) / 1e12 - (cast(s1 AS DOUBLE) / 1e6)
+            * (cast(s1 AS DOUBLE) / 1e6) / n) / (n - 1) AS var
+  FROM m
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.n AS n_a, b.n AS n_b,
+       round(a.mean - b.mean, 6) AS mean_diff,
+       round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6) AS z_stat
+FROM stats a JOIN stats b ON a.event_type < b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+@register("events_ab_value_ztest", _ZTEST_ORACLE, tags=("agg", "stats"))
+def events_ab_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # s2 = Σq² overflows int64 at ~10⁵ rows of q ≈ 5.6e8 (ANSI error at
+    # sf0.1), so the squared moment accumulates in DECIMAL(38,0) — exact
+    # integers in both engines, one identical decimal→double cast at the end
+    q = F.round(F.col("value") * 1e6).cast("long")
+    qd = F.round(F.col("value") * 1e6).cast("decimal(19,0)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(qd * qd).alias("s2"),
+    )
+    stats = m.select(
+        "event_type",
+        "n",
+        ((F.col("s1").cast("double") / 1e6) / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("s2").cast("double") / 1e12
+                - (F.col("s1").cast("double") / 1e6)
+                * (F.col("s1").cast("double") / 1e6)
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a, b = stats.alias("a"), stats.alias("b")
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(F.col("a.mean") - F.col("b.mean"), 6).alias("mean_diff"),
+            F.round(
+                (F.col("a.mean") - F.col("b.mean"))
+                / F.sqrt(F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")),
+                6,
+            ).alias("z_stat"),
+        )
+        .orderBy("type_a", "type_b")
+    )
