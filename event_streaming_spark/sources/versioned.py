@@ -125,7 +125,14 @@ class VersionedStore:
     def delete_where(self, predicate) -> int:
         """Copy-on-write delete: rewrite ONLY the files that contain
         matching rows; untouched files carry over by reference.  Returns
-        the new version."""
+        the new version.
+
+        Isolation level is write-serializable, like Delta's default: the
+        delete applies to the snapshot it READ.  A concurrent append
+        that commits first carries over untouched (its rows are not
+        re-filtered, even if they match); a concurrent compact/delete
+        that replaced one of this delete's target files aborts the
+        commit with CommitConflict rather than resurrecting rows."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         base = self.latest_version()
         df = self.read(base)
