@@ -160,6 +160,54 @@ class VersionedStore:
 
         return self._commit(compute, "delete")
 
+    def merge(self, updates: DataFrame, key: str) -> int:
+        """MERGE INTO (upsert by key), one atomic commit: rows whose key
+        appears in ``updates`` are REPLACED, new keys are INSERTED.
+
+        Copy-on-write at file granularity, like delete_where: only files
+        containing a matched key are rewritten (their unmatched rows
+        survive verbatim); every other file carries over by reference;
+        the update batch lands as new files.  Readers see the old or the
+        new table, never a half-merged one — the replace and the insert
+        publish in the SAME manifest.  Cost scales with matched files +
+        update size, never the base table."""
+        base_v = self.latest_version()
+        keys = updates.select(key).distinct()
+        if base_v < 0:
+            new = self._stage_files(updates, "merge")
+            return self._commit(lambda prev: prev + new, "merge")
+        df = self.read(base_v)
+        # _metadata.file_path resolves only on the scan itself — pin it
+        # as an ordinary column before any join drops the pseudo-column
+        with_f = df.withColumn(
+            "__f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        )
+        hit_files = {
+            r["__f"]
+            for r in with_f.join(keys, key, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        }
+        new = []
+        if hit_files:
+            survivors = (
+                with_f.filter(F.col("__f").isin(*hit_files))
+                .join(keys, key, "left_anti")
+                .drop("__f")
+            )
+            if survivors.count():
+                new += self._stage_files(survivors, "merge")
+        new += self._stage_files(updates.select(*df.columns), "merge")
+
+        def compute(prev: list[str]) -> list[str]:
+            missing = hit_files - set(prev)
+            if missing:
+                raise CommitConflict(f"files vanished mid-merge: {sorted(missing)}")
+            return [f for f in prev if f not in hit_files] + new
+
+        return self._commit(compute, "merge")
+
     def compact(self, target_files: int = 1) -> int:
         base = self.latest_version()
         df = self.read(base)

@@ -200,3 +200,34 @@ def test_ivm_drops_groups_reaching_zero(spark, store):
     store.delete_where("k = 'a'")
     view2 = apply_group_delta(view, store.table_changes(0, 1), ["k"])
     assert [tuple(r) for r in view2.collect()] == [("b", 1)]
+
+
+def test_merge_upsert_atomic(spark, store):
+    store.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, k string, v long"
+        )
+    )                                                       # v0
+    store.append(
+        spark.createDataFrame([(4, "d", 40)], "id long, k string, v long")
+    )                                                       # v1
+    v = store.merge(
+        spark.createDataFrame(
+            [(2, "b2", 99), (5, "e", 50)], "id long, k string, v long"
+        ),
+        key="id",
+    )                                                       # v2: update id=2, insert id=5
+    got = {r["id"]: (r["k"], r["v"]) for r in store.read(v).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 99), 3: ("c", 30), 4: ("d", 40), 5: ("e", 50)}
+    # pre-merge snapshot intact (audit), and the untouched file (v1's
+    # append, no matched keys) carried over by reference
+    assert {r["id"] for r in store.read(1).collect()} == {1, 2, 3, 4}
+    before = set(store.files(1))
+    after = set(store.files(v))
+    assert any(f in after for f in before)  # carry-over by reference
+
+
+def test_merge_into_empty_table(spark, store):
+    v = store.merge(spark.createDataFrame([(1, "x")], "id long, k string"), key="id")
+    assert v == 0
+    assert store.read().count() == 1
