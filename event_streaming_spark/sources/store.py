@@ -239,3 +239,57 @@ class EventStore:
         """Keyed point read (BDB main-store get analogue) — predicate
         pushdown to parquet scan."""
         return self.read().filter(F.col(key_col) == F.lit(key_value))
+
+
+class KeyIndex:
+    """Secondary index for EventStore point reads: key → active dates.
+
+    BDB's secondary DB maps key → records; the partition-pruned analogue
+    maps key → the DAY-PARTITIONS containing it (one distinct (key,
+    event_date) table, rebuilt incrementally per day).  A point read
+    then touches only the key's active days — for a user active 30 days
+    out of 3 years, a ~40× partition cut before parquet row-group stats
+    (compact(sort_by=[key]) tightens those) take over inside each day.
+    Stored under an underscore dir, invisible to store scans.
+    """
+
+    def __init__(self, store: EventStore, key_col: str) -> None:
+        import os
+
+        self.store = store
+        self.key_col = key_col
+        self.path = os.path.join(store.path, f"_index-{key_col}")
+
+    def rebuild(self, dates: list[dt.date] | None = None) -> None:
+        """Full rebuild, or refresh only ``dates`` (the incremental path
+        after appending a day: one day's distinct keys, tiny)."""
+        df = self.store.read()
+        if dates is not None:
+            df = df.filter(F.col("event_date").isin(*[F.lit(d) for d in dates]))
+        idx = df.select(self.key_col, "event_date").distinct()
+        if dates is None:
+            idx.write.mode("overwrite").partitionBy("event_date").parquet(self.path)
+        else:
+            # day-partitioned overwrite-by-partition keeps other days intact
+            self.store.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            idx.write.mode("overwrite").partitionBy("event_date").parquet(self.path)
+
+    def lookup(self, value) -> DataFrame:
+        """Point read via the index: prune to the key's active days, then
+        the key predicate rides row-group stats within them."""
+        idx = self.store.spark.read.parquet(self.path)
+        days = [
+            r["event_date"]
+            for r in idx.filter(F.col(self.key_col) == F.lit(value))
+            .select("event_date")
+            .distinct()
+            .collect()
+        ]
+        if not days:
+            return self.store.read().filter(F.lit(False))
+        return self.store.read().filter(
+            F.col("event_date").isin(*[F.lit(d) for d in days])
+            & (F.col(self.key_col) == F.lit(value))
+        )

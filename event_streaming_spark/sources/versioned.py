@@ -281,6 +281,31 @@ class VersionedStore:
             .start()
         )
 
+    def upsert_sink(self, stream_df: DataFrame, key: str, checkpoint: str):
+        """Streaming CDC apply: each micro-batch MERGEs by key — the
+        versioned table continuously tracks the latest row per key,
+        every batch an atomic, time-travelable version.  Replay-safe via
+        the batch ledger.  Within one batch, the last row per key (by
+        batch order) wins — dedupe upstream for a different policy."""
+        ledger = os.path.join(checkpoint, "vstore-upsert-ledger")
+
+        def _batch(batch_df: DataFrame, batch_id: int) -> None:
+            mark = os.path.join(ledger, f"batch-{batch_id}.done")
+            if os.path.exists(mark):
+                return
+            deduped = batch_df.dropDuplicates([key])
+            v = self.merge(deduped, key)
+            os.makedirs(ledger, exist_ok=True)
+            with open(mark, "w") as fh:
+                fh.write(str(v))
+
+        return (
+            stream_df.writeStream.foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def vacuum(self, keep_last: int = 2, min_age_s: float = 3600.0) -> list[str]:
         """Drop manifests older than the last ``keep_last`` and delete
         data files no retained manifest references.  The ONLY deletion

@@ -954,3 +954,45 @@ def test_store_compact_zorder(spark, tmp_path):
     assert after == 2
     assert store.read_key("event_date", "2024-01-05").count() == n
     assert len(_glob.glob(f"{store.path}/event_date=2024-01-05/*.parquet")) == 2
+
+
+def test_key_index_point_read_prunes_partitions(spark, tmp_path):
+    from event_streaming_spark.sources.store import KeyIndex
+
+    store = EventStore(spark, str(tmp_path / "kistore"))
+    ev = load(spark, SF_SMALL, "events")
+    store.append(ev)
+    idx = KeyIndex(store, "user_id")
+    idx.rebuild()
+
+    victim = ev.select("user_id").first()["user_id"]
+    via_index = idx.lookup(victim)
+    full = store.read_key("user_id", victim)
+    assert sorted(r["event_id"] for r in via_index.collect()) == sorted(
+        r["event_id"] for r in full.collect()
+    )
+    # pruning: the day list becomes a PartitionFilter on the scan
+    # (inputFiles() lists pre-pruning files, so probe the plan instead)
+    active_days = {r[0] for r in ev.filter(F.col("user_id") == victim)
+                   .select(F.to_date("ts")).distinct().collect()}
+    all_days = {r[0] for r in ev.select(F.to_date("ts")).distinct().collect()}
+    assert len(active_days) < len(all_days), "fixture: victim active every day"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        via_index.explain("formatted")
+    plan = buf.getvalue()
+    import re as _re
+
+    assert _re.search(r"PartitionFilters: \[event_date#\d+ INSET", plan), plan
+    # the pruned set is exactly the victim's active days
+    inset = _re.search(r"INSET ([0-9, -]+)", plan).group(1)
+    assert len(inset.split(",")) == len(active_days)
+
+    # incremental refresh of one day only
+    idx.rebuild(dates=sorted(active_days)[:1])
+    assert sorted(r["event_id"] for r in idx.lookup(victim).collect()) == sorted(
+        r["event_id"] for r in full.collect()
+    )
