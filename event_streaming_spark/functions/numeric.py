@@ -99,3 +99,31 @@ def l2_norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns (double math)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Exact order statistics (see DESIGN.md "order statistics" section):
+# type-7 linear interpolation computed from exact integers so Spark and
+# the oracle agree bitwise — engine-native percentile interpolation
+# diverges by an ulp on large-magnitude values.
+# ---------------------------------------------------------------------------
+
+
+def exact_pct_agg(p: int, round_to: int = 6) -> Column:
+    """Aggregate Column for the p-th percentile (type-7) over rows that
+    carry ``val`` (integer), ``rv`` (1-based rank by val within the
+    group) and ``n`` (group size) — produced by a rank window.  With
+    t = (n-1)·p: result = (val[t div 100]·(100-f) + val[t div 100 + 1]·f)/100,
+    f = t mod 100 — exact int64 numerator, one division."""
+    lo = F.max(F.when(F.expr(f"rv - 1 = ((n - 1) * {p}) div 100"), F.col("val")))
+    hi = F.max(F.when(F.expr(f"rv - 1 = ((n - 1) * {p}) div 100 + 1"), F.col("val")))
+    f_ = F.max(F.expr(f"((n - 1) * {p}) % 100"))
+    return F.round((lo * (100 - f_) + F.coalesce(hi, lo) * f_) / 100.0, round_to)
+
+
+def sql_exact_pct_agg(p: int, round_to: int = 6) -> str:
+    """DuckDB twin of :func:`exact_pct_agg` (same rv/n/val contract)."""
+    lo = f"max(CASE WHEN rv - 1 = ((n - 1) * {p}) // 100 THEN val END)"
+    hi = f"max(CASE WHEN rv - 1 = ((n - 1) * {p}) // 100 + 1 THEN val END)"
+    f_ = f"max(((n - 1) * {p}) % 100)"
+    return f"round(({lo} * (100 - {f_}) + coalesce({hi}, {lo}) * {f_}) / 100.0, {round_to})"

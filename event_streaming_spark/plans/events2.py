@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from event_streaming_spark.functions.numeric import sql_exact_sum
+from event_streaming_spark.functions.numeric import (
+    exact_pct_agg,
+    sql_exact_pct_agg,
+    sql_exact_sum,
+)
 from event_streaming_spark.plans.catalog import load, register
 
 # ---------------------------------------------------------------------------
@@ -537,16 +541,6 @@ def events_skew_report_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCTS = (50, 90, 99)
 
 
-def _pct_sql(p: int) -> str:
-    lo = f"max(CASE WHEN rv - 1 = ((n - 1) * {p}) // 100 THEN gap_us END)"
-    hi = f"max(CASE WHEN rv - 1 = ((n - 1) * {p}) // 100 + 1 THEN gap_us END)"
-    f_ = f"max(((n - 1) * {p}) % 100)"
-    return (
-        f"round(({lo} * (100 - {f_}) + coalesce({hi}, {lo}) * {f_}) / 100.0, 6)"
-        f" AS p{p}_us"
-    )
-
-
 _GAPS_ORACLE = f"""
 WITH g AS (
   SELECT event_type,
@@ -554,13 +548,13 @@ WITH g AS (
            PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
   FROM events
 ), pos AS (
-  SELECT event_type, gap_us,
+  SELECT event_type, gap_us AS val,
          row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rv,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM g WHERE gap_us IS NOT NULL
 )
 SELECT event_type, max(n) AS n_gaps,
-       {", ".join(_pct_sql(p) for p in _PCTS)}
+       {", ".join(f"{sql_exact_pct_agg(p)} AS p{p}_us" for p in _PCTS)}
 FROM pos
 GROUP BY event_type
 """
@@ -579,21 +573,11 @@ def events_user_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = Window.partitionBy("event_type").orderBy("gap_us")
     pos = g.select(
         "event_type",
-        "gap_us",
+        F.col("gap_us").alias("val"),
         F.row_number().over(wt).alias("rv"),
         F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
     )
-
-    def pct(p: int):
-        lo = F.max(F.when(F.expr(f"rv - 1 = ((n - 1) * {p}) div 100"), F.col("gap_us")))
-        hi = F.max(
-            F.when(F.expr(f"rv - 1 = ((n - 1) * {p}) div 100 + 1"), F.col("gap_us"))
-        )
-        f_ = F.max(F.expr(f"((n - 1) * {p}) % 100"))
-        return F.round(
-            (lo * (100 - f_) + F.coalesce(hi, lo) * f_) / 100.0, 6
-        ).alias(f"p{p}_us")
-
     return pos.groupBy("event_type").agg(
-        F.max("n").alias("n_gaps"), *[pct(p) for p in _PCTS]
+        F.max("n").alias("n_gaps"),
+        *[exact_pct_agg(p).alias(f"p{p}_us") for p in _PCTS],
     )
