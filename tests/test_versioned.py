@@ -264,3 +264,43 @@ def test_streaming_upsert_sink_tracks_latest_per_key(spark, store, tmp_path):
     assert got[3] == "c0" and got[5] == "e0"
     assert store.latest_version() == 2  # one version per micro-batch
     assert store.read(0).count() == 3   # first batch snapshot intact
+
+
+def test_cdc_to_ivm_to_sketch_end_to_end(spark, store, tmp_path):
+    """The round-2 systems composed: keyed CDC stream → versioned upsert
+    table (atomic per batch) → change-feed-driven incremental aggregate
+    (== full recompute at every version) → HLL sketch over the final
+    table (== exact distinct, small domain)."""
+    from event_streaming_spark.operators.ivm import apply_group_delta, count_sum_view
+    from event_streaming_spark.operators.sketches import hll_estimate
+
+    src = str(tmp_path / "cdc")
+    spark.createDataFrame(
+        [(i, f"seg{i % 3}", i) for i in range(60)], "id long, seg string, v long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(i, f"seg{i % 3}", i * 10) for i in range(40, 80)], "id long, seg string, v long"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = store.upsert_sink(
+        spark.readStream.schema("id long, seg string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        key="id",
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    head = store.latest_version()
+    assert head == 1 and store.read().count() == 80
+
+    # IVM across every version transition == recompute at each snapshot
+    view = count_sum_view(store.read(0), ["seg"], "v")
+    for v in range(1, head + 1):
+        view = apply_group_delta(view, store.table_changes(v - 1, v), ["seg"], "v")
+        want = sorted(map(tuple, count_sum_view(store.read(v), ["seg"], "v").collect()))
+        assert sorted(map(tuple, view.collect())) == want
+
+    # sketch the final table: 80 keys ≪ 2.5·m → linear-counting branch,
+    # which is EXACT while any register stays empty
+    est = hll_estimate(store.read(head), F.col("id")).collect()[0]["hll_estimate"]
+    assert abs(est - 80) / 80 < 0.25
