@@ -736,3 +736,117 @@ def events_ab_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier statistics: per-type median, MAD (median absolute
+# deviation) and the |dev| > 3·MAD outlier count — the robust-stats
+# alternative to z-scores (one wild value cannot move the thresholds).
+# Two exact-order-statistic passes (see DESIGN.md): every intermediate
+# is an exact scaled integer — values at 1e6, median numerator at 1e8
+# (the type-7 interpolation keeps a /100 as a NUMERATOR), deviations at
+# 1e8, MAD numerator at 1e10 — so the outlier comparison
+# dev·100 > 3·mad_num is pure int64 and both engines agree bitwise;
+# the only divisions are the two display roundings.
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH v AS (
+  SELECT event_type, cast(round(value * 1e6) AS BIGINT) AS v6 FROM events
+), pos1 AS (
+  SELECT event_type, v6,
+         row_number() OVER (PARTITION BY event_type ORDER BY v6) AS rv,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+), med AS (
+  SELECT event_type, max(n) AS n,
+         max(CASE WHEN rv - 1 = ((n - 1) * 50) // 100 THEN v6 END)
+           * (100 - max(((n - 1) * 50) % 100))
+         + coalesce(max(CASE WHEN rv - 1 = ((n - 1) * 50) // 100 + 1 THEN v6 END),
+                    max(CASE WHEN rv - 1 = ((n - 1) * 50) // 100 THEN v6 END))
+           * max(((n - 1) * 50) % 100) AS med_num
+  FROM pos1 GROUP BY event_type
+), dev AS (
+  SELECT v.event_type, abs(100 * v.v6 - m.med_num) AS d8, m.med_num, m.n
+  FROM v JOIN med m USING (event_type)
+), pos2 AS (
+  SELECT event_type, d8, med_num,
+         row_number() OVER (PARTITION BY event_type ORDER BY d8) AS rv,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+  SELECT event_type, max(med_num) AS med_num, max(n) AS n,
+         max(CASE WHEN rv - 1 = ((n - 1) * 50) // 100 THEN d8 END)
+           * (100 - max(((n - 1) * 50) % 100))
+         + coalesce(max(CASE WHEN rv - 1 = ((n - 1) * 50) // 100 + 1 THEN d8 END),
+                    max(CASE WHEN rv - 1 = ((n - 1) * 50) // 100 THEN d8 END))
+           * max(((n - 1) * 50) % 100) AS mad_num
+  FROM pos2 GROUP BY event_type
+)
+SELECT d.event_type, max(m.n) AS n,
+       round(max(m.med_num) / 1e8, 6) AS med_value,
+       round(max(m.mad_num) / 1e10, 6) AS mad_value,
+       sum(CASE WHEN d.d8 * 100 > 3 * m.mad_num THEN 1 ELSE 0 END) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register("events_mad_outliers", _MAD_ORACLE, tags=("agg", "stats", "robust"))
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 1e6).cast("long").alias("v6")
+    )
+
+    def interp_num(df, col):  # type-7 p50 numerator at 100× the input scale
+        wt = Window.partitionBy("event_type").orderBy(col)
+        pos = df.select(
+            "event_type",
+            F.col(col),
+            *[c for c in df.columns if c not in ("event_type", col)],
+            F.row_number().over(wt).alias("rv"),
+            F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+        )
+        lo = F.max(F.when(F.expr("rv - 1 = ((n - 1) * 50) div 100"), F.col(col)))
+        hi = F.max(F.when(F.expr("rv - 1 = ((n - 1) * 50) div 100 + 1"), F.col(col)))
+        f_ = F.max(F.expr("((n - 1) * 50) % 100"))
+        carry = [
+            F.max(c).alias(c)
+            for c in df.columns
+            if c not in ("event_type", col)
+        ]
+        return pos.groupBy("event_type").agg(
+            F.max("n").alias("n"),
+            (lo * (100 - f_) + F.coalesce(hi, lo) * f_).alias("num"),
+            *carry,
+        )
+
+    med = interp_num(v, "v6").select(
+        "event_type", "n", F.col("num").alias("med_num")
+    )
+    dev = v.join(med, "event_type").select(
+        "event_type",
+        (F.abs(100 * F.col("v6") - F.col("med_num"))).alias("d8"),
+        "med_num",
+    )
+    mad = interp_num(dev.select("event_type", "d8", "med_num"), "d8").select(
+        "event_type", F.col("med_num"), F.col("num").alias("mad_num")
+    )
+    return (
+        dev.select("event_type", "d8")
+        .join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med_num") / 1e8, 6).alias("med_value"),
+            F.round(F.max("mad_num") / 1e10, 6).alias("mad_value"),
+            F.sum(
+                F.when(F.col("d8") * 100 > 3 * F.col("mad_num"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
