@@ -850,3 +850,110 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-conditional surprisal (perplexity proxy v2): per-token score
+# log2 cnt(prev) − log2 cnt(prev,tok) — how UNPREDICTABLE each token is
+# given its predecessor under the corpus-trained bigram model; document
+# average ranks fluent text low and gibberish/boilerplate-stitched text
+# high, sharper than the unigram scorer (text_unigram_surprisal_score).
+# First tokens back off to the unigram model.  Integer log2 via
+# bit-length (length(bin(c))-1) keeps both engines bit-identical, the
+# same trick as the unigram query.  Scale: positions are a stateless
+# explode; ONE bigram count shuffle + ONE join back on the bigram key;
+# count tables broadcast (vocab²-bounded, zipf-small in practice).
+# ---------------------------------------------------------------------------
+
+
+def _bigram_oracle() -> str:
+    from event_streaming_spark.functions.hashing import sql_normalize_text
+
+    norm = sql_normalize_text("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(range(1, len(string_split({norm}, ' ')) + 1)) AS pos,
+         unnest(string_split({norm}, ' ')) AS tok
+  FROM documents
+), seq AS (
+  SELECT doc_id, pos, tok,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM toks
+), cu AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS t FROM cu),
+cb AS (SELECT prev, tok, count(*) AS b FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+scored AS (
+  SELECT s.doc_id,
+         CASE WHEN s.prev IS NULL
+              THEN (length(bin(tot.t)) - 1) - (length(bin(u.c)) - 1)
+              ELSE (length(bin(pu.c)) - 1) - (length(bin(cb.b)) - 1)
+         END AS surprisal
+  FROM seq s
+  JOIN cu u ON u.tok = s.tok
+  LEFT JOIN cu pu ON pu.tok = s.prev
+  LEFT JOIN cb ON cb.prev = s.prev AND cb.tok = s.tok
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       cast(count(*) AS BIGINT) AS n_tokens,
+       cast(sum(surprisal) AS BIGINT) AS sum_surprisal,
+       round(cast(sum(surprisal) AS DOUBLE) / count(*), 6) AS avg_surprisal
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_bigram_surprisal_score", _bigram_oracle(), tags=("llm", "text", "quality"))
+def text_bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from event_streaming_spark.functions.hashing import tokens
+    from event_streaming_spark.plans.catalog import spread
+
+    def ilog2(c):
+        return F.length(F.bin(c)) - 1
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    seq = toks.withColumn(
+        "prev", F.lag("tok").over(Window.partitionBy("doc_id").orderBy("pos"))
+    )
+    cu = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cu.agg(F.sum("c").alias("t"))
+    cb = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).alias("b"))
+    )
+    scored = (
+        seq.join(F.broadcast(cu), "tok")
+        .join(
+            F.broadcast(cu.select(F.col("tok").alias("prev"), F.col("c").alias("pc"))),
+            "prev",
+            "left",
+        )
+        .join(F.broadcast(cb), ["prev", "tok"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("prev").isNull(), ilog2(F.col("t")) - ilog2(F.col("c"))
+            )
+            .otherwise(ilog2(F.col("pc")) - ilog2(F.col("b")))
+            .alias("surprisal"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("surprisal").cast("long").alias("sum_surprisal"),
+            F.round(F.sum("surprisal").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
