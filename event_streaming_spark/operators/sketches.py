@@ -274,14 +274,12 @@ SELECT grp, h, val FROM ranked WHERE r <= {k}
 """
 
 
-def hll_estimate_by(
-    df: DataFrame, group: Column, key: Column, b: int = 6
+def hll_registers_by(
+    df: DataFrame, group_cols: list[str], key: Column, b: int = 6
 ) -> DataFrame:
-    """Per-group HLL estimates ``(grp, hll_estimate)`` — the grouped form
-    (distinct users per day/type/source).  State: ≤ m registers PER
-    GROUP, one (grp, bucket) shuffle; same exact-integer finalizer as
-    the global sketch."""
-    m = 1 << b
+    """Grouped sketch state: ``(*group_cols, bucket, reg)`` — ≤ m rows
+    PER GROUP.  Merges across inputs/batches by per-(group, bucket) max
+    (``hll_merge_by``), exactly like the global registers."""
     w_bits = 32 - b
     h = stable_hash32(key.cast("string"))
     bucket = F.shiftright(h, w_bits)
@@ -289,12 +287,22 @@ def hll_estimate_by(
     rank = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
         F.lit(w_bits + 1) - F.length(F.bin(w))
     )
-    regs = (
-        df.select(group.alias("grp"), bucket.alias("bucket"), rank.alias("rank"))
-        .groupBy("grp", "bucket")
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rank").alias("reg"))
     )
-    acc = regs.groupBy("grp").agg(
+
+
+def hll_merge_by(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    return regs.groupBy(*group_cols, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_finalize_by(regs: DataFrame, group_cols: list[str], b: int = 6) -> DataFrame:
+    """Per-group estimates ``(*group_cols, hll_estimate)`` from grouped
+    register state; same exact-integer arithmetic as the global form."""
+    m = 1 << b
+    acc = regs.groupBy(*group_cols).agg(
         F.sum(
             F.call_function("shiftleft", F.lit(1).cast("long"), 32 - F.col("reg"))
         ).alias("s_scaled"),
@@ -308,7 +316,18 @@ def hll_estimate_by(
         (raw <= 2.5 * m) & (zeros > 0),
         F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros), 4),
     ).otherwise(F.round(raw, 4))
-    return acc.select("grp", est.alias("hll_estimate"))
+    return acc.select(*group_cols, est.alias("hll_estimate"))
+
+
+def hll_estimate_by(
+    df: DataFrame, group: Column, key: Column, b: int = 6
+) -> DataFrame:
+    """Per-group HLL estimates ``(grp, hll_estimate)`` — the grouped form
+    (distinct users per day/type/source).  State: ≤ m registers PER
+    GROUP, one (grp, bucket) shuffle; same exact-integer finalizer as
+    the global sketch."""
+    regs = hll_registers_by(df.select(group.alias("grp"), key.alias("__k")), ["grp"], F.col("__k"), b)
+    return hll_finalize_by(regs, ["grp"], b)
 
 
 def sql_hll_estimate_by(

@@ -24,19 +24,33 @@ from pyspark.sql import functions as F
 
 from event_streaming_spark.operators.sketches import (
     hll_finalize,
+    hll_finalize_by,
     hll_merge,
+    hll_merge_by,
     hll_registers,
+    hll_registers_by,
 )
 
 
 class HllStreamingSketch:
     def __init__(
-        self, spark: SparkSession, path: str, key_col: str, b: int = 6
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str,
+        b: int = 6,
+        group_cols: list[str] | None = None,
     ) -> None:
+        """``group_cols`` turns this into a SEGMENTED distinct counter
+        (per window/day/type/...): registers are kept per group and
+        ``estimates()`` returns a DataFrame of per-group estimates —
+        the streaming form of ``hll_estimate_by``.  State stays
+        O(m · #groups), never O(#keys)."""
         self.spark = spark
         self.path = path
         self.key_col = key_col
         self.b = b
+        self.group_cols = list(group_cols or [])
 
     def sink(self, stream_df: DataFrame, checkpoint: str):
         ledger = os.path.join(checkpoint, "hll-ledger")
@@ -45,7 +59,12 @@ class HllStreamingSketch:
             mark = os.path.join(ledger, f"batch-{batch_id}.done")
             if os.path.exists(mark):
                 return
-            regs = hll_registers(batch_df, F.col(self.key_col), self.b)
+            if self.group_cols:
+                regs = hll_registers_by(
+                    batch_df, self.group_cols, F.col(self.key_col), self.b
+                )
+            else:
+                regs = hll_registers(batch_df, F.col(self.key_col), self.b)
             regs.write.mode("append").parquet(self.path)
             os.makedirs(ledger, exist_ok=True)
             with open(mark, "w") as fh:
@@ -75,9 +94,20 @@ class HllStreamingSketch:
 
     def registers(self) -> DataFrame:
         self._recover()
-        return hll_merge(self.spark.read.parquet(self.path))
+        raw = self.spark.read.parquet(self.path)
+        if self.group_cols:
+            return hll_merge_by(raw, self.group_cols)
+        return hll_merge(raw)
+
+    def estimates(self) -> DataFrame:
+        """Per-group estimates (grouped mode only)."""
+        if not self.group_cols:
+            raise ValueError("estimates() requires group_cols; use estimate()")
+        return hll_finalize_by(self.registers(), self.group_cols, self.b)
 
     def estimate(self) -> float:
+        if self.group_cols:
+            raise ValueError("grouped sketch: use estimates()")
         return float(
             hll_finalize(self.registers(), self.b).collect()[0]["hll_estimate"]
         )
@@ -86,10 +116,8 @@ class HllStreamingSketch:
         """Fold the append-only log back to ≤ m rows (optional hygiene;
         estimates are identical before and after).  Crash-recoverable:
         an interrupted swap is repaired on the next read (``_recover``)."""
-        merged = self.registers().collect()
-        df = self.spark.createDataFrame(merged, "bucket long, reg int")
         tmp = self.path + "._compacting"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        self.registers().coalesce(1).write.mode("overwrite").parquet(tmp)
         final, bak = self.path, self.path + "._old"
         os.rename(final, bak)
         os.rename(tmp, final)

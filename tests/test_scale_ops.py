@@ -440,3 +440,36 @@ def test_streaming_hll_compact_crash_recovery(spark, tmp_path):
     _shutil.copytree(sk.path, sk.path + "._compacting")
     assert sk.estimate() == est
     assert not _os.path.isdir(sk.path + "._compacting")
+
+
+def test_streaming_grouped_hll_windowed_distinct(spark, tmp_path):
+    """Segmented streaming distinct: per-day distinct users accumulated
+    across micro-batches must equal the batch grouped estimate — the
+    'distinct users per window' streaming metric with O(m·days) state."""
+    from event_streaming_spark.operators.sketches import hll_estimate_by
+    from event_streaming_spark.streaming.sketches import HllStreamingSketch
+
+    src = str(tmp_path / "gsrc")
+    full = spark.range(6000).select(
+        (F.col("id") % 7).alias("day"), (F.col("id") * 13 % 900).alias("user")
+    )
+    for i in range(3):
+        full.filter(F.col("id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+
+    sk = HllStreamingSketch(
+        spark, str(tmp_path / "gregs"), "user", group_cols=["day"]
+    )
+    q = sk.sink(
+        spark.readStream.schema("day long, user long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        str(tmp_path / "gck"),
+    )
+    q.awaitTermination(120)
+
+    streamed = {r["day"]: r["hll_estimate"] for r in sk.estimates().collect()}
+    batch = {
+        r["grp"]: r["hll_estimate"]
+        for r in hll_estimate_by(full, F.col("day"), F.col("user")).collect()
+    }
+    assert streamed == batch and len(streamed) == 7
