@@ -957,3 +957,53 @@ def text_bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle: each training epoch orders the corpus by
+# stable_hash32("ep<k>|" + doc_id) — a different pseudo-random
+# permutation per epoch that any run, any partitioning, any engine
+# reproduces exactly (data-order reproducibility is a training-run
+# debugging requirement; random() shuffles can't replay).  Emitted as a
+# manifest head per epoch.  Scale: the permutation key is a stateless
+# projection; the global order materializes only when a consumer sorts
+# its shard — here LIMITed for the oracle.
+# ---------------------------------------------------------------------------
+
+
+def _epoch_oracle() -> str:
+    from event_streaming_spark.functions.hashing import sql_stable_hash32
+
+    parts = []
+    for ep in (1, 2):
+        h = sql_stable_hash32(f"'ep{ep}|' || cast(doc_id AS VARCHAR)")
+        parts.append(f"""
+SELECT {ep} AS epoch, doc_id,
+       row_number() OVER (ORDER BY {h}, doc_id) AS position
+FROM documents
+ORDER BY position LIMIT 50
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts) + " ORDER BY epoch, position"
+
+
+@register("docs_epoch_shuffle_manifest", _epoch_oracle(), tags=("llm", "sample", "order"))
+def docs_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from event_streaming_spark.functions.hashing import stable_hash32
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    out = None
+    for ep in (1, 2):
+        h = stable_hash32(F.concat(F.lit(f"ep{ep}|"), F.col("doc_id").cast("string")))
+        ranked = (
+            docs.withColumn("__h", h)
+            .withColumn(
+                "position",
+                F.row_number().over(Window.orderBy("__h", "doc_id")),
+            )
+            .where(F.col("position") <= 50)
+            .select(F.lit(ep).alias("epoch"), "doc_id", "position")
+        )
+        out = ranked if out is None else out.union(ranked)
+    return out.orderBy("epoch", "position")
