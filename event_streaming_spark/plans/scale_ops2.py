@@ -988,22 +988,20 @@ ORDER BY position LIMIT 50
 
 @register("docs_epoch_shuffle_manifest", _epoch_oracle(), tags=("llm", "sample", "order"))
 def docs_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from event_streaming_spark.functions.hashing import stable_hash32
+    from event_streaming_spark.operators.ranks import with_global_row_number
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     out = None
     for ep in (1, 2):
         h = stable_hash32(F.concat(F.lit(f"ep{ep}|"), F.col("doc_id").cast("string")))
-        ranked = (
-            docs.withColumn("__h", h)
-            .withColumn(
-                "position",
-                F.row_number().over(Window.orderBy("__h", "doc_id")),
-            )
-            .where(F.col("position") <= 50)
-            .select(F.lit(ep).alias("epoch"), "doc_id", "position")
+        # range-partitioned global row number (operators/ranks.py) — a
+        # bare Window.orderBy would sort the corpus on ONE partition
+        ranked, _n = with_global_row_number(
+            docs.withColumn("__h", h), [F.asc("__h"), F.asc("doc_id")], "position"
+        )
+        ranked = ranked.where(F.col("position") <= 50).select(
+            F.lit(ep).alias("epoch"), "doc_id", F.col("position").cast("int").alias("position")
         )
         out = ranked if out is None else out.union(ranked)
     return out.orderBy("epoch", "position")
