@@ -1005,3 +1005,124 @@ def docs_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = ranked if out is None else out.union(ranked)
     return out.orderBy("epoch", "position")
+
+
+# ---------------------------------------------------------------------------
+# Combined IVF-PQ search — the full production ANN stack in one query:
+# coarse quantizer (per-label centroids, nprobe=3 — emb_ivf_two_stage_ann's
+# stage 1) narrows to ~nprobe/n_cells of the corpus, then PQ-ADC integer
+# distances (emb_pq_adc_topk's stage 2) rank ONLY within the probed
+# cells.  At 100 TB this is the shape that works: the corpus is touched
+# cell-wise (partition pruning by cell id), scored from codes (32× small-
+# er than raw vectors), and never joined vector-to-vector.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    from event_streaming_spark.plans.curation3 import _PQ_CTES
+
+    qs = ", ".join(map(str, _ADC_QUERIES))
+    return f"""
+WITH {_PQ_CTES},
+cent AS (
+  SELECT label, list(c ORDER BY dim) AS centroid FROM (
+    SELECT label, dd AS dim,
+           cast(round(cast(sum(cast(embedding[dd + 1] as decimal(30,10))) as double)
+                      / count(*), 6) as double) AS c
+    FROM embeddings, range(64) t(dd)
+    GROUP BY label, dd
+  ) GROUP BY label
+), qrows AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN ({qs})
+), cellprobe AS (
+  SELECT qid, label FROM (
+    SELECT qrows.qid, cent.label,
+           row_number() OVER (
+             PARTITION BY qrows.qid
+             ORDER BY round(list_dot_product(qrows.qv::DOUBLE[], cent.centroid) /
+                   (sqrt(list_dot_product(qrows.qv::DOUBLE[], qrows.qv::DOUBLE[])) *
+                    sqrt(list_dot_product(cent.centroid, cent.centroid))), 6) DESC,
+               cent.label) AS cell_rank
+    FROM qrows, cent
+  ) WHERE cell_rank <= 3
+), qd AS (
+  SELECT vec_id AS qid, s, seed, dist FROM d WHERE vec_id IN ({qs})
+), adc AS (
+  SELECT qd.qid, best.vec_id AS neighbor, sum(qd.dist) AS adc_dist
+  FROM best
+  JOIN embeddings emb ON emb.vec_id = best.vec_id
+  JOIN qd ON qd.s = best.s AND qd.seed = best.code
+  JOIN cellprobe ON cellprobe.qid = qd.qid AND cellprobe.label = emb.label
+  WHERE best.vec_id <> qd.qid
+  GROUP BY 1, 2
+)
+SELECT qid, neighbor, adc_dist, rn AS rank FROM (
+  SELECT qid, neighbor, adc_dist,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_dist, neighbor) AS rn
+  FROM adc
+) WHERE rn <= {_ADC_K}
+ORDER BY qid, rank
+"""
+
+
+@register("emb_ivf_pq_search", _ivfpq_oracle(), tags=("llm", "ann", "ivf"))
+def emb_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from event_streaming_spark.functions.numeric import cosine
+    from event_streaming_spark.plans.curation3 import pq_frames
+
+    emb = load(spark, sf_dir, "embeddings")
+    # coarse quantizer (shared shape with emb_ivf_two_stage_ann)
+    exploded = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    cent = (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s.c
+            ).alias("centroid")
+        )
+    )
+    qrows = emb.filter(F.col("vec_id").isin(*_ADC_QUERIES)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    wcell = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("label"))
+    probe = (
+        qrows.crossJoin(F.broadcast(cent))
+        .select("qid", "label", F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("csim"))
+        .withColumn("cell_rank", F.row_number().over(wcell))
+        .filter(F.col("cell_rank") <= 3)
+        .select("qid", "label")
+    )
+    # fine ranking: ADC over codes, restricted to probed cells
+    scored, best = pq_frames(spark, sf_dir)
+    qd = scored.where(F.col("vec_id").isin(*_ADC_QUERIES)).select(
+        F.col("vec_id").alias("qid"), "s", "seed", "dist"
+    )
+    codes = best.select("vec_id", "s", F.col("m.seed").alias("code")).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    adc = (
+        codes.join(F.broadcast(qd), (qd.s == codes.s) & (qd.seed == codes.code))
+        .join(
+            F.broadcast(probe),
+            (probe.qid == qd.qid) & (probe.label == codes.label),
+        )
+        .where(F.col("vec_id") != qd.qid)
+        .groupBy(qd.qid.alias("qid"), F.col("vec_id").alias("neighbor"))
+        .agg(F.sum("dist").alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist", "neighbor")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _ADC_K)
+        .orderBy("qid", "rank")
+    )
