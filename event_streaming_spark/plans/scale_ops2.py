@@ -1126,3 +1126,81 @@ def emb_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _ADC_K)
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ end-to-end recall audit: the combined system's top-5 vs the
+# exact cosine top-5 for the same queries — the ONE number you tune
+# nprobe / subspace count against.  Captures BOTH loss sources (coarse
+# cells pruning the true neighbor's cell; PQ distortion reordering
+# within cells).  Same self-audit discipline as emb_lsh_recall_audit.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_recall_oracle() -> str:
+    qs = ", ".join(map(str, _ADC_QUERIES))
+    return f"""
+WITH exact AS (
+  SELECT qid, neighbor FROM (
+    SELECT q.vec_id AS qid, e.vec_id AS neighbor,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) DESC,
+               e.vec_id) AS rn
+    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id IN ({qs})
+  ) WHERE rn <= {_ADC_K}
+), approx AS (
+  SELECT qid, neighbor FROM ({_ivfpq_oracle()})
+)
+SELECT exact.qid, count(approx.neighbor) AS n_hit,
+       round(count(approx.neighbor) / {float(_ADC_K)}, 6) AS recall_at_5
+FROM exact LEFT JOIN approx
+  ON exact.qid = approx.qid AND exact.neighbor = approx.neighbor
+GROUP BY exact.qid
+ORDER BY exact.qid
+"""
+
+
+@register("emb_ivf_pq_recall_audit", _ivfpq_recall_oracle(), tags=("llm", "ann", "audit"))
+def emb_ivf_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from event_streaming_spark.functions.numeric import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(*_ADC_QUERIES)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("neighbor"))
+    exact = (
+        emb.alias("e")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("e.vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("e.vec_id").alias("neighbor"),
+            F.round(cosine(F.col("qv"), F.col("e.embedding")), 6).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _ADC_K)
+        .select("qid", "neighbor")
+    )
+    approx = emb_ivf_pq_search(spark, sf_dir).select(
+        F.col("qid").alias("a_qid"), F.col("neighbor").alias("a_nid")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.qid == F.col("a_qid")) & (exact.neighbor == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("a_nid").alias("n_hit"),
+            F.round(F.count("a_nid") / float(_ADC_K), 6).alias("recall_at_5"),
+        )
+        .orderBy("qid")
+    )
