@@ -285,6 +285,10 @@ def bloom_semi_join(
     The driver collect is O(m) — size m for the key cardinality, never
     for probe volume.
     """
+    if num_bits % 64:
+        # a ragged final word would map positions past the array end
+        # (NULL under ANSI element_at → silent false negatives)
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
     words = num_bits // 64
     keyc = F.col(key)
 

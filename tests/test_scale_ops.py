@@ -473,3 +473,10 @@ def test_streaming_grouped_hll_windowed_distinct(spark, tmp_path):
         for r in hll_estimate_by(full, F.col("day"), F.col("user")).collect()
     }
     assert streamed == batch and len(streamed) == 7
+
+
+def test_bloom_rejects_ragged_bit_count(spark):
+    with pytest.raises(ValueError):
+        bloom_semi_join(
+            spark.range(5).toDF("k"), spark.range(2).toDF("k"), "k", num_bits=100
+        )
