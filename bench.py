@@ -106,8 +106,13 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    # Stop Spark BEFORE printing so the metric line is the LAST thing
+    # emitted — a tail-window parser must never find shutdown noise after
+    # it (the r2 driver recorded `parsed: null` for exactly this reason).
     spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(json.dumps(out, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

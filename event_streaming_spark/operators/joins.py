@@ -292,9 +292,33 @@ def bloom_semi_join(
     words = num_bits // 64
     keyc = F.col(key)
 
+    # xxhash64 is type-sensitive (int 5, bigint 5 and '5' all hash
+    # differently), so a probe/build dtype mismatch would set one bit
+    # pattern and test another — silent false NEGATIVES that the exact
+    # backstop cannot recover (the rows were filtered before it).
+    # Integral keys canonicalize to long on BOTH sides; any other
+    # mismatch is refused rather than silently dropping matches.
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    pt = probe.schema[key].dataType
+    bt = build.schema[key].dataType
+    if isinstance(pt, integral) and isinstance(bt, integral):
+        def canon(c):
+            return c.cast("long")
+    elif pt == bt:
+        def canon(c):
+            return c
+    else:
+        raise ValueError(
+            f"bloom_semi_join key dtype mismatch: probe {pt} vs build {bt}; "
+            "cast the key to a common type before calling"
+        )
+
     def positions(c):
         return [
-            F.pmod(F.xxhash64(F.lit(i), c), F.lit(num_bits)) for i in range(num_hashes)
+            F.pmod(F.xxhash64(F.lit(i), canon(c)), F.lit(num_bits))
+            for i in range(num_hashes)
         ]
 
     keys = build.select(keyc.alias("__k")).distinct()

@@ -67,7 +67,10 @@ def hll_registers(df: DataFrame, key: Column, b: int = 6) -> DataFrame:
         F.lit(w_bits + 1) - F.length(F.bin(w))
     )
     return (
+        # NULL keys hash to NULL: drop them (COUNT(DISTINCT) semantics —
+        # a NULL register row would inflate m_present in the finalizer)
         df.select(bucket.alias("bucket"), rank.alias("rank"))
+        .where(F.col("bucket").isNotNull())
         .groupBy("bucket")
         .agg(F.max("rank").alias("reg"))
     )
@@ -83,10 +86,16 @@ def hll_finalize(regs: DataFrame, b: int = 6) -> DataFrame:
     m = 1 << b
     # Σ 2^(-reg) scaled by 2³² is an exact integer sum; empty registers
     # contribute 2^(-0) = 1 each, added as (m - #present)·2³².
+    # coalesce: an EMPTY register set (no input rows) must yield 0.0,
+    # not NULL — with s_scaled = 0 and m_present = 0 the linear-counting
+    # branch below evaluates to m·ln(m/m) = 0 in both engines.
     acc = regs.agg(
-        F.sum(F.call_function("shiftleft", F.lit(1).cast("long"), 32 - F.col("reg"))).alias(
-            "s_scaled"
-        ),
+        F.coalesce(
+            F.sum(
+                F.call_function("shiftleft", F.lit(1).cast("long"), 32 - F.col("reg"))
+            ),
+            F.lit(0).cast("long"),
+        ).alias("s_scaled"),
         F.count(F.lit(1)).alias("m_present"),
     )
     two32 = float(1 << 32)
@@ -116,11 +125,11 @@ WITH hashed AS (
   SELECT h >> {w_bits} AS bucket,
          CASE WHEN (h & {mask}) = 0 THEN {w_bits + 1}
               ELSE {w_bits + 1} - length(bin(h & {mask})) END AS rank
-  FROM hashed
+  FROM hashed WHERE h IS NOT NULL
 ), regs AS (
   SELECT bucket, max(rank) AS reg FROM br GROUP BY bucket
 ), acc AS (
-  SELECT sum(1::BIGINT << (32 - reg)) AS s_scaled,
+  SELECT coalesce(cast(sum(1::BIGINT << (32 - reg)) AS BIGINT), 0) AS s_scaled,
          count(*) AS m_present,
          sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS never
   FROM regs
@@ -288,7 +297,9 @@ def hll_registers_by(
         F.lit(w_bits + 1) - F.length(F.bin(w))
     )
     return (
+        # NULL keys dropped, as in the global form
         df.select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
+        .where(F.col("bucket").isNotNull())
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rank").alias("reg"))
     )
@@ -346,7 +357,7 @@ WITH hashed AS (
   SELECT grp, h >> {w_bits} AS bucket,
          CASE WHEN (h & {mask}) = 0 THEN {w_bits + 1}
               ELSE {w_bits + 1} - length(bin(h & {mask})) END AS rank
-  FROM hashed
+  FROM hashed WHERE h IS NOT NULL
 ), regs AS (
   SELECT grp, bucket, max(rank) AS reg FROM br GROUP BY grp, bucket
 ), acc AS (

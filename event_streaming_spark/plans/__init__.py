@@ -73,7 +73,28 @@ _PRIORITY = [
     "text_quality_features",
     "binary_column_metadata",
     "events_user_value_deciles",
-    # SURVEY §2.2 / §2.3 operator flagships (keyed state + scalar fns).
+    # Round-2 flagships rotated INTO the r3 graded prefix (slots 36-50):
+    # sketches, graph, scale joins, storage-layout and heavy-agg queries
+    # that r2's driver window never reached (VERDICT r2 "Next round" #3).
+    # The displaced §2.2/§2.3 scalar flagships were driver-verified green
+    # in CORRECTNESS_r02.json, so they rotate just past the window.
+    "sketch_hll_distinct_cross_engine",
+    "sketch_count_min_hot_users",
+    "sketch_bottomk_value_quantiles",
+    "dedup_clusters_star_variant",
+    "join_bloom_semi_lineitem_big_orders",
+    "graph_pagerank_near_dup",
+    "hier_customer_chain_depth",
+    "events_zorder_curve_head",
+    "events_weighted_median_value_per_type",
+    "emb_ivf_pq_search",
+    "events_rate_limit_admission",
+    "text_pii_scan",
+    "docs_pack_into_contexts",
+    "events_time_weighted_avg_daily",
+    "text_dup_span_fraction",
+    # --- past the grading window ---
+    # SURVEY §2.2 / §2.3 operator flagships (driver-green in r2).
     "point_lookup_composite_key",
     "dedup_keep_first_event",
     "dedup_keep_latest_event",
@@ -89,7 +110,7 @@ _PRIORITY = [
     "serialize_order_payload",
     "scalar_address_parse",
     "varargs_fanin_dedup_count",
-    # --- past the r1 grading window; §2.4 surface in coverage order ---
+    # §2.4 surface in coverage order ---
     "window_topk_orders_per_customer",
     "window_range_trailing_7d",
     "events_sessionize_30m",
@@ -107,18 +128,8 @@ _PRIORITY = [
     "events_retention_weekly_cohorts",
     "events_daily_anomaly_zscore",
     "events_enrich_purchases_by_segment",
-    # --- round-2 flagships: scale techniques, sketches, graph, layout ---
-    "dedup_clusters_star_variant",
-    "join_bloom_semi_lineitem_big_orders",
-    "sketch_hll_distinct_cross_engine",
+    # --- remaining round-2 flagships not already in the prefix ---
     "sketch_hll_users_per_type",
-    "sketch_count_min_hot_users",
-    "sketch_bottomk_value_quantiles",
-    "graph_pagerank_near_dup",
-    "hier_customer_chain_depth",
-    "text_dup_span_fraction",
-    "events_zorder_curve_head",
-    "events_weighted_median_value_per_type",
 ]
 
 

@@ -249,7 +249,7 @@ WITH kept AS (
     AND {_CUR_QF['n_tokens']} BETWEEN 5 AND 5000
     AND {sql_stable_hash32("'cur|' || cast(d.doc_id AS VARCHAR)")} % 1000 < 900
 )
-SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+SELECT lang, count(*) AS n_docs, cast(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM kept GROUP BY lang
 """
 
@@ -297,7 +297,7 @@ WITH d AS (
          {sql_stable_hash32("'budg|' || cast(doc_id AS VARCHAR)")} % 1000 AS gate
   FROM documents
 ), totals AS (
-  SELECT source, sum(n_tok) AS src_tokens FROM d GROUP BY 1
+  SELECT source, cast(sum(n_tok) AS BIGINT) AS src_tokens FROM d GROUP BY 1
 ), rates AS (
   SELECT source, src_tokens,
          least(1000, cast(floor(1000.0 * {_BUDGET_TOKENS} / src_tokens) AS BIGINT)) AS rate_milli
@@ -306,7 +306,7 @@ WITH d AS (
 SELECT d.source AS source, rates.src_tokens AS src_tokens,
        rates.rate_milli AS rate_milli,
        count(*) FILTER (WHERE d.gate < rates.rate_milli) AS n_selected,
-       coalesce(sum(n_tok) FILTER (WHERE d.gate < rates.rate_milli), 0) AS selected_tokens
+       cast(coalesce(sum(n_tok) FILTER (WHERE d.gate < rates.rate_milli), 0) AS BIGINT) AS selected_tokens
 FROM d JOIN rates ON d.source = rates.source
 GROUP BY 1, 2, 3
 """
@@ -360,7 +360,7 @@ WITH d AS (
   FROM documents
 )
 SELECT CASE WHEN gate < 980 THEN 'train' WHEN gate < 990 THEN 'val' ELSE 'test' END AS split,
-       lang, count(*) AS n_docs, sum(n_tok) AS total_tokens
+       lang, count(*) AS n_docs, cast(sum(n_tok) AS BIGINT) AS total_tokens
 FROM d GROUP BY 1, 2
 """
 

@@ -154,7 +154,7 @@ def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_kmeans_clusters",
-    _kmeans_oracle("SELECT vec_id, cluster, dist FROM a2"),
+    _kmeans_oracle("SELECT vec_id, cluster, cast(dist AS BIGINT) AS dist FROM a2"),
     tags=("llm", "ann", "clustering"),
     bench=True,
 )
@@ -466,7 +466,10 @@ def text_unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").alias("t"))
     scored = (
-        toks.join(F.broadcast(cnt), "tok")
+        # cnt scales with the corpus vocabulary — no forced broadcast;
+        # stats/AQE pick the strategy (shuffled hash join on `tok` is the
+        # 100 TB plan).  Only the 1-row total keeps its hint.
+        toks.join(cnt, "tok")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", (_ilog2(F.col("t")) - _ilog2(F.col("c"))).alias("surprisal"))
     )

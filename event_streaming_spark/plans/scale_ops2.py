@@ -152,7 +152,7 @@ WITH sh AS (
 )
 SELECT sh.doc_id,
        count(*) AS n_shingles,
-       sum(CASE WHEN freq.nd >= 2 THEN 1 ELSE 0 END) AS n_shared,
+       cast(sum(CASE WHEN freq.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
        round(sum(CASE WHEN freq.nd >= 2 THEN 1 ELSE 0 END)
              / cast(count(*) AS DOUBLE), 6) AS dup_fraction
 FROM sh JOIN freq USING (h)
@@ -557,7 +557,7 @@ WITH a AS (
   FROM a JOIN b ON a.d = b.d AND a.pos = b.pos
   GROUP BY a.d
 )
-SELECT (SELECT min(ip) FROM prods) AS est_join_size,
+SELECT (SELECT cast(min(ip) AS BIGINT) FROM prods) AS est_join_size,
        (SELECT count(*) FROM orders JOIN customer ON c_custkey = o_custkey)
          AS exact_join_size
 """
@@ -616,7 +616,7 @@ WITH {_PQ_CTES},
 qd AS (
   SELECT vec_id AS query_vec, s, seed, dist FROM d WHERE vec_id IN ({qs})
 ), adc AS (
-  SELECT qd.query_vec, best.vec_id AS neighbor, sum(qd.dist) AS adc_dist
+  SELECT qd.query_vec, best.vec_id AS neighbor, cast(sum(qd.dist) AS BIGINT) AS adc_dist
   FROM best JOIN qd ON qd.s = best.s AND qd.seed = best.code
   WHERE best.vec_id <> qd.query_vec
   GROUP BY 1, 2
@@ -638,18 +638,22 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_spark.plans.curation3 import pq_frames
 
     scored, best = pq_frames(spark, sf_dir)
+    # qd and codes share lineage through pq_frames, so `qd.s == codes.s`
+    # written via DataFrame attributes binds both sides to the SAME
+    # attribute (a trivially-true conjunct Catalyst silently drops).
+    # Explicit string aliases make every conjunct bind across the join.
     qd = scored.where(F.col("vec_id").isin(*_ADC_QUERIES)).select(
         F.col("vec_id").alias("query_vec"), "s", "seed", "dist"
-    )
-    codes = best.select("vec_id", "s", F.col("m.seed").alias("code"))
+    ).alias("qd")
+    codes = best.select("vec_id", "s", F.col("m.seed").alias("code")).alias("codes")
     adc = (
         codes.join(
             F.broadcast(qd),
-            (qd.s == codes.s) & (qd.seed == codes.code),
+            (F.col("qd.s") == F.col("codes.s")) & (F.col("qd.seed") == F.col("codes.code")),
         )
-        .where(F.col("vec_id") != F.col("query_vec"))
-        .groupBy("query_vec", F.col("vec_id").alias("neighbor"))
-        .agg(F.sum("dist").alias("adc_dist"))
+        .where(F.col("codes.vec_id") != F.col("qd.query_vec"))
+        .groupBy(F.col("qd.query_vec").alias("query_vec"), F.col("codes.vec_id").alias("neighbor"))
+        .agg(F.sum(F.col("qd.dist")).alias("adc_dist"))
     )
     w = Window.partitionBy("query_vec").orderBy("adc_dist", "neighbor")
     return (
@@ -786,7 +790,7 @@ WITH v AS (
 SELECT d.event_type, max(m.n) AS n,
        round(max(m.med_num) / 1e8, 6) AS med_value,
        round(max(m.mad_num) / 1e10, 6) AS mad_value,
-       sum(CASE WHEN d.d8 * 100 > 3 * m.mad_num THEN 1 ELSE 0 END) AS n_outliers
+       cast(sum(CASE WHEN d.d8 * 100 > 3 * m.mad_num THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type
 ORDER BY d.event_type
@@ -862,7 +866,8 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-length (length(bin(c))-1) keeps both engines bit-identical, the
 # same trick as the unigram query.  Scale: positions are a stateless
 # explode; ONE bigram count shuffle + ONE join back on the bigram key;
-# count tables broadcast (vocab²-bounded, zipf-small in practice).
+# count tables scale with the corpus, so their join strategy is left to
+# stats/AQE (never a forced broadcast of a data-scaling build side).
 # ---------------------------------------------------------------------------
 
 
@@ -928,14 +933,19 @@ def text_bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev", "tok")
         .agg(F.count(F.lit(1)).alias("b"))
     )
+    # cu (unigram) and cb (bigram) counts scale with the corpus — at
+    # 100 TB the distinct-bigram table is billions of rows, so forcing
+    # them to the broadcast side would OOM every executor.  Leave the
+    # strategy to stats/AQE: the shuffled join on tok / (prev, tok) is
+    # the scale plan.  Only the 1-row grand total keeps its hint.
     scored = (
-        seq.join(F.broadcast(cu), "tok")
+        seq.join(cu, "tok")
         .join(
-            F.broadcast(cu.select(F.col("tok").alias("prev"), F.col("c").alias("pc"))),
+            cu.select(F.col("tok").alias("prev"), F.col("c").alias("pc")),
             "prev",
             "left",
         )
-        .join(F.broadcast(cb), ["prev", "tok"], "left")
+        .join(cb, ["prev", "tok"], "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
@@ -1048,7 +1058,7 @@ cent AS (
 ), qd AS (
   SELECT vec_id AS qid, s, seed, dist FROM d WHERE vec_id IN ({qs})
 ), adc AS (
-  SELECT qd.qid, best.vec_id AS neighbor, sum(qd.dist) AS adc_dist
+  SELECT qd.qid, best.vec_id AS neighbor, cast(sum(qd.dist) AS BIGINT) AS adc_dist
   FROM best
   JOIN embeddings emb ON emb.vec_id = best.vec_id
   JOIN qd ON qd.s = best.s AND qd.seed = best.code
@@ -1104,21 +1114,28 @@ def emb_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fine ranking: ADC over codes, restricted to probed cells
     scored, best = pq_frames(spark, sf_dir)
+    # Same shared-lineage hazard as emb_pq_adc_topk: alias every side and
+    # bind join conjuncts by alias so none resolves trivially true.
     qd = scored.where(F.col("vec_id").isin(*_ADC_QUERIES)).select(
         F.col("vec_id").alias("qid"), "s", "seed", "dist"
-    )
+    ).alias("qd")
     codes = best.select("vec_id", "s", F.col("m.seed").alias("code")).join(
         emb.select("vec_id", "label"), "vec_id"
-    )
+    ).alias("codes")
+    probe = probe.alias("probe")
     adc = (
-        codes.join(F.broadcast(qd), (qd.s == codes.s) & (qd.seed == codes.code))
+        codes.join(
+            F.broadcast(qd),
+            (F.col("qd.s") == F.col("codes.s")) & (F.col("qd.seed") == F.col("codes.code")),
+        )
         .join(
             F.broadcast(probe),
-            (probe.qid == qd.qid) & (probe.label == codes.label),
+            (F.col("probe.qid") == F.col("qd.qid"))
+            & (F.col("probe.label") == F.col("codes.label")),
         )
-        .where(F.col("vec_id") != qd.qid)
-        .groupBy(qd.qid.alias("qid"), F.col("vec_id").alias("neighbor"))
-        .agg(F.sum("dist").alias("adc_dist"))
+        .where(F.col("codes.vec_id") != F.col("qd.qid"))
+        .groupBy(F.col("qd.qid").alias("qid"), F.col("codes.vec_id").alias("neighbor"))
+        .agg(F.sum(F.col("qd.dist")).alias("adc_dist"))
     )
     w = Window.partitionBy("qid").orderBy("adc_dist", "neighbor")
     return (

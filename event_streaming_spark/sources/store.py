@@ -270,11 +270,17 @@ class KeyIndex:
         if dates is None:
             idx.write.mode("overwrite").partitionBy("event_date").parquet(self.path)
         else:
-            # day-partitioned overwrite-by-partition keeps other days intact
-            self.store.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            # day-partitioned overwrite-by-partition keeps other days
+            # intact.  Scoped as a WRITER option, not session conf — a
+            # session-wide partitionOverwriteMode=dynamic would silently
+            # change every later mode('overwrite').partitionBy(...) in
+            # the same session from overwrite-all to overwrite-matching.
+            (
+                idx.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("event_date")
+                .parquet(self.path)
             )
-            idx.write.mode("overwrite").partitionBy("event_date").parquet(self.path)
 
     def lookup(self, value) -> DataFrame:
         """Point read via the index: prune to the key's active days, then

@@ -74,19 +74,30 @@ class VersionedStore:
             return []
         return [os.path.join(self.data_dir, f) for f in self._manifest(v)["files"]]
 
-    def _commit(self, compute_files, op: str, retries: int = 20) -> int:
+    def _commit(self, compute_files, op: str, retries: int = 20, txn: str | None = None) -> int:
         """Publish a new manifest atomically.  ``compute_files`` maps the
         parent's file list → the child's (called fresh per attempt so a
-        lost race recomputes against the new head)."""
+        lost race recomputes against the new head).
+
+        ``txn``: idempotency token recorded INSIDE the manifest (the
+        Delta `txn` action).  A writer that replays work (at-least-once
+        foreachBatch) checks ``committed_txns()`` before committing, so
+        the data change and its dedup mark are one atomic publish — a
+        crash can never leave the change committed but unmarked."""
         for _ in range(retries):
             parent = self.latest_version()
+            if txn is not None and txn in self.committed_txns():
+                return parent  # replay of an already-committed transaction
             files = compute_files(
                 self._manifest(parent)["files"] if parent >= 0 else []
             )
             nxt = parent + 1
             tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
-                json.dump({"version": nxt, "parent": parent, "op": op, "files": files}, fh)
+                record = {"version": nxt, "parent": parent, "op": op, "files": files}
+                if txn is not None:
+                    record["txn"] = txn
+                json.dump(record, fh)
             final = os.path.join(self.manifest_dir, f"v{nxt}.json")
             try:
                 os.link(tmp, final)  # atomic create-if-absent
@@ -96,6 +107,20 @@ class VersionedStore:
             finally:
                 os.unlink(tmp)
         raise CommitConflict(f"gave up after {retries} commit attempts ({op})")
+
+    def committed_txns(self) -> set[str]:
+        """Idempotency tokens recorded by retained manifests.  Retention
+        caveat (same as Delta's txn retention): vacuum() drops old
+        manifests, so a replay arriving AFTER its manifest was vacuumed
+        is no longer deduplicated by this check alone — the streaming
+        sinks keep their checkpoint-local ledger as a second line."""
+        out: set[str] = set()
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                t = self._manifest(int(f[1:-5])).get("txn")
+                if t is not None:
+                    out.add(t)
+        return out
 
     def _stage_files(self, df: DataFrame, tag: str) -> list[str]:
         """Write ``df`` to immutable uniquely-named files in data/."""
@@ -112,9 +137,11 @@ class VersionedStore:
         return moved
 
     # -- operations -----------------------------------------------------------
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, txn: str | None = None) -> int:
+        if txn is not None and txn in self.committed_txns():
+            return self.latest_version()  # don't even stage replayed data
         new = self._stage_files(df, "append")
-        return self._commit(lambda prev: prev + new, "append")
+        return self._commit(lambda prev: prev + new, "append", txn=txn)
 
     def read(self, version: int | None = None) -> DataFrame:
         files = self.files(version)
@@ -160,7 +187,7 @@ class VersionedStore:
 
         return self._commit(compute, "delete")
 
-    def merge(self, updates: DataFrame, key: str) -> int:
+    def merge(self, updates: DataFrame, key: str, txn: str | None = None) -> int:
         """MERGE INTO (upsert by key), one atomic commit: rows whose key
         appears in ``updates`` are REPLACED, new keys are INSERTED.
 
@@ -171,11 +198,13 @@ class VersionedStore:
         new table, never a half-merged one — the replace and the insert
         publish in the SAME manifest.  Cost scales with matched files +
         update size, never the base table."""
+        if txn is not None and txn in self.committed_txns():
+            return self.latest_version()
         base_v = self.latest_version()
         keys = updates.select(key).distinct()
         if base_v < 0:
             new = self._stage_files(updates, "merge")
-            return self._commit(lambda prev: prev + new, "merge")
+            return self._commit(lambda prev: prev + new, "merge", txn=txn)
         df = self.read(base_v)
         # _metadata.file_path resolves only on the scan itself — pin it
         # as an ordinary column before any join drops the pseudo-column
@@ -206,7 +235,7 @@ class VersionedStore:
                 raise CommitConflict(f"files vanished mid-merge: {sorted(missing)}")
             return [f for f in prev if f not in hit_files] + new
 
-        return self._commit(compute, "merge")
+        return self._commit(compute, "merge", txn=txn)
 
     def compact(self, target_files: int = 1) -> int:
         base = self.latest_version()
@@ -260,16 +289,20 @@ class VersionedStore:
     def sink(self, stream_df: DataFrame, checkpoint: str):
         """Streaming append: each micro-batch commits ONE new version
         (atomic, so readers see batch boundaries, never partial
-        batches).  Idempotent under foreachBatch replay via a batch-id
-        ledger — a replayed batch maps to the already-committed version
-        instead of double-appending."""
+        batches).  Idempotent under foreachBatch replay: the batch id is
+        recorded INSIDE the committed manifest (``txn``), so the append
+        and its dedup mark publish atomically — a crash between them is
+        impossible by construction.  The checkpoint-local ledger is only
+        a fast-path cache (and covers replays older than the manifest
+        retention window)."""
         ledger = os.path.join(checkpoint, "vstore-ledger")
+        txn_scope = os.path.abspath(checkpoint)
 
         def _batch(batch_df: DataFrame, batch_id: int) -> None:
             mark = os.path.join(ledger, f"batch-{batch_id}.done")
             if os.path.exists(mark):
                 return
-            v = self.append(batch_df)
+            v = self.append(batch_df, txn=f"{txn_scope}#append#{batch_id}")
             os.makedirs(ledger, exist_ok=True)
             with open(mark, "w") as fh:
                 fh.write(str(v))
@@ -285,16 +318,18 @@ class VersionedStore:
         """Streaming CDC apply: each micro-batch MERGEs by key — the
         versioned table continuously tracks the latest row per key,
         every batch an atomic, time-travelable version.  Replay-safe via
-        the batch ledger.  Within one batch, the last row per key (by
-        batch order) wins — dedupe upstream for a different policy."""
+        the in-manifest ``txn`` record (ledger = fast-path cache, as in
+        ``sink``).  Within one batch, the last row per key (by batch
+        order) wins — dedupe upstream for a different policy."""
         ledger = os.path.join(checkpoint, "vstore-upsert-ledger")
+        txn_scope = os.path.abspath(checkpoint)
 
         def _batch(batch_df: DataFrame, batch_id: int) -> None:
             mark = os.path.join(ledger, f"batch-{batch_id}.done")
             if os.path.exists(mark):
                 return
             deduped = batch_df.dropDuplicates([key])
-            v = self.merge(deduped, key)
+            v = self.merge(deduped, key, txn=f"{txn_scope}#merge#{batch_id}")
             os.makedirs(ledger, exist_ok=True)
             with open(mark, "w") as fh:
                 fh.write(str(v))
@@ -321,7 +356,16 @@ class VersionedStore:
         import time
 
         head = self.latest_version()
-        keep = {v for v in range(max(0, head - keep_last + 1), head + 1)}
+        # Intersect the keep window with manifests that actually exist —
+        # a prior vacuum with a smaller keep_last may already have
+        # dropped part of the range, and reading a missing manifest
+        # would fail the whole vacuum before it deleted anything.
+        existing = {
+            int(f[1:-5])
+            for f in os.listdir(self.manifest_dir)
+            if f.startswith("v") and f.endswith(".json")
+        }
+        keep = {v for v in range(max(0, head - keep_last + 1), head + 1)} & existing
         referenced: set[str] = set()
         for v in keep:
             referenced |= set(self._manifest(v)["files"])

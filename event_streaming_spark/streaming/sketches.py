@@ -8,11 +8,13 @@ is the standard mergeable-summary pattern: state is O(m · #batches)
 until compaction, never O(#distinct keys), and the log is append-only —
 crash-safe without coordination.
 
-Idempotency: foreachBatch is at-least-once, so each batch's append is
-gated on a batch-id ledger mark (same discipline as sources/store.py's
-sink) — replays of an already-appended batch are no-ops, keeping the
-register log duplicate-free per batch (duplicates would be HARMLESS for
-the estimate — max is idempotent — but would grow the log).
+Idempotency: foreachBatch is at-least-once, so each batch's output is
+staged under a batch-id-derived hidden name and published with ONE
+atomic rename — the published directory itself IS the idempotency mark,
+so there is no window where the append landed but the mark did not (a
+crash there would have made replays double-append: harmless for HLL —
+max is idempotent — but it would inflate Count-Min counts).  The
+checkpoint-local ledger file remains as a fast-path skip only.
 """
 
 from __future__ import annotations
@@ -59,13 +61,20 @@ class HllStreamingSketch:
             mark = os.path.join(ledger, f"batch-{batch_id}.done")
             if os.path.exists(mark):
                 return
-            if self.group_cols:
-                regs = hll_registers_by(
-                    batch_df, self.group_cols, F.col(self.key_col), self.b
-                )
-            else:
-                regs = hll_registers(batch_df, F.col(self.key_col), self.b)
-            regs.write.mode("append").parquet(self.path)
+            target = os.path.join(self.path, f"batch-{batch_id}")
+            if not os.path.isdir(target):  # publish = atomic rename = mark
+                if self.group_cols:
+                    regs = hll_registers_by(
+                        batch_df, self.group_cols, F.col(self.key_col), self.b
+                    )
+                else:
+                    regs = hll_registers(batch_df, F.col(self.key_col), self.b)
+                os.makedirs(self.path, exist_ok=True)
+                # dot-prefixed staging is invisible to Spark's file lister;
+                # overwrite clears any partial output a crashed run left
+                tmp = os.path.join(self.path, f"._staging-batch-{batch_id}")
+                regs.write.mode("overwrite").parquet(tmp)
+                os.rename(tmp, target)
             os.makedirs(ledger, exist_ok=True)
             with open(mark, "w") as fh:
                 fh.write("done")
@@ -94,7 +103,8 @@ class HllStreamingSketch:
 
     def registers(self) -> DataFrame:
         self._recover()
-        raw = self.spark.read.parquet(self.path)
+        # per-batch subdirs + compacted top-level files in one listing
+        raw = self.spark.read.option("recursiveFileLookup", "true").parquet(self.path)
         if self.group_cols:
             return hll_merge_by(raw, self.group_cols)
         return hll_merge(raw)
@@ -115,7 +125,12 @@ class HllStreamingSketch:
     def compact(self) -> None:
         """Fold the append-only log back to ≤ m rows (optional hygiene;
         estimates are identical before and after).  Crash-recoverable:
-        an interrupted swap is repaired on the next read (``_recover``)."""
+        an interrupted swap is repaired on the next read (``_recover``).
+        Run only while no stream is writing this log: compaction erases
+        the per-batch publish dirs that deduplicate replays, so a batch
+        whose stream died between publish and ledger mark could re-append
+        after a compact (harmless for HLL's max-merge, but the rule is
+        shared with the Count-Min log where it would inflate counts)."""
         tmp = self.path + "._compacting"
         self.registers().coalesce(1).write.mode("overwrite").parquet(tmp)
         final, bak = self.path, self.path + "._old"
@@ -151,10 +166,15 @@ class CountMinStreamingSketch:
             mark = os.path.join(ledger, f"batch-{batch_id}.done")
             if os.path.exists(mark):
                 return
-            cm = count_min_table(
-                batch_df, F.col(self.key_col), self.depth, self.width
-            )
-            cm.write.mode("append").parquet(self.path)
+            target = os.path.join(self.path, f"batch-{batch_id}")
+            if not os.path.isdir(target):  # publish = atomic rename = mark
+                cm = count_min_table(
+                    batch_df, F.col(self.key_col), self.depth, self.width
+                )
+                os.makedirs(self.path, exist_ok=True)
+                tmp = os.path.join(self.path, f"._staging-batch-{batch_id}")
+                cm.write.mode("overwrite").parquet(tmp)
+                os.rename(tmp, target)
             os.makedirs(ledger, exist_ok=True)
             with open(mark, "w") as fh:
                 fh.write("done")
@@ -168,7 +188,8 @@ class CountMinStreamingSketch:
 
     def table(self) -> DataFrame:
         return (
-            self.spark.read.parquet(self.path)
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(self.path)
             .groupBy("d", "pos")
             .agg(F.sum("cnt").alias("cnt"))
         )

@@ -33,6 +33,28 @@ def test_query_matches_oracle(name, spark, duck):
     assert sv == ov
 
 
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_oracle_output_types_no_hugeint(name, duck):
+    """No oracle may output a HUGEINT/UHUGEINT column.
+
+    DuckDB widens sum() over integers to int128; Spark's widest integral
+    type is BIGINT, and value hashers that normalize via pandas/arrow
+    render the two differently (the r2 `corpus_curation_end_to_end`
+    driver-red row).  Every aggregate an oracle outputs must therefore be
+    cast to BIGINT (or DOUBLE/DECIMAL) explicitly.
+    """
+    q = REGISTRY[name]
+    if q.oracle is None:
+        return
+    rel = duck.sql(q.oracle)
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper()
+    ]
+    assert not bad, f"{name}: HUGEINT output columns {bad} — cast to BIGINT in the oracle"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

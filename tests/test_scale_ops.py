@@ -332,18 +332,35 @@ def test_streaming_hll_equals_batch_hll(spark, tmp_path):
     batch_est = hll_estimate(full, F.col("k")).collect()[0]["hll_estimate"]
     assert sk.estimate() == batch_est
 
+    def log_rows():
+        return (
+            spark.read.option("recursiveFileLookup", "true").parquet(sk.path).count()
+        )
+
     # replay: re-running the stream over the same source adds nothing
-    n_log = spark.read.parquet(sk.path).count()
+    n_log = log_rows()
     q2 = sk.sink(
         spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).parquet(src),
         str(tmp_path / "ckpt"),
     )
     q2.awaitTermination(120)
-    assert spark.read.parquet(sk.path).count() == n_log
+    assert log_rows() == n_log
+
+    # replay with the LEDGER lost (crash between publish and mark): the
+    # published batch dirs themselves dedupe — still no growth
+    import shutil as _sh
+
+    _sh.rmtree(str(tmp_path / "ckpt"))
+    q3 = sk.sink(
+        spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "ckpt"),
+    )
+    q3.awaitTermination(120)
+    assert log_rows() == n_log
 
     # compaction folds the log without changing the estimate
     sk.compact()
-    assert spark.read.parquet(sk.path).count() <= 64
+    assert log_rows() <= 64
     assert sk.estimate() == batch_est
 
 
@@ -480,3 +497,92 @@ def test_bloom_rejects_ragged_bit_count(spark):
         bloom_semi_join(
             spark.range(5).toDF("k"), spark.range(2).toDF("k"), "k", num_bits=100
         )
+
+
+def test_streaming_count_min_replay_with_lost_ledger_does_not_inflate(spark, tmp_path):
+    """CM merge is ADDITION, so a double-appended batch would corrupt
+    counts.  The publish rename doubles as the idempotency mark, so even
+    a lost ledger (crash between publish and mark) cannot double-count."""
+    import shutil as _sh
+
+    from event_streaming_spark.operators.sketches import count_min_lookup, count_min_table
+    from event_streaming_spark.streaming.sketches import CountMinStreamingSketch
+
+    src = str(tmp_path / "cmr-src")
+    full = spark.range(6000).select((F.col("id") % 211).alias("k"))
+    for i in range(2):
+        full.filter(F.col("id") % 2 == i).coalesce(1).write.mode("append").parquet(src)
+    sk = CountMinStreamingSketch(spark, str(tmp_path / "cmr-log"), "k")
+    ckpt = str(tmp_path / "cmr-ckpt")
+
+    def run():
+        q = sk.sink(
+            spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).parquet(src),
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    run()
+    _sh.rmtree(ckpt)  # ledger gone; batch ids 0,1 replay from scratch
+    run()
+    keys = full.select(F.col("k").cast("string").alias("kk")).distinct()
+    stream_est = {r["kk"]: r["cm_estimate"] for r in sk.lookup(keys, "kk").collect()}
+    batch_est = {
+        r["kk"]: r["cm_estimate"]
+        for r in count_min_lookup(count_min_table(full, F.col("k")), keys, "kk").collect()
+    }
+    assert stream_est == batch_est  # exactly the batch sketch — no inflation
+
+
+def test_hll_finalize_empty_input_is_zero(spark, duck):
+    from event_streaming_spark.operators.sketches import (
+        hll_estimate,
+        hll_finalize,
+        hll_registers,
+        sql_hll_estimate,
+    )
+
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    assert hll_estimate(empty, F.col("k")).collect()[0]["hll_estimate"] == 0.0
+    # finalize over an empty register set directly
+    regs = hll_registers(empty, F.col("k"))
+    assert hll_finalize(regs).collect()[0]["hll_estimate"] == 0.0
+    # SQL twin agrees
+    duck.sql("CREATE OR REPLACE TABLE _hllempty (k BIGINT)")
+    assert duck.sql(sql_hll_estimate("k", "_hllempty")).fetchone()[0] == 0.0
+
+
+def test_streaming_hll_estimate_on_empty_log_batches(spark, tmp_path):
+    """A stream whose batches contain only NULL keys produces registers
+    for nothing; estimate() must come back 0.0, not crash on NULL."""
+    from event_streaming_spark.operators.sketches import hll_registers
+    from event_streaming_spark.streaming.sketches import HllStreamingSketch
+
+    sk = HllStreamingSketch(spark, str(tmp_path / "regs0"), "k")
+    # seed an EMPTY register file (what an all-NULL batch appends)
+    hll_registers(
+        spark.createDataFrame([(None,)], "k string"), F.col("k")
+    ).write.mode("append").parquet(sk.path)
+    assert sk.estimate() == 0.0
+
+
+def test_bloom_semi_join_mixed_integral_key_dtypes(spark):
+    """int probe vs bigint build used to hash to different bit positions
+    (xxhash64 is type-sensitive) → silent false negatives.  Integral
+    keys now canonicalize to long on both sides."""
+    probe = spark.createDataFrame([(1,), (2,), (3,), (700,)], "k int")
+    build = spark.range(1, 3).select(F.col("id").alias("k"))  # bigint
+    got = sorted(r["k"] for r in bloom_semi_join(probe, build, "k").collect())
+    assert got == [1, 2]
+    # prefilter-only path must also retain all true matches
+    loose = bloom_semi_join(probe, build, "k", exact=False)
+    assert {1, 2} <= {r["k"] for r in loose.collect()}
+
+
+def test_bloom_semi_join_refuses_incompatible_key_dtypes(spark):
+    import pytest as _pytest
+
+    probe = spark.createDataFrame([("1",), ("2",)], "k string")
+    build = spark.range(3).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="dtype mismatch"):
+        bloom_semi_join(probe, build, "k")
