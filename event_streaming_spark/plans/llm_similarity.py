@@ -448,6 +448,74 @@ def docs_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Scale-safe edit-distance near-dup: the PRODUCTION composition.  The exact
+# query above is a bounded-scope audit (all pairs within a source block —
+# 17.4× wall at 10×, by contract); this one generates candidates with the
+# MinHash-LSH band join (candidate volume tracks true near-dup density, not
+# corpus²) and only then verifies with the thresholded Levenshtein DP.
+# Scale: signatures computed once and materialized; the band self-join is
+# the only pair generator (equi-join on (band_idx, band_hash) — shuffle on
+# the band key); the per-pair DP runs on candidates only, JVM-side via the
+# 3-arg early-abort `levenshtein`.  At 100 TB this is the same plan with
+# the signature table persisted — the `table` materializer strategy.
+# ---------------------------------------------------------------------------
+
+_EDIT_LSH_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id, {S.sql_shingle_hashes('text')} AS hs FROM documents
+), sig AS (
+  SELECT doc_id, {', '.join(S.sql_minhash_exprs('hs'))} FROM hs
+), banded AS (
+  SELECT doc_id, {', '.join(S.sql_band_hash_exprs())} FROM sig
+), bands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {j} AS band_idx, band{j} AS bh FROM banded" for j in range(S.LSH_BANDS))}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+), d AS (
+  SELECT doc_id, substr(text, 1, 80) AS p FROM documents
+)
+SELECT doc_a, doc_b, levenshtein(da.p, db.p) AS prefix_edit_dist
+FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b
+WHERE levenshtein(da.p, db.p) <= 50
+"""
+
+
+@register("docs_edit_distance_near_dup", _EDIT_LSH_ORACLE, tags=("llm", "dedup", "text", "join"))
+def docs_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    hs = docs.select("doc_id", S.shingle_hashes(F.col("text")).alias("hs"))
+    sig = hs.select("doc_id", F.array(*S.minhash_cols(F.col("hs"))).alias("sig"))
+    sig = materialize(sig, "editdist-lsh-signatures")
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*S.band_hashes_over(F.col("sig")))).alias("band_idx", "bh"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    d = docs.select("doc_id", F.substring("text", 1, 80).alias("p"))
+    return (
+        cand.join(d.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa")), "doc_a")
+        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("levenshtein(pa, pb, 50)").alias("prefix_edit_dist"),
+        )
+        .filter(F.col("prefix_edit_dist") >= 0)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: match an incoming INCREMENT of documents against the
 # existing corpus INDEX without touching index×index pairs — the shape
 # every production ingest runs (per-batch dedup against a persisted

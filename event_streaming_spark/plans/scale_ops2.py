@@ -370,6 +370,7 @@ ORDER BY cluster_id
     "corpus_canonical_by_centrality",
     _canonical_oracle(),
     tags=("llm", "dedup", "graph", "iterative"),
+    bench=True,
 )
 def corpus_canonical_by_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -797,7 +798,7 @@ ORDER BY d.event_type
 """
 
 
-@register("events_mad_outliers", _MAD_ORACLE, tags=("agg", "stats", "robust"))
+@register("events_mad_outliers", _MAD_ORACLE, tags=("agg", "stats", "robust"), bench=True)
 def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1075,7 +1076,7 @@ ORDER BY qid, rank
 """
 
 
-@register("emb_ivf_pq_search", _ivfpq_oracle(), tags=("llm", "ann", "ivf"))
+@register("emb_ivf_pq_search", _ivfpq_oracle(), tags=("llm", "ann", "ivf"), bench=True)
 def emb_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 

@@ -521,3 +521,82 @@ def test_token_bucket_stream_matches_batch(agency, spark):
     # and the semantics are what the docstring promises
     assert [want[i] for i in (1, 2, 3, 4)] == [True, True, True, False]
     assert want[6] is False and want[7] is True and want[8] is False
+
+
+# -- parquet topic log (throughput format) ----------------------------------
+
+
+def test_parquet_log_roundtrip_dicts_and_dataframe(spark, tmp_path):
+    """log_format="parquet": dict publishes (driver-side Arrow append,
+    ISO-string timestamps coerced) and DataFrame publishes land in ONE
+    typed log; the consume side reads them back identically to the JSON
+    path — same events, typed ts/value."""
+    a = EventsAgency(spark, root=str(tmp_path / "pq"), log_format="parquet")
+    try:
+        ctx = a._get_or_create("b", "t")
+        ctx.publish([ev(1, "2024-01-01T00:00:00", 7), ev(2, "2024-01-01T00:01:00", 8)])
+        ctx.publish(ev(3, "2024-01-01T00:02:00", 7, "purchase", 9.5))
+        df = spark.createDataFrame(
+            [(4, "2024-01-01T00:03:00", 9, "view", 2.5, "{}")],
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        ctx.publish(df)
+        got = []
+        ctx.consume(lambda c, b, i: got.extend(r.asDict() for r in b.collect()), once=True)
+        assert sorted(r["event_id"] for r in got) == [1, 2, 3, 4]
+        by_id = {r["event_id"]: r for r in got}
+        assert by_id[3]["value"] == 9.5 and by_id[3]["event_type"] == "purchase"
+        assert by_id[1]["ts"].isoformat().startswith("2024-01-01T00:00:00")
+        assert by_id[4]["ts"].isoformat().startswith("2024-01-01T00:03:00")
+        # the log really is parquet, not json
+        import glob
+        import os
+
+        files = [
+            f
+            for f in glob.glob(os.path.join(ctx.log_dir, "*"))
+            if not os.path.basename(f).startswith("_")  # Spark's _SUCCESS marker
+        ]
+        assert files and all(f.endswith(".parquet") for f in files)
+    finally:
+        a.close(remove_logs=True)
+
+
+def test_parquet_log_windowed_agg_matches_json_log(spark, tmp_path):
+    """The same publish stream through a json-log topic and a parquet-log
+    topic produces identical windowed-aggregation output."""
+    rows = [ev(i, f"2024-01-0{1 + i % 3}T00:0{i % 6}:00", i % 4, "view", 0.5 * i) for i in range(12)]
+
+    def drain(fmt, root):
+        a = EventsAgency(spark, root=root, log_format=fmt)
+        try:
+            ctx = a._get_or_create("b", "t")
+            ctx.publish(rows)
+            out = []
+
+            def tr(df):
+                return (
+                    df.withWatermark("ts", "1 hour")
+                    .groupBy(F.window("ts", "1 day"), "event_type")
+                    .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+                )
+
+            ctx.consume(
+                lambda c, b, i: out.extend(
+                    (r["window"]["start"].isoformat(), r["event_type"], r["n"], r["v"])
+                    for r in b.collect()
+                ),
+                once=True,
+                transform=tr,
+                output_mode="update",
+            )
+            return sorted(out)
+        finally:
+            a.close(remove_logs=True)
+
+    assert drain("json", str(tmp_path / "j")) == drain("parquet", str(tmp_path / "p"))
+
+
+def test_unknown_log_format_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="log_format"):
+        EventsAgency(spark, root=str(tmp_path / "x"), log_format="csv")
