@@ -90,3 +90,80 @@ def with_global_cumsum(
         "long"
     )
     return bucketed.withColumn(out_col, cs).drop(_PID), int(total)
+
+
+def with_group_rank(
+    df: DataFrame,
+    group_col: str,
+    order_col: Column | str,
+    rv_col: str = "rv",
+    n_col: str = "n",
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY group ORDER BY order)`` plus
+    ``count(*) OVER (PARTITION BY group)`` — WITHOUT a one-task-per-group
+    sort window.
+
+    The hash-window form is the classic low-cardinality trap: PARTITION
+    BY event_type hash-shuffles every group onto ONE task, so a 5-type
+    100 TB table sorts 20 TB per task.  Here the global-row-number
+    skeleton range-partitions on (group, order) — a group SPANS many
+    buckets, each sorted locally — and the per-group rank falls out as
+    ``global_rn − group_start + 1`` with group starts/sizes from one
+    tiny aggregate (O(#groups) rows, joined back; AQE broadcasts it —
+    no forced hint, group cardinality is a bounded domain, not a
+    data-scaling build side).
+
+    Tie order within equal ``order_col`` values is engine-arbitrary
+    (same as the window form); callers that read VALUES at rank
+    positions (exact percentiles — functions/numeric.py contract) are
+    deterministic regardless, because all rows in a tie run carry the
+    same value.
+    """
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    ranked, _ = with_global_row_number(
+        df, [F.col(group_col), order], out_col="__grn"
+    )
+    bounds = ranked.groupBy(group_col).agg(
+        F.min("__grn").alias("__g0"), F.count(F.lit(1)).alias(n_col)
+    )
+    return (
+        ranked.join(bounds, group_col)
+        .withColumn(rv_col, F.col("__grn") - F.col("__g0") + 1)
+        .drop("__grn", "__g0")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    k: int,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group under ``order_cols`` — two-stage, so no task
+    ever sorts a whole group.
+
+    A bare ``row_number() OVER (PARTITION BY group ORDER BY ...)`` puts
+    each group through ONE task; for ANN-style plans where "group" is a
+    query id and the rows are corpus-scaled candidates, that is billions
+    of rows per task at 100 TB.  Stage 1 ranks within
+    (group, physical-partition) — same total shuffle volume as the naive
+    window but G×P-way parallel — and keeps only k rows per cell; stage 2
+    re-ranks the survivors, at most k × #partitions rows per group
+    (bounded by cluster config, not by data).
+
+    ``order_cols`` must totally order rows within a group (include a
+    unique tiebreak) so both stages agree and the result is
+    deterministic — the same contract as the single-window form.
+    """
+    w1 = Window.partitionBy(group_col, "__pid").orderBy(*order_cols)
+    local = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(w1))
+        .filter(F.col("__lrn") <= k)
+        .drop("__lrn", "__pid")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order_cols)
+    return local.withColumn(rn_col, F.row_number().over(w2)).filter(
+        F.col(rn_col) <= k
+    )

@@ -564,18 +564,20 @@ GROUP BY event_type
 def events_user_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from event_streaming_spark.operators.ranks import with_group_rank
+
     ev = load(spark, sf_dir, "events")
+    # the lag window partitions by user_id — high cardinality, scales out
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sec = F.unix_micros(F.col("ts"))
     g = ev.select(
         "event_type", (sec - F.lag(sec).over(w)).alias("gap_us")
     ).filter(F.col("gap_us").isNotNull())
-    wt = Window.partitionBy("event_type").orderBy("gap_us")
-    pos = g.select(
-        "event_type",
-        F.col("gap_us").alias("val"),
-        F.row_number().over(wt).alias("rv"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    # ...but the percentile rank must NOT partition by event_type (a
+    # handful of types = one task per type at any scale); use the
+    # range-partitioned group-rank primitive instead.
+    pos = with_group_rank(
+        g.select("event_type", F.col("gap_us").alias("val")), "event_type", "val"
     )
     return pos.groupBy("event_type").agg(
         F.max("n").alias("n_gaps"),

@@ -16,6 +16,7 @@ from event_streaming_spark.functions.numeric import cosine
 from event_streaming_spark.operators import similarity as S
 from event_streaming_spark.operators.joins import triangle_self_pair_join
 from event_streaming_spark.operators.materialize import materialize
+from event_streaming_spark.operators.ranks import topk_per_group
 from event_streaming_spark.plans.catalog import load, register, spread
 
 # ---------------------------------------------------------------------------
@@ -184,8 +185,11 @@ def emb_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    # two-stage top-k: a bare per-qid window would push every qid's FULL
+    # corpus of scored candidates through one task (operators/ranks.py).
+    return topk_per_group(
+        pairs, "qid", [F.desc("cos_sim"), F.asc("neighbor_id")], 5, rn_col="rn"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -231,8 +235,11 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qb").alias("bucket"),
         F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    # two-stage top-k (operators/ranks.py): per-qid candidates are
+    # bucket-bounded but still corpus/2^planes rows — never one task.
+    return topk_per_group(
+        cand, "qid", [F.desc("cos_sim"), F.asc("neighbor_id")], 3, rn_col="rn"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -350,8 +357,12 @@ def emb_ivf_two_stage_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("p.qv"), F.col("e.embedding")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    # two-stage top-k (operators/ranks.py): probed-cell candidates scale
+    # with cell population — never one task per qid.  (The wcell window
+    # above is fine: it ranks K centroids per query, K is config-bounded.)
+    return topk_per_group(
+        cand, "qid", [F.desc("cos_sim"), F.asc("neighbor_id")], 5, rn_col="rn"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -656,12 +656,13 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("qd.query_vec").alias("query_vec"), F.col("codes.vec_id").alias("neighbor"))
         .agg(F.sum(F.col("qd.dist")).alias("adc_dist"))
     )
-    w = Window.partitionBy("query_vec").orderBy("adc_dist", "neighbor")
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _ADC_K)
-        .orderBy("query_vec", "rank")
-    )
+    # two-stage top-k (operators/ranks.py): per-query ADC candidates are
+    # the whole code table — a bare per-query window is one task per qid.
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    return topk_per_group(
+        adc, "query_vec", [F.asc("adc_dist"), F.asc("neighbor")], _ADC_K, rn_col="rank"
+    ).orderBy("query_vec", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -800,7 +801,7 @@ ORDER BY d.event_type
 
 @register("events_mad_outliers", _MAD_ORACLE, tags=("agg", "stats", "robust"), bench=True)
 def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from event_streaming_spark.operators.ranks import with_group_rank
 
     ev = load(spark, sf_dir, "events")
     v = ev.select(
@@ -808,14 +809,11 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def interp_num(df, col):  # type-7 p50 numerator at 100× the input scale
-        wt = Window.partitionBy("event_type").orderBy(col)
-        pos = df.select(
-            "event_type",
-            F.col(col),
-            *[c for c in df.columns if c not in ("event_type", col)],
-            F.row_number().over(wt).alias("rv"),
-            F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
-        )
+        # per-group rank via the range-partitioned global-rn skeleton —
+        # a PARTITION BY event_type sort window would put each type's
+        # ENTIRE value set through one task (the low-cardinality trap;
+        # see operators/ranks.py:with_group_rank).
+        pos = with_group_rank(df, "event_type", col)
         lo = F.max(F.when(F.expr("rv - 1 = ((n - 1) * 50) div 100"), F.col(col)))
         hi = F.max(F.when(F.expr("rv - 1 = ((n - 1) * 50) div 100 + 1"), F.col(col)))
         f_ = F.max(F.expr("((n - 1) * 50) % 100"))
@@ -1138,12 +1136,13 @@ def emb_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("qd.qid").alias("qid"), F.col("codes.vec_id").alias("neighbor"))
         .agg(F.sum(F.col("qd.dist")).alias("adc_dist"))
     )
-    w = Window.partitionBy("qid").orderBy("adc_dist", "neighbor")
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _ADC_K)
-        .orderBy("qid", "rank")
-    )
+    # two-stage top-k (operators/ranks.py): probed-cell candidates still
+    # scale with cell population — never one task per qid.
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    return topk_per_group(
+        adc, "qid", [F.asc("adc_dist"), F.asc("neighbor")], _ADC_K, rn_col="rank"
+    ).orderBy("qid", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -1192,8 +1191,9 @@ def emb_ivf_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id").isin(*_ADC_QUERIES)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("neighbor"))
-    exact = (
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    scored = (
         emb.alias("e")
         .crossJoin(F.broadcast(q))
         .where(F.col("e.vec_id") != F.col("qid"))
@@ -1202,10 +1202,12 @@ def emb_ivf_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.vec_id").alias("neighbor"),
             F.round(cosine(F.col("qv"), F.col("e.embedding")), 6).alias("cs"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _ADC_K)
-        .select("qid", "neighbor")
     )
+    # two-stage top-k (operators/ranks.py): the exact arm scores the
+    # whole corpus per qid — never one task per qid.
+    exact = topk_per_group(
+        scored, "qid", [F.desc("cs"), F.asc("neighbor")], _ADC_K
+    ).select("qid", "neighbor")
     approx = emb_ivf_pq_search(spark, sf_dir).select(
         F.col("qid").alias("a_qid"), F.col("neighbor").alias("a_nid")
     )

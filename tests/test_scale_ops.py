@@ -586,3 +586,71 @@ def test_bloom_semi_join_refuses_incompatible_key_dtypes(spark):
     build = spark.range(3).select(F.col("id").alias("k"))
     with _pytest.raises(ValueError, match="dtype mismatch"):
         bloom_semi_join(probe, build, "k")
+
+
+# -- group-rank / top-k primitives (operators/ranks.py) ----------------------
+
+
+def _rank_fixture(spark):
+    # 3 groups, skewed sizes, duplicate values, 40 partitions so groups
+    # span many physical partitions (the condition the primitives target)
+    rows = [("a", i % 17) for i in range(200)]
+    rows += [("b", i % 5) for i in range(60)]
+    rows += [("c", 42)]
+    return spark.createDataFrame(rows, "g string, v long").repartition(40)
+
+
+def test_with_group_rank_matches_naive_window(spark):
+    from pyspark.sql.window import Window
+
+    from event_streaming_spark.operators.ranks import with_group_rank
+
+    df = _rank_fixture(spark)
+    got = with_group_rank(df, "g", "v")
+    naive = df.select(
+        "g",
+        "v",
+        F.row_number().over(Window.partitionBy("g").orderBy("v")).alias("rv"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+    # tie order is engine-arbitrary in BOTH forms; the invariant is that
+    # the multiset of (g, v-at-rank, n) agrees — i.e. sorting by (g, rv)
+    # yields the same value sequence.
+    a = sorted((r["g"], r["rv"], r["v"], r["n"]) for r in got.collect())
+    b = sorted((r["g"], r["rv"], r["v"], r["n"]) for r in naive.collect())
+    assert a == b
+
+
+def test_topk_per_group_matches_naive_window(spark):
+    from pyspark.sql.window import Window
+
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    # unique tiebreak column so both plans are fully deterministic
+    df = (
+        spark.range(500)
+        .select(
+            (F.col("id") % 7).cast("string").alias("g"),
+            (F.col("id") % 13).alias("v"),
+            F.col("id").alias("tie"),
+        )
+        .repartition(40)
+    )
+    got = topk_per_group(df, "g", [F.desc("v"), F.asc("tie")], 4)
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("tie"))
+    naive = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 4)
+    assert sorted(map(tuple, got.select("g", "v", "tie", "rn").collect())) == sorted(
+        map(tuple, naive.select("g", "v", "tie", "rn").collect())
+    )
+
+
+def test_topk_per_group_k_larger_than_group(spark):
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 9)], "g string, v long")
+    got = topk_per_group(df.repartition(8), "g", [F.asc("v")], 10)
+    assert sorted((r["g"], r["v"], r["rn"]) for r in got.collect()) == [
+        ("a", 1, 1),
+        ("a", 2, 2),
+        ("b", 9, 1),
+    ]
