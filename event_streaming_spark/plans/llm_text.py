@@ -245,8 +245,6 @@ SELECT source, term, n, rnk FROM r WHERE rnk <= 5
 
 @register("text_heavy_hitters_per_source", _HH_ORACLE, tags=("llm", "text", "agg", "window"))
 def text_heavy_hitters_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from event_streaming_spark.functions.hashing import tokens as tok_fn
 
     docs = spread(load(spark, sf_dir, "documents"))
@@ -255,9 +253,11 @@ def text_heavy_hitters_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("term"))
-    return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("source", "term", "n", "rnk")
-    )
+    # two-stage top-k (operators/ranks.py): per-source distinct terms
+    # scale with vocabulary (~zipf, still 10^8-ish at corpus scale) —
+    # a bare per-source window is one task per source.
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    return topk_per_group(
+        counts, "source", [F.col("n").desc(), F.col("term")], 5, rn_col="rnk"
+    ).select("source", "term", "n", "rnk")
