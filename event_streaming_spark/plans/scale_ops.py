@@ -204,3 +204,46 @@ def events_weighted_median_value_per_type(
         .agg(_weighted_median_udaf("value", "wt").alias("wmedian_value"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# The same weighted median, FULLY DISTRIBUTED — the 100 TB twin of the
+# GROUPED_AGG demo above.  Plan: per-(type, value) weight totals (one
+# shuffle, map-side combine), then a per-group cumulative weight via the
+# range-partitioned global cumsum primitive — the group's prefix offset
+# falls out distributively as min(global_cum − own_weight) over the
+# group (the cum BEFORE the group's first row), so no driver-side
+# ordering assumptions and no per-group single task anywhere.  Weights
+# are integers, so every cumulative is exact int64 and the selection
+# (min value with 2·cum ≥ total) is arithmetic-free — both engines
+# return identical doubles.  Same oracle as the UDAF form: the two
+# implementations cross-check each other through one SQL definition.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_weighted_median_distributed",
+    _WMEDIAN_ORACLE,
+    tags=("agg", "scale", "window"),
+)
+def events_weighted_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.ranks import with_global_cumsum
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", (1 + F.col("event_id") % 7).alias("wt")
+    )
+    pervalue = ev.groupBy("event_type", "value").agg(F.sum("wt").alias("vw"))
+    cum, _ = with_global_cumsum(
+        pervalue, [F.col("event_type"), F.col("value")], "vw", out_col="gcw"
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.min(F.col("gcw") - F.col("vw")).alias("g_prefix"),
+        F.sum("vw").alias("tw"),
+    )
+    return (
+        cum.join(bounds, "event_type")  # O(#types) rows — AQE broadcasts
+        .where(2 * (F.col("gcw") - F.col("g_prefix")) >= F.col("tw"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("wmedian_value"))
+        .orderBy("event_type")
+    )
