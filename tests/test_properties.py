@@ -199,3 +199,70 @@ def test_materializer_rejects_unknown_strategy(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_MATERIALIZER", "bogus")
     with pytest.raises(ValueError):
         materializer_strategy()
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(-50, 50)), min_size=1, max_size=25),
+       parts=st.integers(1, 6))
+@SETTINGS
+def test_with_group_rank_matches_bruteforce(spark, rows, parts):
+    """Per-group (rv, n) from the range-partitioned skeleton: the value
+    sequence under (g, rv) and the group sizes must equal the sorted
+    reference regardless of physical partitioning / tie order."""
+    from event_streaming_spark.operators.ranks import with_group_rank
+
+    df = spark.createDataFrame(rows, "g INT, v INT").repartition(parts)
+    got = sorted((r["g"], r["rv"], r["v"], r["n"]) for r in with_group_rank(df, "g", "v").collect())
+    want = []
+    for g in {g for g, _ in rows}:
+        vs = sorted(v for gg, v in rows if gg == g)
+        want += [(g, i + 1, v, len(vs)) for i, v in enumerate(vs)]
+    assert got == sorted(want)
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(-50, 50)), min_size=1, max_size=25),
+       k=st.integers(1, 5), parts=st.integers(1, 6))
+@SETTINGS
+def test_topk_per_group_matches_bruteforce(spark, rows, k, parts):
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]  # rid = unique tiebreak
+    df = spark.createDataFrame(data, "g INT, v INT, rid INT").repartition(parts)
+    got = sorted((r["g"], r["v"], r["rid"], r["rn"])
+                 for r in topk_per_group(df, "g", [F.desc("v"), F.asc("rid")], k).collect())
+    want = []
+    for g in {g for g, _, _ in data}:
+        members = sorted(((v, rid) for gg, v, rid in data if gg == g), key=lambda t: (-t[0], t[1]))
+        want += [(g, v, rid, i + 1) for i, (v, rid) in enumerate(members[:k])]
+    assert got == sorted(want)
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 2), st.integers(-20, 20), st.integers(1, 7)),
+                     min_size=1, max_size=25))
+@SETTINGS
+def test_weighted_median_distributed_shape_matches_bruteforce(spark, rows):
+    """The distributed cumulative-weight selection (the shape behind
+    events_weighted_median_distributed) equals the brute-force lower
+    weighted median on arbitrary (group, value, weight) multisets."""
+    from event_streaming_spark.operators.ranks import with_global_cumsum
+
+    df = spark.createDataFrame(rows, "g INT, v INT, wt INT").repartition(5)
+    pervalue = df.groupBy("g", "v").agg(F.sum("wt").alias("vw"))
+    cum, _ = with_global_cumsum(pervalue, [F.col("g"), F.col("v")], "vw", out_col="gcw")
+    bounds = cum.groupBy("g").agg(
+        F.min(F.col("gcw") - F.col("vw")).alias("p0"), F.sum("vw").alias("tw")
+    )
+    out = (
+        cum.join(bounds, "g")
+        .where(2 * (F.col("gcw") - F.col("p0")) >= F.col("tw"))
+        .groupBy("g").agg(F.min("v").alias("wm"))
+    )
+    got = {r["g"]: r["wm"] for r in out.collect()}
+    for g in {g for g, _, _ in rows}:
+        items = sorted((v, w) for gg, v, w in rows if gg == g)
+        total = sum(w for _, w in items)
+        cw = 0
+        for v, w in items:
+            cw += w
+            if 2 * cw >= total:
+                assert got[g] == v
+                break
