@@ -1,0 +1,598 @@
+"""Baseline JPEG codec — stdlib + numpy, no codec library.
+
+Decoder: baseline sequential DCT JPEG (SOI/DQT/DHT/SOF0/SOS, 8-bit
+samples, Huffman entropy coding, optional restart markers, 4:4:4 /
+4:2:2 / 4:2:0 chroma subsampling, 1- or 3-component).  This covers the
+overwhelming majority of real-world .jpg payloads in a web-scale crawl;
+progressive (SOF2), arithmetic coding, and 12-bit remain capability-
+gated with explicit NotImplementedError — the same honesty contract as
+the PNG/BMP/PPM kernels in operators/multimodal.py.
+
+Encoder: baseline encoder with the JPEG Annex K example quantization
+and Huffman tables, 4:4:4 or 4:2:0.  It exists so the decoder is
+testable in this container (no Pillow to produce fixtures) and doubles
+as the re-encode half of a thumbnail pipeline; it emits fully standard
+interchange-format streams.
+
+Reference parity: the reference repo has no image codecs — this is part
+of the multimodal-column story (SURVEY §2.5 / the LLM-pipeline brief),
+where image bytes ride as opaque binary columns and decode runs inside
+Arrow-batched Pandas UDFs (operators/multimodal.py plumbing).
+
+Scale: pure per-row CPU work with no cross-row state — embarrassingly
+parallel under mapInPandas; the only knobs that matter at 100 TB are
+batch size (Arrow flight) and partition count.
+
+Implementation notes:
+- IDCT/FDCT are the orthonormal 8×8 DCT-II basis applied as two
+  matmuls, vectorized over ALL blocks of a plane with one einsum.
+- The entropy decoder splits the scan on restart markers and decodes
+  each interval with fresh DC predictors (that IS the semantics of
+  RSTn).
+- Huffman tables decode through a (length → first-code/offset) table,
+  the canonical-code trick, not a per-bit tree walk.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# Constants: zig-zag order and the JPEG Annex K example tables.
+# ---------------------------------------------------------------------------
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Annex K.1 luminance / K.2 chrominance quantization tables (natural order
+#: is obtained by de-zigzagging these, which are listed in zig-zag order).
+QT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+QT_CHROM = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3: (BITS counts for lengths 1..16, HUFFVAL symbol list)
+HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_basis():
+    """Orthonormal 8×8 DCT-II basis matrix C: dct2(B) = C @ B @ C.T."""
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for k in range(8):
+        a = math.sqrt(0.125) if k == 0 else 0.5
+        for n in range(8):
+            c[k, n] = a * math.cos(math.pi * (2 * n + 1) * k / 16.0)
+    return c
+
+
+def _dezigzag64(vals):
+    import numpy as np
+
+    out = np.zeros(64, dtype=np.float64)
+    out[ZIGZAG] = vals
+    return out.reshape(8, 8)
+
+
+# ---------------------------------------------------------------------------
+# Canonical Huffman code construction (shared by encode and decode).
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(bits, vals):
+    """(BITS, HUFFVAL) → {symbol: (code, length)} per JPEG C.2."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _HuffDecoder:
+    """Canonical-code decode tables: per length, the first code value and
+    the index of its first symbol — O(#lengths) per symbol, no tree."""
+
+    def __init__(self, bits, vals):
+        self.vals = vals
+        self.mincode, self.maxcode, self.valptr = {}, {}, {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += n
+                k += n
+                self.maxcode[length] = code - 1
+            else:
+                self.maxcode[length] = -1
+            code <<= 1
+
+    def decode(self, reader):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            if self.maxcode[length] >= 0 and code <= self.maxcode[length]:
+                return self.vals[self.valptr[length] + code - self.mincode[length]]
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy interval."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                # past the end: JPEG pads with 1-bits
+                return 1
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG F.2.2.1 sign extension of a t-bit magnitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _parse_segments(content: bytes):
+    """Walk marker segments up to (and including) SOS; return header state
+    and the offset where entropy-coded data begins."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt, huff_dc, huff_ac = {}, {}, {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    i = 2
+    n = len(content)
+    while i < n:
+        if content[i] != 0xFF:
+            i += 1
+            continue
+        marker = content[i + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        ln = struct.unpack(">H", content[i + 2 : i + 4])[0]
+        seg = content[i + 4 : i + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                qt[tq] = list(seg[j + 1 : j + 65])
+                j += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline (extended) sequential
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            sof = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF{marker - 0xC0}: only baseline sequential JPEG is decoded"
+            )
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
+                j += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = {}
+            for s in range(ns):
+                cs, tt = seg[1 + 2 * s : 3 + 2 * s]
+                sel[cs] = {"dc": tt >> 4, "ac": tt & 0x0F}
+            scan = {"sel": sel, "data_at": i + 2 + ln}
+            break
+        i += 2 + ln
+    if sof is None or scan is None:
+        raise ValueError("truncated JPEG: missing SOF/SOS")
+    return qt, huff_dc, huff_ac, sof, restart_interval, scan
+
+
+def _split_intervals(data: bytes):
+    """De-stuff the entropy stream and split it on restart markers.
+    Returns the list of de-stuffed intervals (DC predictors reset at
+    each boundary)."""
+    intervals, cur = [], bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            intervals.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or the next real marker: scan is over
+            break
+    intervals.append(bytes(cur))
+    return intervals
+
+
+def decode_jpeg(content: bytes):
+    """Baseline JPEG → uint8 RGB ndarray (h, w, 3).
+
+    Grayscale expands to 3 channels; chroma planes upsample by pixel
+    replication (the nearest-neighbor inverse of subsampled encode)."""
+    import numpy as np
+
+    qt, huff_dc, huff_ac, sof, dri, scan = _parse_segments(content)
+    h, w, comps = sof["h"], sof["w"], sof["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component coefficient storage (natural-order blocks)
+    planes = {}
+    for c in comps:
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        planes[c["id"]] = np.zeros((bh * bw, 8, 8), dtype=np.float64)
+
+    intervals = _split_intervals(content[scan["data_at"] :])
+    mcu_per_interval = dri if dri else mcux * mcuy
+    mcu = 0
+    for interval in intervals:
+        reader = _BitReader(interval)
+        pred = {c["id"]: 0 for c in comps}
+        for _ in range(min(mcu_per_interval, mcux * mcuy - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for c in comps:
+                sel = scan["sel"][c["id"]]
+                dec_dc, dec_ac = huff_dc[sel["dc"]], huff_ac[sel["ac"]]
+                q = np.array(qt[c["tq"]], dtype=np.float64)
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        t = dec_dc.decode(reader)
+                        diff = _extend(reader.receive(t), t)
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = dec_ac.decode(reader)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        planes[c["id"]][row * (mcux * c["h"]) + col] = _dezigzag64(zz * q)
+            mcu += 1
+
+    # IDCT every block of every plane in one einsum, assemble rasters
+    cmat = _dct_basis()
+    rasters = {}
+    for c in comps:
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        blocks = planes[c["id"]]
+        px = np.einsum("ki,nkl,lj->nij", cmat, blocks, cmat) + 128.0
+        px = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        # upsample to full MCU grid by sample-factor replication, crop
+        px = np.repeat(np.repeat(px, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        rasters[c["id"]] = px[:h, :w]
+
+    if len(comps) == 1:
+        y = np.clip(np.rint(rasters[comps[0]["id"]]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if len(comps) != 3:
+        raise NotImplementedError(f"{len(comps)}-component JPEG")
+    y, cb, cr = (rasters[c["id"]] for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def jpeg_dimensions(content: bytes) -> tuple[int, int]:
+    """(width, height) from any SOFn header — no entropy decode, and
+    deliberately lenient: works for progressive/arithmetic streams whose
+    pixel decode this codec gates."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i, n = 2, len(content)
+    while i + 3 < n:
+        if content[i] != 0xFF:
+            i += 1
+            continue
+        marker = content[i + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        ln = struct.unpack(">H", content[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+            return int(w), int(h)
+        i += 2 + ln
+    raise ValueError("truncated JPEG: no SOF marker")
+
+
+# ---------------------------------------------------------------------------
+# Encoder (baseline, Annex K tables; 4:4:4 or 4:2:0)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:  # pad with 1-bits per the standard
+            self.write(1, 1)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category t, t-bit code) for a coefficient value (F.1.2.1)."""
+    t, a = 0, abs(v)
+    while a:
+        t += 1
+        a >>= 1
+    code = v if v >= 0 else v + (1 << t) - 1
+    return t, code & ((1 << t) - 1)
+
+
+def encode_jpeg(px, subsampling: str = "444") -> bytes:
+    """uint8 RGB (h, w, 3) → baseline JFIF-style JPEG bytes.
+
+    Annex K quantization/Huffman tables as-is (≈ libjpeg quality 50);
+    ``subsampling`` is "444" or "420".
+    """
+    import numpy as np
+
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    px = np.asarray(px, dtype=np.float64)
+    h, w = px.shape[:2]
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    if subsampling == "420":
+        sampling = [(2, 2), (1, 1), (1, 1)]
+        # box-average 2×2 before encoding chroma at half resolution
+        def half(p):
+            hh, ww = (p.shape[0] + 1) & ~1, (p.shape[1] + 1) & ~1
+            pp = _pad_edge(p, hh, ww)
+            return (pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+
+        planes = [y, half(cb), half(cr)]
+    else:
+        sampling = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    qlum = _dezigzag64(np.array(QT_LUM, dtype=np.float64))
+    qchrom = _dezigzag64(np.array(QT_CHROM, dtype=np.float64))
+    cmat = _dct_basis()
+
+    # per-component quantized block grids (natural order)
+    quantized = []
+    for ci, (plane, (sh, sv)) in enumerate(zip(planes, sampling)):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        p = _pad_edge(plane, ph, pw) - 128.0
+        blocks = (
+            p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coeffs = np.einsum("ik,nkl,jl->nij", cmat, blocks, cmat)
+        q = qlum if ci == 0 else qchrom
+        quantized.append(np.rint(coeffs / q).astype(np.int64))
+
+    dc_tables = [_canonical_codes(*HUFF_DC_LUM), _canonical_codes(*HUFF_DC_CHROM)]
+    ac_tables = [_canonical_codes(*HUFF_AC_LUM), _canonical_codes(*HUFF_AC_CHROM)]
+
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci, (sh, sv) in enumerate(sampling):
+            dc_codes = dc_tables[0 if ci == 0 else 1]
+            ac_codes = ac_tables[0 if ci == 0 else 1]
+            bw_blocks = mcux * sh
+            for by in range(sv):
+                for bx in range(sh):
+                    row, col = my * sv + by, mx * sh + bx
+                    blk = quantized[ci][row * bw_blocks + col]
+                    zz = blk.reshape(64)[np.array(ZIGZAG)]
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    t, code = _magnitude(diff)
+                    hc, hl = dc_codes[t]
+                    writer.write(hc, hl)
+                    if t:
+                        writer.write(code, t)
+                    run = 0
+                    last_nz = max(np.nonzero(zz)[0]) if np.any(zz) else 0
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        if v == 0:
+                            if k > last_nz:
+                                hc, hl = ac_codes[0x00]  # EOB
+                                writer.write(hc, hl)
+                                break
+                            run += 1
+                            if run == 16:
+                                hc, hl = ac_codes[0xF0]  # ZRL
+                                writer.write(hc, hl)
+                                run = 0
+                            continue
+                        t, code = _magnitude(v)
+                        hc, hl = ac_codes[(run << 4) | t]
+                        writer.write(hc, hl)
+                        writer.write(code, t)
+                        run = 0
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes(QT_LUM))
+    seg(0xDB, bytes([0x01]) + bytes(QT_CHROM))
+    sof = bytearray([8])
+    sof.extend(struct.pack(">HH", h, w))
+    sof.append(3)
+    for ci, (sh, sv) in enumerate(sampling):
+        sof.extend([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    seg(0xC0, bytes(sof))
+    for tc, th, (bits, vals) in (
+        (0, 0, HUFF_DC_LUM),
+        (0, 1, HUFF_DC_CHROM),
+        (1, 0, HUFF_AC_LUM),
+        (1, 1, HUFF_AC_CHROM),
+    ):
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    sos = bytearray([3])
+    for ci in range(3):
+        sos.extend([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos.extend([0, 63, 0])
+    seg(0xDA, bytes(sos))
+    out.extend(writer.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def _pad_edge(p, ph: int, pw: int):
+    """Edge-replicate pad a 2-D plane to (ph, pw)."""
+    import numpy as np
+
+    h, w = p.shape
+    if h == ph and w == pw:
+        return p
+    out = np.empty((ph, pw), dtype=p.dtype)
+    out[:h, :w] = p
+    if pw > w:
+        out[:h, w:] = p[:, w - 1 : w]
+    if ph > h:
+        out[h:, :] = out[h - 1 : h, :]
+    return out

@@ -7,13 +7,14 @@ Arrow-batched ``mapInPandas`` so bytes stay in columnar batches end to
 end; at 100 TB the decode stage is embarrassingly parallel and pipelines
 into the scan with no shuffle.
 
-The actual codecs (Pillow/librosa/ffmpeg) are NOT in this container, so
-the decode kernel is stubbed (`decode_image_stub`): a deterministic fake
-that parses only what the real kernel would parse cheaply (magic bytes +
-declared dims for uncompressed formats) and raises NotImplementedError
-for real codec work.  The Spark-side plumbing — schema, batch iteration,
-partitioning — is real and tested; swapping in a real kernel is a
-one-function change.
+Codec libraries (Pillow/librosa/ffmpeg) are NOT in this container, so
+the kernels are stdlib+numpy: REAL raster decode for PPM, BMP, PNG
+(zlib inflate + all five filters) and baseline JPEG (Huffman + IDCT,
+operators/jpegcodec.py), REAL signal features for PCM WAV.  Formats
+that genuinely need an external codec (gif, non-baseline JPEG, H.264)
+degrade to header metadata where possible and otherwise raise
+NotImplementedError — graded capability gates, never silent fakes.
+``select_image_kernel`` auto-upgrades to Pillow when it imports.
 """
 
 from __future__ import annotations
@@ -105,9 +106,11 @@ def decode_image_stub(content: bytes) -> tuple[str, int, int, int]:
     (PPM/BMP, above), real header parse for PNG dims, and a byte checksum
     standing in for pixel features elsewhere.
 
-    Compressed pixel decode (jpeg/gif/riff payloads) requires a codec
-    library — raise NotImplementedError past the header; see
-    ``select_image_kernel`` for the Pillow auto-upgrade.
+    Compressed pixel decode for gif/riff payloads requires a codec
+    library — raise NotImplementedError past the header (baseline JPEG
+    has its own stdlib kernel, operators/jpegcodec.py; this stub is the
+    LAST-resort fallback below it); see ``select_image_kernel`` for the
+    Pillow auto-upgrade.
     """
     fmt = sniff_format(content)
     if fmt in ("ppm", "bmp"):
@@ -117,6 +120,14 @@ def decode_image_stub(content: bytes) -> tuple[str, int, int, int]:
         # IHDR immediately follows the 8-byte signature: width/height at 16..24
         w, h = struct.unpack(">II", content[16:24])
         return fmt, int(w), int(h), checksum
+    if fmt == "jpeg" and len(content) >= 10:
+        try:
+            from event_streaming_spark.operators.jpegcodec import jpeg_dimensions
+
+            w, h = jpeg_dimensions(content)
+            return fmt, int(w), int(h), checksum
+        except Exception:
+            pass
     if fmt in ("jpeg", "gif", "riff"):
         raise NotImplementedError(
             f"{fmt} pixel decode needs a codec library (Pillow/ffmpeg) — "
@@ -252,8 +263,11 @@ def decode_png(content: bytes) -> tuple[str, int, int, int]:
 
 
 def decode_image_stdlib(content: bytes) -> tuple[str, int, int, int]:
-    """Best no-dependency kernel: REAL raster decode for PPM/BMP/PNG;
-    jpeg/gif still need a codec library (→ NotImplementedError)."""
+    """Best no-dependency kernel: REAL raster decode for PPM/BMP/PNG and
+    baseline JPEG (operators/jpegcodec.py); gif still needs a codec
+    library (→ NotImplementedError)."""
+    import numpy as np
+
     fmt = sniff_format(content)
     if fmt in ("ppm", "bmp"):
         return decode_image_uncompressed(content)
@@ -263,6 +277,18 @@ def decode_image_stdlib(content: bytes) -> tuple[str, int, int, int]:
         except NotImplementedError:
             # 16-bit / interlaced / truncated: degrade to the header
             # parse (true dims, byte checksum) instead of a sentinel
+            return decode_image_stub(content)
+    if fmt == "jpeg":
+        from event_streaming_spark.operators.jpegcodec import decode_jpeg
+
+        try:
+            px = decode_jpeg(content)
+            return "jpeg", px.shape[1], px.shape[0], int(px.astype(np.int64).sum())
+        except Exception:
+            # non-baseline (progressive/arithmetic) or corrupt: degrade
+            # to the stub — true dims from the SOF header when
+            # parseable, NotImplementedError past that (a crawl shard
+            # with one bad image must never kill the batch).
             return decode_image_stub(content)
     return decode_image_stub(content)
 
@@ -485,7 +511,8 @@ def extract_audio_features(binary_df: DataFrame) -> DataFrame:
 # Pixel-level kernels: full-raster decode → numpy array, nearest-neighbor
 # resize, and frame sampling over PPM streams (the `ffmpeg -f image2pipe
 # -c:v ppm` wire format: concatenated P6 frames).  All numpy + stdlib —
-# REAL implementations, not stubs; jpeg/gif/h264 remain codec-gated.
+# REAL implementations, not stubs (incl. the baseline JPEG codec in
+# operators/jpegcodec.py); gif/h264 remain codec-gated.
 # ---------------------------------------------------------------------------
 
 
@@ -510,10 +537,11 @@ def _ppm_header(content: bytes, offset: int = 0) -> tuple[int, int, int, int]:
 
 
 def decode_pixels(content: bytes):
-    """Full raster → uint8 ndarray (h, w, 3), for PPM / BMP / PNG.
+    """Full raster → uint8 ndarray (h, w, 3), for PPM / BMP / PNG / JPEG.
 
     Alpha channels are dropped, grayscale is expanded, palettes resolved,
-    BMP's bottom-up BGR rows flipped/reordered — callers always get RGB.
+    BMP's bottom-up BGR rows flipped/reordered, JPEG entropy-decoded by
+    the stdlib+numpy baseline codec — callers always get RGB.
     """
     import zlib
 
@@ -573,6 +601,10 @@ def decode_pixels(content: bytes):
         if ch == 2:  # gray + alpha: drop alpha, expand
             return np.repeat(px[:, :, :1], 3, axis=2).copy()
         return px[:, :, :3].copy()  # RGB / RGBA
+    if fmt == "jpeg":
+        from event_streaming_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(f"no pixel kernel for format {fmt!r}")
 
 
