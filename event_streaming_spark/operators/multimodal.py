@@ -9,9 +9,10 @@ into the scan with no shuffle.
 
 Codec libraries (Pillow/librosa/ffmpeg) are NOT in this container, so
 the kernels are stdlib+numpy: REAL raster decode for PPM, BMP, PNG
-(zlib inflate + all five filters) and baseline JPEG (Huffman + IDCT,
-operators/jpegcodec.py), REAL signal features for PCM WAV.  Formats
-that genuinely need an external codec (gif, non-baseline JPEG, H.264)
+(zlib inflate + all five filters), baseline JPEG (Huffman + IDCT,
+operators/jpegcodec.py) and GIF (LZW, operators/gifcodec.py), REAL
+signal features for PCM WAV.  Formats
+that genuinely need an external codec (non-baseline JPEG, H.264)
 degrade to header metadata where possible and otherwise raise
 NotImplementedError — graded capability gates, never silent fakes.
 ``select_image_kernel`` auto-upgrades to Pillow when it imports.
@@ -106,11 +107,11 @@ def decode_image_stub(content: bytes) -> tuple[str, int, int, int]:
     (PPM/BMP, above), real header parse for PNG dims, and a byte checksum
     standing in for pixel features elsewhere.
 
-    Compressed pixel decode for gif/riff payloads requires a codec
+    Compressed pixel decode for riff payloads requires a codec
     library — raise NotImplementedError past the header (baseline JPEG
-    has its own stdlib kernel, operators/jpegcodec.py; this stub is the
-    LAST-resort fallback below it); see ``select_image_kernel`` for the
-    Pillow auto-upgrade.
+    and GIF have their own stdlib kernels, operators/jpegcodec.py and
+    gifcodec.py; this stub is the LAST-resort fallback below them);
+    see ``select_image_kernel`` for the Pillow auto-upgrade.
     """
     fmt = sniff_format(content)
     if fmt in ("ppm", "bmp"):
@@ -125,6 +126,14 @@ def decode_image_stub(content: bytes) -> tuple[str, int, int, int]:
             from event_streaming_spark.operators.jpegcodec import jpeg_dimensions
 
             w, h = jpeg_dimensions(content)
+            return fmt, int(w), int(h), checksum
+        except Exception:
+            pass
+    if fmt == "gif" and len(content) >= 13:
+        try:
+            from event_streaming_spark.operators.gifcodec import gif_dimensions
+
+            w, h = gif_dimensions(content)
             return fmt, int(w), int(h), checksum
         except Exception:
             pass
@@ -264,8 +273,8 @@ def decode_png(content: bytes) -> tuple[str, int, int, int]:
 
 def decode_image_stdlib(content: bytes) -> tuple[str, int, int, int]:
     """Best no-dependency kernel: REAL raster decode for PPM/BMP/PNG and
-    baseline JPEG (operators/jpegcodec.py); gif still needs a codec
-    library (→ NotImplementedError)."""
+    baseline JPEG (operators/jpegcodec.py) and GIF (LZW,
+    operators/gifcodec.py)."""
     import numpy as np
 
     fmt = sniff_format(content)
@@ -289,6 +298,14 @@ def decode_image_stdlib(content: bytes) -> tuple[str, int, int, int]:
             # to the stub — true dims from the SOF header when
             # parseable, NotImplementedError past that (a crawl shard
             # with one bad image must never kill the batch).
+            return decode_image_stub(content)
+    if fmt == "gif":
+        from event_streaming_spark.operators.gifcodec import decode_gif
+
+        try:
+            px = decode_gif(content)
+            return "gif", px.shape[1], px.shape[0], int(px.astype(np.int64).sum())
+        except Exception:
             return decode_image_stub(content)
     return decode_image_stub(content)
 
@@ -512,7 +529,7 @@ def extract_audio_features(binary_df: DataFrame) -> DataFrame:
 # resize, and frame sampling over PPM streams (the `ffmpeg -f image2pipe
 # -c:v ppm` wire format: concatenated P6 frames).  All numpy + stdlib —
 # REAL implementations, not stubs (incl. the baseline JPEG codec in
-# operators/jpegcodec.py); gif/h264 remain codec-gated.
+# operators/jpegcodec.py, LZW GIF in gifcodec.py); h264 remains codec-gated.
 # ---------------------------------------------------------------------------
 
 
@@ -605,6 +622,10 @@ def decode_pixels(content: bytes):
         from event_streaming_spark.operators.jpegcodec import decode_jpeg
 
         return decode_jpeg(content)
+    if fmt == "gif":
+        from event_streaming_spark.operators.gifcodec import decode_gif
+
+        return decode_gif(content)
     raise NotImplementedError(f"no pixel kernel for format {fmt!r}")
 
 
