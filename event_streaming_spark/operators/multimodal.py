@@ -463,7 +463,10 @@ def decode_audio_pcm(content: bytes) -> tuple[str, int, int, int, int, float, fl
     duration_ms, rms, peak, zero_crossing_rate).
 
     Samples normalized to [-1, 1]; rms/peak/zcr computed on the mono mix.
-    Raises NotImplementedError for non-PCM encodings and non-WAV media.
+    Handles linear PCM (8/16/32-bit) and G.711 A-law/µ-law companding
+    (closed-form expansion, no codec needed); raises NotImplementedError
+    for encodings that genuinely need one (ADPCM, mp3, ogg) and for
+    non-WAV media.
     """
     import numpy as np
 
@@ -475,11 +478,34 @@ def decode_audio_pcm(content: bytes) -> tuple[str, int, int, int, int, float, fl
     off, size = chunks["fmt "]
     audio_fmt, n_channels, sample_rate = struct.unpack_from("<HHI", content, off)
     bits = struct.unpack_from("<H", content, off + 14)[0]
-    if audio_fmt != 1 or bits not in (8, 16, 32):
+    if not (
+        (audio_fmt == 1 and bits in (8, 16, 32))
+        or (audio_fmt in (6, 7) and bits == 8)  # G.711 A-law / µ-law
+    ):
         raise NotImplementedError(f"non-PCM wav (fmt={audio_fmt}, bits={bits})")
     doff, dsize = chunks["data"]
     raw = content[doff : doff + dsize]
-    if bits == 8:  # unsigned
+    if audio_fmt in (6, 7):
+        # G.711 companded telephony audio: expansion is a pure closed
+        # form (ITU-T G.711), so "compressed" WAV still needs no codec
+        # library.  Expand via a 256-entry table to int16 PCM.
+        codes = np.arange(256, dtype=np.uint8)
+        if audio_fmt == 7:  # µ-law
+            u = ~codes
+            sign = np.where(u & 0x80, -1, 1)
+            exp = (u >> 4) & 0x07
+            mant = u & 0x0F
+            mag = (((mant.astype(np.int32) << 3) + 0x84) << exp) - 0x84
+            table = (sign * mag).astype(np.int16)
+        else:  # A-law (sign bit SET means positive after the 0x55 toggle)
+            a = codes ^ 0x55
+            sign = np.where(a & 0x80, 1, -1)
+            exp = (a >> 4) & 0x07
+            mant = (a & 0x0F).astype(np.int32)
+            mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+            table = (sign * mag).astype(np.int16)
+        x = table[np.frombuffer(raw, dtype=np.uint8)].astype(np.float64) / 32768.0
+    elif bits == 8:  # unsigned
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     else:
         dt = np.int16 if bits == 16 else np.int32

@@ -996,3 +996,58 @@ def test_key_index_point_read_prunes_partitions(spark, tmp_path):
     assert sorted(r["event_id"] for r in idx.lookup(victim).collect()) == sorted(
         r["event_id"] for r in full.collect()
     )
+
+
+def test_g711_mulaw_alaw_decode():
+    """G.711 companded WAV (fmt 6/7) expands via the closed-form tables:
+    canonical code points decode exactly, and a companded sine's signal
+    features match its linear-PCM version within companding error."""
+    import math
+    import struct as st
+
+    from event_streaming_spark.operators import multimodal as M
+
+    def g711_wav(codes: bytes, audio_fmt: int, sr=8000):
+        fmt = st.pack("<HHIIHH", audio_fmt, 1, sr, sr, 1, 8)
+        chunks = (
+            b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(codes)) + codes
+        )
+        return b"RIFF" + st.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    # canonical code points (ITU-T G.711 reference tables)
+    #   µ-law: 0x00 → −32124, 0x80 → +32124, 0xFF → 0
+    fmt7 = g711_wav(bytes([0x00, 0x80, 0xFF]), 7)
+    _, _, _, _, _, _, peak, _ = M.decode_audio_pcm(fmt7)
+    assert abs(peak - 32124 / 32768.0) < 1e-9
+    #   A-law: 0x55 → −8, 0xD5 → +8, 0x2A → −2912? use peak of ±32256
+    fmt6 = g711_wav(bytes([0xAA, 0x2A]), 6)  # 0xAA^0x55=0xFF → +max, 0x2A^0x55=0x7F → −max
+    _, _, _, _, _, _, peak6, _ = M.decode_audio_pcm(fmt6)
+    assert abs(peak6 - 32256 / 32768.0) < 1e-9
+
+    # companded sine ≈ linear sine in rms/zcr (µ-law reference encoder)
+    def linear2ulaw(s):
+        BIAS, CLIP = 0x84, 32635
+        sign = 0x80 if s < 0 else 0
+        s = min(abs(s), CLIP) + BIAS
+        exp = 7
+        mask = 0x4000
+        while exp > 0 and not (s & mask):
+            exp -= 1
+            mask >>= 1
+        mant = (s >> (exp + 3)) & 0x0F
+        return ~(sign | (exp << 4) | mant) & 0xFF
+
+    sr, n, freq, amp = 8000, 8000, 440, 0.5
+    pcm16 = [int(amp * 32767 * math.sin(2 * math.pi * freq * i / sr)) for i in range(n)]
+    codes = bytes(linear2ulaw(s) for s in pcm16)
+    fmt, srate, ch, ns, dur, rms, peak, zcr = M.decode_audio_pcm(g711_wav(codes, 7, sr))
+    assert (fmt, srate, ns, dur) == ("wav", 8000, 8000, 1000)
+    assert abs(rms - amp / 2 ** 0.5) < 0.01  # companding error ≪ 1%
+    assert abs(zcr - 2 * freq / sr) < 0.005
+
+    # ADPCM (fmt=2) still genuinely needs a codec
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        M.decode_audio_pcm(g711_wav(b"\x00\x00", 2))
