@@ -45,10 +45,15 @@ def main() -> None:
         # noop sink: full execution + column materialization, no driver collect
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
-        # second run: plan/codegen warm — the steady-state per-query cost
-        t0 = time.monotonic()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.monotonic() - t0, 3)
+        # steady-state per-query cost: min of two warm runs — this box's
+        # run-to-run noise is ±30-50% on sub-second entries (BASELINE.md),
+        # and min-of-k is the standard low-variance steady-state estimator
+        reps = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps.append(time.monotonic() - t0)
+        warm[name] = round(min(reps), 3)
         print(f"# {name}: cold {timings[name]:.3f}s warm {warm[name]:.3f}s", file=sys.stderr)
 
     # Streaming path: publish the whole events table to a file topic, drain
