@@ -103,3 +103,82 @@ def test_full_pipeline(spark, tmp_path):
     finally:
         gw.stop()
         agency.close()
+
+
+def test_mixed_media_asset_catalog(spark, tmp_path):
+    """Multimodal end to end: one directory of real mixed media (PNG,
+    JPEG, GIF, BMP, MJPEG AVI, PCM + µ-law WAV, junk) → the three
+    metadata extractors → one joined asset catalog.  Every decodable
+    asset reports true dimensions/signal features from the stdlib
+    kernels; junk degrades to sentinels; nothing throws."""
+    import math
+    import struct as st
+    import zlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from event_streaming_spark.operators.avidemux import build_mjpeg_avi, extract_video_meta
+    from event_streaming_spark.operators.jpegcodec import encode_jpeg
+    from event_streaming_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_meta,
+    )
+    from event_streaming_spark.sources.readers import load_file
+
+    d = tmp_path / "media"
+    d.mkdir()
+
+    img = np.clip(
+        128 + 90 * np.sin(np.mgrid[0:16, 0:24][1] / 5.0)[..., None] * np.ones(3), 0, 255
+    ).astype(np.uint8)
+    # PNG (filter 0 rows, RGB)
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(16))
+    ihdr = st.pack(">IIBBBBB", 24, 16, 8, 2, 0, 0, 0)
+
+    def chunk(t, p):
+        return st.pack(">I", len(p)) + t + p + st.pack(">I", zlib.crc32(t + p))
+
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    (d / "a.png").write_bytes(png)
+    (d / "b.jpg").write_bytes(encode_jpeg(img))
+    (d / "c.ppm").write_bytes(b"P6\n24 16\n255\n" + img.tobytes())
+    avi, _ = build_mjpeg_avi([encode_jpeg(img) for _ in range(3)], width=24, height=16), None
+    (d / "clip.avi").write_bytes(avi)
+    # PCM WAV, 200 Hz sine at 8 kHz
+    pcm = b"".join(
+        st.pack("<h", int(0.4 * 32767 * math.sin(2 * math.pi * 200 * i / 8000)))
+        for i in range(4000)
+    )
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + st.pack("<I", 20 + len(fmt) + len(pcm)) + b"WAVE"
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", len(pcm)) + pcm
+    )
+    (d / "tone.wav").write_bytes(wav)
+    (d / "junk.bin").write_bytes(b"\x00\x01\x02\x03")
+
+    files = load_file(spark, str(d))
+    images = extract_image_meta(files).select(
+        "path", F.lit("image").alias("kind"), "format", "width", "height"
+    )
+    audio = extract_audio_features(files.filter(F.col("path").endswith(".wav"))).select(
+        "path", F.lit("audio").alias("kind"), "format",
+        F.lit(-1).alias("width"), F.lit(-1).alias("height"),
+    )
+    video = extract_video_meta(files.filter(F.col("path").endswith(".avi"))).select(
+        "path", F.lit("video").alias("kind"),
+        F.col("video_codec").alias("format"), "width", "height",
+    )
+    catalog = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in images.unionByName(audio).unionByName(video).collect()
+    }
+    for name, fmt_ in (("a.png", "png"), ("b.jpg", "jpeg"), ("c.ppm", "ppm")):
+        assert catalog[name]["format"] == fmt_
+        assert (catalog[name]["width"], catalog[name]["height"]) == (24, 16)
+    assert catalog["clip.avi"]["format"] == "mjpg"
+    assert (catalog["clip.avi"]["width"], catalog["clip.avi"]["height"]) == (24, 16)
+    assert catalog["tone.wav"]["format"] == "wav"
+    assert catalog["junk.bin"]["format"] == "unknown"

@@ -921,7 +921,7 @@ def test_extract_thumbnails_spark_op(spark, tmp_path):
     from event_streaming_spark.operators.multimodal import (
         decode_pixels,
         extract_thumbnails,
-        resize_nearest,
+        resize_box,
     )
 
     d = tmp_path / "imgs"
@@ -931,7 +931,7 @@ def test_extract_thumbnails_spark_op(spark, tmp_path):
     (d / "junk.bin").write_bytes(b"\x00\x01\x02")
     df = spark.read.format("binaryFile").load(str(d))
     rows = {r["path"].split("/")[-1]: r for r in extract_thumbnails(df, 4, 4).collect()}
-    want = int(resize_nearest(decode_pixels(b"P6\n16 8\n255\n" + px.tobytes()), 4, 4)
+    want = int(resize_box(decode_pixels(b"P6\n16 8\n255\n" + px.tobytes()), 4, 4)
                .astype("int64").sum())
     g = rows["grad.ppm"]
     assert (g["width"], g["height"], g["thumb_checksum64"]) == (16, 8, want)
@@ -1051,3 +1051,21 @@ def test_g711_mulaw_alaw_decode():
 
     with _pytest.raises(NotImplementedError):
         M.decode_audio_pcm(g711_wav(b"\x00\x00", 2))
+
+
+def test_resize_box_is_cell_mean_and_upscale_falls_back():
+    import numpy as np
+
+    from event_streaming_spark.operators.multimodal import resize_box, resize_nearest
+
+    # exact 2x downscale: every output pixel is the rounded mean of its 2x2 cell
+    px = (np.arange(8 * 8 * 3, dtype=np.uint64) * 7 % 256).astype(np.uint8).reshape(8, 8, 3)
+    got = resize_box(px, 4, 4)
+    cells = px.astype(np.int64).reshape(4, 2, 4, 2, 3)
+    want = ((cells.sum(axis=(1, 3)) + 2) // 4).astype(np.uint8)  # round half up, area 4
+    assert np.array_equal(got, want)
+    # constant image stays constant at any ragged scale
+    const = np.full((10, 7, 3), 123, dtype=np.uint8)
+    assert np.array_equal(resize_box(const, 3, 4), np.full((4, 3, 3), 123, dtype=np.uint8))
+    # upscale falls back to nearest (identical output)
+    assert np.array_equal(resize_box(px, 16, 16), resize_nearest(px, 16, 16))
