@@ -634,8 +634,6 @@ ORDER BY query_vec, rank
 
 @register("emb_pq_adc_topk", _adc_oracle(), tags=("llm", "ann"))
 def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from event_streaming_spark.plans.curation3 import pq_frames
 
     scored, best = pq_frames(spark, sf_dir)
@@ -1076,8 +1074,6 @@ ORDER BY qid, rank
 
 @register("emb_ivf_pq_search", _ivfpq_oracle(), tags=("llm", "ann", "ivf"), bench=True)
 def emb_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from event_streaming_spark.functions.numeric import cosine
     from event_streaming_spark.plans.curation3 import pq_frames
 
@@ -1183,8 +1179,6 @@ ORDER BY exact.qid
 
 @register("emb_ivf_pq_recall_audit", _ivfpq_recall_oracle(), tags=("llm", "ann", "audit"))
 def emb_ivf_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from event_streaming_spark.functions.numeric import cosine
 
     emb = load(spark, sf_dir, "embeddings")
