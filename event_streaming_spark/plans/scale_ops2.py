@@ -1074,6 +1074,8 @@ ORDER BY qid, rank
 
 @register("emb_ivf_pq_search", _ivfpq_oracle(), tags=("llm", "ann", "ivf"), bench=True)
 def emb_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # wcell: K-centroid ranking (bounded)
+
     from event_streaming_spark.functions.numeric import cosine
     from event_streaming_spark.plans.curation3 import pq_frames
 
