@@ -652,6 +652,17 @@ def decode_pixels(content: bytes):
         from event_streaming_spark.operators.gifcodec import decode_gif
 
         return decode_gif(content)
+    if fmt == "riff" and content[8:12] == b"AVI ":
+        # video still: first MJPEG frame (same first-frame semantics as
+        # GIF); non-MJPEG codecs raise through sample_mjpeg_frames' gate
+        from event_streaming_spark.operators.avidemux import avi_info, iter_video_frames
+        from event_streaming_spark.operators.jpegcodec import decode_jpeg
+
+        if avi_info(content)["video_codec"] not in ("mjpg", "mjpeg"):
+            raise NotImplementedError("AVI still-frame decode needs MJPEG")
+        for _idx, off, size in iter_video_frames(content):
+            return decode_jpeg(content[off : off + size])
+        raise NotImplementedError("AVI with no video frames")
     raise NotImplementedError(f"no pixel kernel for format {fmt!r}")
 
 

@@ -90,3 +90,16 @@ def test_extract_video_meta_spark_op(spark, tmp_path):
     assert ok["sampled_checksum64"] > 0
     assert rows["h264.avi"]["n_sampled"] == -2  # metadata yes, decode gated
     assert rows["noise.bin"]["container"] == "unknown"
+
+
+def test_decode_pixels_avi_first_frame_and_thumbnail():
+    from event_streaming_spark.operators.multimodal import decode_pixels, resize_box
+
+    data, frames = _avi(n_frames=3, h=16, w=24)
+    px = decode_pixels(data)
+    assert np.array_equal(px, decode_jpeg(frames[0]))  # first frame exactly
+    th = resize_box(px, 6, 4)
+    assert th.shape == (4, 6, 3)
+    h264 = data.replace(b"vidsMJPG", b"vidsH264")
+    with pytest.raises(NotImplementedError):
+        decode_pixels(h264)
