@@ -372,3 +372,62 @@ def test_vacuum_tolerates_previously_vacuumed_keep_range(spark, store):
     removed = store.vacuum(keep_last=3, min_age_s=0)   # keep range v2..v4: v2,v3 gone
     assert isinstance(removed, list)            # reached the end without raising
     assert store.read().count() == 50           # head snapshot intact
+
+
+def test_cdf_driven_incremental_signature_maintenance(spark, tmp_path):
+    """Storage + dedup composed: documents live in a VersionedStore; a
+    MERGE updates some docs and inserts new ones; the signature table
+    refreshes from the store's CHANGE FEED alone — recompute bands only
+    for changed doc_ids, delete stale rows, insert fresh ones — and the
+    result equals a from-scratch recompute of the new head.  This is the
+    100 TB maintenance path: feed cost scales with the delta (the feed
+    reads only added/removed files), never the corpus."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_spark.operators.similarity import (
+        band_hashes_over,
+        minhash_cols,
+        shingle_hashes,
+    )
+    from event_streaming_spark.sources.versioned import VersionedStore
+
+    def signatures(docs_df):
+        hs = docs_df.select("doc_id", shingle_hashes(F.col("text")).alias("hs"))
+        sig = hs.select("doc_id", F.array(*minhash_cols(F.col("hs"))).alias("sig"))
+        return sig.select(
+            "doc_id",
+            F.posexplode(F.array(*band_hashes_over(F.col("sig")))).alias("band_idx", "bh"),
+        )
+
+    docs = [(i, f"the quick brown fox jumps over dog number {i} " * 3) for i in range(30)]
+    store = VersionedStore(spark, str(tmp_path / "docs"))
+    v1 = store.append(spark.createDataFrame(docs, "doc_id long, text string"))
+
+    # the signature table as of v1 (would be a persisted table in prod)
+    sig_v1 = signatures(store.read(v1))
+
+    # MERGE: rewrite 5 docs, insert 3 new ones
+    updates = spark.createDataFrame(
+        [(i, f"an entirely different document body {i} " * 4) for i in range(5)]
+        + [(100 + i, f"brand new content {i} " * 5) for i in range(3)],
+        "doc_id long, text string",
+    )
+    v2 = store.merge(updates, key="doc_id")
+
+    # incremental refresh FROM THE FEED: changed doc_ids only
+    feed = store.table_changes(v1, v2)
+    changed = feed.select("doc_id").distinct()
+    fresh = signatures(
+        store.read(v2).join(changed, "doc_id", "left_semi")
+    )
+    refreshed = (
+        sig_v1.join(changed, "doc_id", "left_anti")  # drop stale rows
+        .unionByName(fresh)                          # add recomputed rows
+    )
+
+    full = signatures(store.read(v2))  # from-scratch reference
+    a = sorted(map(tuple, refreshed.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b
+    # and the delta really was delta-sized: 5 updated + 3 inserted docs
+    assert changed.count() == 8
