@@ -51,8 +51,35 @@ _MAGIC = {
 def sniff_format(content: bytes) -> str:
     for magic, name in _MAGIC.items():
         if content[: len(magic)] == magic:
+            if name == "riff" and content[8:12] == b"WEBP":
+                return "webp"
             return name
     return "unknown"
+
+
+def webp_dimensions(content: bytes) -> tuple[int, int]:
+    """(width, height) from a WebP header — all three container forms,
+    no codec: VP8X (extended: 24-bit canvas dims), VP8L (lossless:
+    14-bit packed dims), VP8 (lossy: key-frame dims past the start
+    code).  Pixel decode genuinely needs libwebp and stays gated."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    fourcc = content[12:16]
+    if fourcc == b"VP8X" and len(content) >= 30:
+        w = int.from_bytes(content[24:27], "little") + 1
+        h = int.from_bytes(content[27:30], "little") + 1
+        return w, h
+    if fourcc == b"VP8L" and len(content) >= 25 and content[20] == 0x2F:
+        bits = int.from_bytes(content[21:25], "little")
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    if fourcc == b"VP8 " and len(content) >= 30:
+        # key frame: start code 9D 01 2A, then 14-bit dims (LE, low bits)
+        if content[23:26] != b"\x9d\x01\x2a":
+            raise ValueError("VP8 inter-frame or corrupt header")
+        w = int.from_bytes(content[26:28], "little") & 0x3FFF
+        h = int.from_bytes(content[28:30], "little") & 0x3FFF
+        return w, h
+    raise ValueError(f"unrecognized WebP chunk {fourcc!r}")
 
 
 def decode_image_uncompressed(content: bytes) -> tuple[str, int, int, int]:
@@ -137,7 +164,13 @@ def decode_image_stub(content: bytes) -> tuple[str, int, int, int]:
             return fmt, int(w), int(h), checksum
         except Exception:
             pass
-    if fmt in ("jpeg", "gif", "riff"):
+    if fmt == "webp":
+        try:
+            w, h = webp_dimensions(content)
+            return fmt, int(w), int(h), checksum
+        except Exception:
+            pass
+    if fmt in ("jpeg", "gif", "riff", "webp"):
         raise NotImplementedError(
             f"{fmt} pixel decode needs a codec library (Pillow/ffmpeg) — "
             "not available in this environment; plug a real kernel here"

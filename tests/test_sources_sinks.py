@@ -1069,3 +1069,37 @@ def test_resize_box_is_cell_mean_and_upscale_falls_back():
     assert np.array_equal(resize_box(const, 3, 4), np.full((4, 3, 3), 123, dtype=np.uint8))
     # upscale falls back to nearest (identical output)
     assert np.array_equal(resize_box(px, 16, 16), resize_nearest(px, 16, 16))
+
+
+def test_webp_dimensions_all_container_forms():
+    """WebP metadata without libwebp: VP8X (extended), VP8L (lossless),
+    VP8 (lossy key frame) headers all yield true canvas dimensions;
+    pixel decode stays gated."""
+    import struct as st
+
+    import pytest as _pytest
+
+    from event_streaming_spark.operators import multimodal as M
+
+    def riff(fourcc, payload):
+        body = b"WEBP" + fourcc + st.pack("<I", len(payload)) + payload
+        return b"RIFF" + st.pack("<I", len(body)) + body
+
+    # VP8X: 4 flag bytes + 24-bit (w-1) + 24-bit (h-1)
+    vp8x = riff(b"VP8X", bytes(4) + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))
+    assert M.sniff_format(vp8x) == "webp"
+    assert M.webp_dimensions(vp8x) == (640, 480)
+    # VP8L: signature 0x2F + packed 14-bit dims
+    bits = (299) | ((199) << 14)
+    vp8l = riff(b"VP8L", bytes([0x2F]) + st.pack("<I", bits))
+    assert M.webp_dimensions(vp8l) == (300, 200)
+    # VP8 lossy: 3-byte frame tag + start code + 14-bit dims
+    vp8 = riff(b"VP8 ", bytes(3) + b"\x9d\x01\x2a" + st.pack("<HH", 320, 240))
+    assert M.webp_dimensions(vp8) == (320, 240)
+    # kernel surface: dims flow through the metadata path, decode gates
+    fmt, w, h, _ = M.decode_image_stdlib(vp8x)
+    assert (fmt, w, h) == ("webp", 640, 480)
+    with _pytest.raises(NotImplementedError):
+        M.decode_pixels(vp8x)
+    # a WAV is still riff, an AVI is still riff — only WEBP re-sniffs
+    assert M.sniff_format(b"RIFF\x00\x00\x00\x00WAVE") == "riff"
