@@ -396,9 +396,67 @@ AUDIO_META_SCHEMA = T.StructType(
 )
 
 
+#: MPEG-1 Layer III bitrate table (kbps, index 1-14) and sample rates.
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def mp3_stream_meta(content: bytes) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, duration_ms_estimate) from the first
+    MPEG-1 Layer III frame header — no entropy decode.  Skips an ID3v2
+    prefix; duration assumes CBR (header bitrate × payload size), the
+    standard no-decode estimate.  Raises ValueError when no valid frame
+    header exists."""
+    off = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        # syncsafe 28-bit tag size
+        sz = 0
+        for b in content[6:10]:
+            sz = (sz << 7) | (b & 0x7F)
+        off = 10 + sz
+    hdr = content[off : off + 4]
+    if len(hdr) < 4 or hdr[0] != 0xFF or (hdr[1] & 0xE0) != 0xE0:
+        raise ValueError("no MPEG frame sync")
+    version = (hdr[1] >> 3) & 0x03  # 3 = MPEG-1
+    layer = (hdr[1] >> 1) & 0x03  # 1 = Layer III
+    if version != 3 or layer != 1:
+        raise ValueError("only MPEG-1 Layer III headers parsed")
+    br_idx = (hdr[2] >> 4) & 0x0F
+    sr_idx = (hdr[2] >> 2) & 0x03
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise ValueError("free-form/invalid bitrate or reserved sample rate")
+    sample_rate = _MP3_RATES[sr_idx]
+    n_channels = 1 if ((hdr[3] >> 6) & 0x03) == 3 else 2
+    bitrate = _MP3_BITRATES[br_idx] * 1000
+    duration_ms = ((len(content) - off) * 8 * 1000) // bitrate
+    return sample_rate, n_channels, duration_ms
+
+
+def flac_stream_meta(content: bytes) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, duration_ms) from FLAC's STREAMINFO
+    block — EXACT duration (total samples are in the header), no codec.
+    Raises ValueError for non-FLAC input."""
+    if content[:4] != b"fLaC" or len(content) < 42:
+        raise ValueError("not a FLAC stream")
+    # first metadata block header at 4; STREAMINFO is always first
+    if (content[4] & 0x7F) != 0:
+        raise ValueError("STREAMINFO not first")
+    si = content[8:42]  # 34-byte STREAMINFO
+    bits = int.from_bytes(si[10:18], "big")  # rate(20) ch(3) bps(5) total(36)
+    sample_rate = bits >> 44
+    n_channels = ((bits >> 41) & 0x07) + 1
+    total_samples = bits & ((1 << 36) - 1)
+    if sample_rate == 0:
+        raise ValueError("invalid FLAC sample rate")
+    return sample_rate, n_channels, (total_samples * 1000) // sample_rate
+
+
 def decode_audio_stub(content: bytes) -> tuple[str, int, int, int]:
-    """WAV header parse (fmt chunk: sample rate, channels, data length →
-    duration); real codec decode (mp3/ogg) raises NotImplementedError."""
+    """Header-level audio metadata, no codec: WAV (fmt chunk), MP3
+    (MPEG-1 Layer III frame header + CBR duration estimate), FLAC
+    (STREAMINFO — exact duration).  Sample decode for mp3/ogg/flac
+    raises NotImplementedError (that genuinely needs a codec; WAV incl.
+    G.711 decodes fully via decode_audio_pcm)."""
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE" and len(content) >= 44:
         n_channels = int.from_bytes(content[22:24], "little")
         sample_rate = int.from_bytes(content[24:28], "little")
@@ -406,8 +464,18 @@ def decode_audio_stub(content: bytes) -> tuple[str, int, int, int]:
         data_len = max(len(content) - 44, 0)
         duration_ms = (data_len * 1000) // byte_rate if byte_rate else 0
         return "wav", sample_rate, n_channels, duration_ms
-    if content[:3] == b"ID3" or content[:2] == b"\xff\xfb":
-        raise NotImplementedError("mp3 decode needs a codec library — plug a real kernel")
+    if content[:4] == b"fLaC":
+        try:
+            sr, ch, dur = flac_stream_meta(content)
+            return "flac", sr, ch, dur
+        except ValueError:
+            raise NotImplementedError("corrupt FLAC header")
+    if content[:3] == b"ID3" or (len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0):
+        try:
+            sr, ch, dur = mp3_stream_meta(content)
+            return "mp3", sr, ch, dur
+        except ValueError:
+            raise NotImplementedError("mp3 variant needs a codec library")
     return "unknown", -1, -1, -1
 
 

@@ -1103,3 +1103,31 @@ def test_webp_dimensions_all_container_forms():
         M.decode_pixels(vp8x)
     # a WAV is still riff, an AVI is still riff — only WEBP re-sniffs
     assert M.sniff_format(b"RIFF\x00\x00\x00\x00WAVE") == "riff"
+
+
+def test_mp3_and_flac_header_metadata():
+    """No-codec audio metadata: MP3 frame-header (CBR duration estimate,
+    ID3v2 skip) and FLAC STREAMINFO (exact duration)."""
+    import pytest as _pytest
+
+    from event_streaming_spark.operators import multimodal as M
+
+    # MPEG-1 Layer III, 128 kbps, 44.1 kHz, stereo; 4 KiB of payload
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 4092
+    fmt, sr, ch, dur = M.decode_audio_stub(mp3)
+    assert (fmt, sr, ch) == ("mp3", 44100, 2)
+    assert dur == (4096 * 8 * 1000) // 128000
+    # same stream behind an ID3v2 tag (syncsafe size 100)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100 + mp3
+    assert M.decode_audio_stub(id3)[:3] == ("mp3", 44100, 2)
+
+    # FLAC STREAMINFO: 22050 Hz, mono, 44100 samples → exactly 2000 ms
+    bits = (22050 << 44) | (0 << 41) | (15 << 36) | 44100
+    streaminfo = b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
+    flac = b"fLaC" + b"\x80" + len(streaminfo).to_bytes(3, "big") + streaminfo
+    fmt, sr, ch, dur = M.decode_audio_stub(flac)
+    assert (fmt, sr, ch, dur) == ("flac", 22050, 1, 2000)
+
+    # garbage after an ID3 tag still gates (no frame sync)
+    with _pytest.raises(NotImplementedError):
+        M.decode_audio_stub(b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 16)
