@@ -26,6 +26,7 @@ from event_streaming_spark.plans import events3  # noqa: F401,E402
 from event_streaming_spark.plans import scale_ops  # noqa: F401,E402
 from event_streaming_spark.plans import scale_ops2  # noqa: F401,E402
 from event_streaming_spark.plans import storage_queries  # noqa: F401,E402
+from event_streaming_spark.plans import scale_ops3  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
@@ -48,8 +49,6 @@ _PRIORITY = [
     "q9_product_type_profit",
     "q10_returned_item_customers",
     "q11_important_stock_value",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
@@ -100,9 +99,19 @@ _PRIORITY = [
     # oracle run — to keep the window at 50.
     "docs_edit_distance_near_dup",
     "versioned_time_travel_merge",
+    # Round-3 tranche #2 in the graded window: the prefix-filtered
+    # set-similarity join (exact-Jaccard complement to MinHash-LSH) and
+    # the zone-map pruned scan (min/max file skipping — the layout
+    # flagship).  They displace q13/q14 — both driver-green in
+    # CORRECTNESS_r02.json and still judge-verified via the full-catalog
+    # oracle run — keeping the window at 50.
+    "docs_prefix_filter_jaccard_join",
+    "events_zonemap_pruned_scan",
     # --- past the grading window ---
     "q4_order_priority_late_ship",
     "q12_priority_by_ship_year",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
     # SURVEY §2.2 / §2.3 operator flagships (driver-green in r2).
     "point_lookup_composite_key",
     "dedup_keep_first_event",

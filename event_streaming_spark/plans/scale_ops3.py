@@ -1,0 +1,794 @@
+"""Round-3 scale tranche #2: set-similarity, sketch set-ops, sampling,
+graph and storage-layout operators whose POINT is the 100 TB shape.
+
+- prefix-filtered set-similarity join (PPJoin-style): the classic
+  candidate-pruning alternative to MinHash — exact Jaccard output, but
+  only prefix tokens (the RAREST per set) ever reach the join;
+- KMV/theta sketch set operations: union/intersection cardinality from
+  two k-sized sketches — sketch-sized work regardless of data volume;
+- degree-oriented triangle counting on the near-dup graph: each
+  triangle counted once from its lowest-degree corner, the standard
+  trick that keeps wedge generation off the high-degree hubs;
+- inverted-index keyword search: postings-join AND-search with term
+  frequency ranking — the query touches postings, never raw text;
+- zone-map pruned scan: min/max file skipping over a range-clustered
+  layout (operators/zonemap.py) — the predicate decides which FILES
+  open, not just which rows survive.
+
+Reference parity: the reference's query surface stops at its keyed
+store + scan operators (see SURVEY.md §2); these are the
+beyond-reference data-pipeline operators the task brief lists as
+first-class.  Every query is oracle-paired and exact-integer.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from event_streaming_spark.functions.hashing import (
+    sql_normalize_text,
+    sql_stable_hash32,
+    stable_hash32,
+    tokens,
+)
+from event_streaming_spark.operators import similarity as S
+from event_streaming_spark.operators import zonemap as Z
+from event_streaming_spark.operators.graph import triangles
+from event_streaming_spark.operators.materialize import materialize
+from event_streaming_spark.plans.catalog import load, register, spread
+from event_streaming_spark.plans.llm_similarity import (
+    _LSH_ORACLE,
+    minhash_lsh_near_dup_pairs,
+)
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style) over 3-token
+# shingle sets, exact Jaccard >= 1/2.
+#
+# Scale shape: a naive token join explodes on common tokens (every doc
+# shares 'the' with every other doc).  The prefix filter orders each
+# doc's shingles by GLOBAL rarity and keeps only the first
+# n - ceil(t*n) + 1 — two sets with Jaccard >= t MUST collide on at
+# least one prefix shingle (pigeonhole), so joining prefixes finds every
+# qualifying pair while the join keys are, by construction, the rarest
+# shingles (bounded bucket sizes — the opposite of the 'the'-bucket).
+# A size filter (min/max >= t) prunes further before verification, and
+# the exact intersection count runs only over candidate pairs.  This is
+# the exact-output complement to MinHash-LSH (which trades exactness
+# for a fixed signature size); both are candidate-join plans, never
+# all-pairs.
+# ---------------------------------------------------------------------------
+
+# Jaccard threshold t = T_NUM / T_DEN = 1/2.
+_T_NUM, _T_DEN = 1, 2
+
+_PPJOIN_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id, {S.sql_shingle_hashes('text')} AS hs FROM documents
+), tok AS (
+  SELECT DISTINCT doc_id, unnest(hs) AS sh FROM hs
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), dfreq AS (
+  SELECT sh, count(*) AS dfc FROM tok GROUP BY sh
+), ranked AS (
+  SELECT t.doc_id, t.sh, s.n,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.dfc, t.sh) AS rn
+  FROM tok t JOIN dfreq d USING (sh) JOIN sz s USING (doc_id)
+), prefix AS (
+  SELECT doc_id, sh FROM ranked
+  WHERE rn <= n - ({_T_NUM} * n + {_T_DEN} - 1) // {_T_DEN} + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+), sized AS (
+  SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb
+  FROM cand c
+  JOIN sz sa ON sa.doc_id = c.doc_a
+  JOIN sz sb ON sb.doc_id = c.doc_b
+  WHERE {_T_DEN} * least(sa.n, sb.n) >= {_T_NUM} * greatest(sa.n, sb.n)
+), inter AS (
+  SELECT s.doc_a, s.doc_b, s.na, s.nb, count(*) AS n_common
+  FROM sized s
+  JOIN tok ta ON ta.doc_id = s.doc_a
+  JOIN tok tb ON tb.doc_id = s.doc_b AND tb.sh = ta.sh
+  GROUP BY s.doc_a, s.doc_b, s.na, s.nb
+)
+SELECT doc_a, doc_b, n_common, na, nb
+FROM inter
+WHERE ({_T_NUM} + {_T_DEN}) * n_common >= {_T_NUM} * (na + nb)
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "docs_prefix_filter_jaccard_join",
+    _PPJOIN_ORACLE,
+    tags=("llm", "dedup", "join", "scale"),
+    bench=True,
+)
+def docs_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 1/2 pairs via prefix filtering (see module doc).
+
+    J >= t  ⟺  (t_den + t_num) * |A∩B| >= t_num * (|A| + |B|)  — the
+    union never materializes; integer arithmetic end-to-end.
+
+    Exact-duplicate collapse FIRST: all similarity work runs over one
+    representative per distinct text, then group members expand back
+    into pairs at the very end.  Identical texts have J = 1 by
+    definition (no verification needed), and on a duplicate-heavy
+    corpus — the norm for web-crawl training data, and exactly what the
+    10× replica simulates — prefix filtering alone collapses: every
+    'rare' shingle is shared by the whole duplicate clique, and the
+    candidate join squares those cliques (measured 41 M candidate pairs
+    at the 10× replica vs ~25 true near-dup REP pairs).  With the
+    collapse, candidate volume scales with UNIQUE content, and the only
+    clique-quadratic step left is emitting the true answer itself.
+    The oracle stays the naive prefix-join spec — this plan must be an
+    exact rewrite of it."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    # Exact-dup groups: representative = min doc_id per distinct text.
+    grp = docs.select("doc_id", F.md5(F.col("text")).alias("g"))
+    reps = grp.groupBy("g").agg(F.min("doc_id").alias("rep"))
+    members = materialize(
+        grp.join(reps, "g").select("doc_id", "rep"), name="ppjoin-members"
+    )
+    uniq = docs.join(
+        members.where(F.col("doc_id") == F.col("rep")).select("rep"),
+        docs["doc_id"] == F.col("rep"),
+    ).select(F.col("rep").alias("doc_id"), "text")
+    # FOUR consumers read the shingle table (sizes, doc-frequency,
+    # prefix ranking, verify) — pin it once, or the md5-shingle
+    # projection re-runs per consumer (measured 53 s → 8 s at sf0.001
+    # from this one change).
+    tok = materialize(
+        uniq.select(
+            "doc_id", F.explode(S.shingle_hashes(F.col("text"))).alias("sh")
+        ).distinct(),
+        name="ppjoin-tok",
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
+    ranked = (
+        tok.join(dfreq, "sh")
+        .join(sz, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("dfc", "sh")
+            ),
+        )
+    )
+    # prefix length: n - ceil(t*n) + 1
+    plen = F.col("n") - F.expr(f"({_T_NUM} * n + {_T_DEN} - 1) div {_T_DEN}") + 1
+    prefix = ranked.where(F.col("rn") <= plen).select("doc_id", "sh")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sized = (
+        cand.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .where(
+            _T_DEN * F.least("na", "nb") >= _T_NUM * F.greatest("na", "nb")
+        )
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    tb = tok.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
+    inter = (
+        sized.join(ta, "doc_a")
+        .join(tb, (F.col("doc_b") == F.col("b_id")) & (F.col("sha") == F.col("shb")))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    rep_pairs = inter.where(
+        (_T_NUM + _T_DEN) * F.col("n_common") >= _T_NUM * (F.col("na") + F.col("nb"))
+    ).select("doc_a", "doc_b", "n_common", "na", "nb")
+    # Expansion back to doc_id pairs.  (a) within a duplicate group:
+    # every member pair, J = 1, intersection = set size.  (b) across
+    # groups: each qualifying rep pair times the two member lists.
+    # Disjoint groups ⟹ no pair is emitted twice.
+    m1 = members.select(F.col("rep"), F.col("doc_id").alias("doc_a"))
+    m2 = members.select(F.col("rep"), F.col("doc_id").alias("doc_b"))
+    intra = (
+        m1.join(m2, "rep")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .join(sz.select(F.col("doc_id").alias("rep"), F.col("n")), "rep")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n").alias("n_common"),
+            F.col("n").alias("na"),
+            F.col("n").alias("nb"),
+        )
+    )
+    ma = members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ma_id"))
+    mb = members.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("mb_id"))
+    keep = F.col("ma_id") < F.col("mb_id")  # groups disjoint ⟹ never equal
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("ma_id", "mb_id").alias("doc_a"),
+            F.greatest("ma_id", "mb_id").alias("doc_b"),
+            "n_common",
+            # na/nb are per-endpoint set sizes: swap with the ids
+            F.when(keep, F.col("na")).otherwise(F.col("nb")).alias("na"),
+            F.when(keep, F.col("nb")).otherwise(F.col("na")).alias("nb"),
+        )
+    )
+    return intra.unionByName(cross).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# KMV (theta) sketch set operations: union / intersection cardinality of
+# viewers vs purchasers from two k=256 sketches.
+#
+# Sketch = the k smallest distinct md5-derived hashes of the set.  theta
+# = the k-th minimum when saturated (else 2^32); every retained hash
+# "represents" 2^32/theta elements, so
+#     est(S) = |{h in S : h < theta}| * 2^32 div theta
+# — integer arithmetic, exact-count fallback built into the formula
+# (unsaturated → theta = 2^32 → est = exact distinct count).
+#
+# Scale shape: each sketch is ONE map-side-combining aggregation whose
+# result is <= k rows (TakeOrderedAndProject: per-partition bottom-k,
+# k-row merge); union/intersection are k-row joins.  |A ∪ B| and
+# |A ∩ B| over 10^12 users costs exactly the same driver-side work as
+# over 10^3 — the entire point of theta sketches (Dataflux/DataSketches
+# set-operation semantics, deterministic variant).
+# ---------------------------------------------------------------------------
+
+_THETA_K = 256
+_TWO32 = 1 << 32
+
+
+def _sql_theta(label: str, src: str) -> str:
+    """CTE fragments: bottom-k sketch + (n, mx) accumulator for one set."""
+    h = sql_stable_hash32("'theta|' || cast(user_id AS VARCHAR)")
+    return f"""
+{label}_h AS (
+  SELECT DISTINCT {h} AS h FROM events WHERE event_type = '{src}'
+), {label}_sk AS (
+  SELECT h FROM {label}_h ORDER BY h LIMIT {_THETA_K}
+), {label}_acc AS (
+  SELECT count(*) AS n, max(h) AS mx FROM {label}_sk
+)"""
+
+
+def _sql_est(acc: str) -> str:
+    theta = f"(CASE WHEN {acc}.n = {_THETA_K} THEN {acc}.mx ELSE {_TWO32} END)"
+    below = f"(CASE WHEN {acc}.n = {_THETA_K} THEN {acc}.n - 1 ELSE {acc}.n END)"
+    return f"cast({below} * {_TWO32} // {theta} AS BIGINT)"
+
+
+_THETA_ORACLE = f"""
+WITH {_sql_theta('a', 'view').lstrip()},
+{_sql_theta('b', 'purchase').lstrip()},
+u_h AS (
+  SELECT h FROM a_sk UNION SELECT h FROM b_sk
+), u_sk AS (
+  SELECT h FROM u_h ORDER BY h LIMIT {_THETA_K}
+), u_acc AS (
+  SELECT count(*) AS n, max(h) AS mx FROM u_sk
+), i_acc AS (
+  SELECT count(*) AS c
+  FROM a_sk JOIN b_sk USING (h), u_acc
+  WHERE h < (CASE WHEN u_acc.n = {_THETA_K} THEN u_acc.mx ELSE {_TWO32} END)
+)
+SELECT cast({_THETA_K} AS BIGINT) AS k,
+       {_sql_est('a_acc')} AS est_viewers,
+       {_sql_est('b_acc')} AS est_purchasers,
+       {_sql_est('u_acc')} AS est_union,
+       cast(i_acc.c * {_TWO32} //
+            (CASE WHEN u_acc.n = {_THETA_K} THEN u_acc.mx ELSE {_TWO32} END)
+            AS BIGINT) AS est_intersection
+FROM a_acc, b_acc, u_acc, i_acc
+"""
+
+
+def _theta_sketch(df: DataFrame, etype: str) -> DataFrame:
+    h = stable_hash32(F.concat(F.lit("theta|"), F.col("user_id").cast("string")))
+    return (
+        df.where(F.col("event_type") == etype)
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_THETA_K)
+    )
+
+
+def _theta_acc(sk: DataFrame, prefix: str) -> DataFrame:
+    return sk.agg(
+        F.count(F.lit(1)).alias(f"{prefix}_n"), F.max("h").alias(f"{prefix}_mx")
+    )
+
+
+def _est(n: str, mx: str):
+    """Column: est = count-below-theta * 2^32 div theta (see module doc)."""
+    return F.expr(
+        f"cast((CASE WHEN {n} = {_THETA_K} THEN {n} - 1 ELSE {n} END) * {_TWO32} div "
+        f"(CASE WHEN {n} = {_THETA_K} THEN {mx} ELSE {_TWO32} END) AS BIGINT)"
+    )
+
+
+@register(
+    "sketch_theta_set_ops_users",
+    _THETA_ORACLE,
+    tags=("sketch", "setops", "scale"),
+)
+def sketch_theta_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    ska = _theta_sketch(ev, "view")
+    skb = _theta_sketch(ev, "purchase")
+    u_sk = ska.union(skb).distinct().orderBy("h").limit(_THETA_K)
+    acc = (
+        _theta_acc(ska, "a")
+        .crossJoin(_theta_acc(skb, "b"))
+        .crossJoin(_theta_acc(u_sk, "u"))
+    )
+    theta_u = F.when(F.col("u_n") == _THETA_K, F.col("u_mx")).otherwise(
+        F.lit(_TWO32)
+    )
+    i_c = (
+        ska.join(skb, "h")
+        .crossJoin(F.broadcast(acc.select("u_n", "u_mx")))
+        .where(F.col("h") < theta_u)
+        .agg(F.count(F.lit(1)).alias("i_c"))
+    )
+    est_a = _est("a_n", "a_mx")
+    est_b = _est("b_n", "b_mx")
+    est_u = _est("u_n", "u_mx")
+    return acc.crossJoin(i_c).select(
+        F.lit(_THETA_K).cast("bigint").alias("k"),
+        est_a.alias("est_viewers"),
+        est_b.alias("est_purchasers"),
+        est_u.alias("est_union"),
+        F.expr(
+            f"cast(i_c * {_TWO32} div "
+            f"(CASE WHEN u_n = {_THETA_K} THEN u_mx ELSE {_TWO32} END) AS BIGINT)"
+        ).alias("est_intersection"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree-oriented triangle counting on the MinHash-LSH near-dup graph.
+#
+# Triangles = mutually-near-duplicate triples — the structure audit for
+# a dedup graph (dense cliques → template/boilerplate families).  The
+# naive plan wedges at every node: a hub of degree d contributes d²
+# wedge rows.  Orienting every edge from its lower-(degree, id)
+# endpoint caps each node's out-degree at O(sqrt(|E|)), so wedge
+# generation is join-bounded even on power-law graphs (the standard
+# Schank/Wagner + MapReduce formulation).  Each triangle is then found
+# exactly once, from its lowest-degree corner, by one equi-join of
+# wedges against oriented edges.
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = f"""
+WITH edges AS (
+  SELECT doc_a, doc_b FROM ({_LSH_ORACLE})
+), deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT doc_a AS node FROM edges UNION ALL SELECT doc_b FROM edges)
+  GROUP BY node
+), orient AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
+              THEN e.doc_a ELSE e.doc_b END AS src,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
+              THEN e.doc_b ELSE e.doc_a END AS dst,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
+              THEN db.d ELSE da.d END AS dst_d
+  FROM edges e
+  JOIN deg da ON da.node = e.doc_a
+  JOIN deg db ON db.node = e.doc_b
+), wedge AS (
+  SELECT o1.src AS a,
+         CASE WHEN o1.dst_d < o2.dst_d OR (o1.dst_d = o2.dst_d AND o1.dst < o2.dst)
+              THEN o1.dst ELSE o2.dst END AS lo,
+         CASE WHEN o1.dst_d < o2.dst_d OR (o1.dst_d = o2.dst_d AND o1.dst < o2.dst)
+              THEN o2.dst ELSE o1.dst END AS hi
+  FROM orient o1 JOIN orient o2 ON o1.src = o2.src AND o1.dst < o2.dst
+), tri AS (
+  SELECT w.a, w.lo, w.hi
+  FROM wedge w JOIN orient o ON o.src = w.lo AND o.dst = w.hi
+)
+SELECT least(a, lo, hi) AS n1,
+       a + lo + hi - least(a, lo, hi) - greatest(a, lo, hi) AS n2,
+       greatest(a, lo, hi) AS n3
+FROM tri
+ORDER BY n1, n2, n3
+"""
+
+
+@register(
+    "graph_triangle_count_near_dup",
+    _TRI_ORACLE,
+    tags=("graph", "llm", "scale"),
+)
+def graph_triangle_count_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = minhash_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return triangles(edges).orderBy("n1", "n2", "n3")
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index keyword search: AND-semantics postings join, ranked by
+# total term frequency.  The postings table (term, doc_id, tf) is what a
+# search layer materializes ONCE; a query then joins its (tiny,
+# broadcast) term list against postings — work proportional to the
+# matched postings, never to the corpus.  Conjunctive matching = "doc
+# matched every query term" (count of distinct matched terms equals the
+# query arity); ranking is exact-integer (sum of tf, doc_id tiebreak).
+# ---------------------------------------------------------------------------
+
+_SEARCH_TERMS = ("vector", "stream", "hash")
+
+_SEARCH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({sql_normalize_text('text')}, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM tok
+  WHERE term IN {_SEARCH_TERMS!r}
+  GROUP BY doc_id, term
+), hits AS (
+  SELECT doc_id, count(*) AS n_terms, cast(sum(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, total_tf
+FROM hits
+WHERE n_terms = {len(_SEARCH_TERMS)}
+ORDER BY total_tf DESC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "docs_keyword_search_postings",
+    _SEARCH_ORACLE,
+    tags=("llm", "text", "search"),
+)
+def docs_keyword_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = (
+        tok.where(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    hits = tf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    return (
+        hits.where(F.col("n_terms") == len(_SEARCH_TERMS))
+        .select("doc_id", "total_tf")
+        .orderBy(F.col("total_tf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruned scan: range-cluster events by user_id into 16 files,
+# build the per-file min/max manifest, and answer a selective user_id
+# range query by opening ONLY the files whose zone intersects the
+# predicate (operators/zonemap.py — module doc has the full 100 TB
+# story).  The oracle is the plain filter over the original table: the
+# layout layer must be semantically invisible, exactly like the Bloom
+# pre-filter and the Z-order key.
+# ---------------------------------------------------------------------------
+
+# Predicate bounds are data-relative (10%–25% of max user_id) so the
+# query stays ~15%-selective at EVERY scale factor; the max() probe is a
+# bounded 1-row scalar (the same class as the Bloom bitmap collect).
+_ZM_FILES = 16
+
+_ZM_ORACLE = """
+WITH b AS (
+  SELECT (max(user_id) * 10) // 100 AS lo, (max(user_id) * 25) // 100 AS hi
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events, b
+WHERE user_id BETWEEN b.lo AND b.hi
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_zonemap_pruned_scan",
+    _ZM_ORACLE,
+    tags=("storage", "layout", "scale"),
+)
+def events_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    mx = ev.agg(F.max("user_id")).first()[0]
+    lo, hi = (mx * 10) // 100, (mx * 25) // 100
+    root = tempfile.mkdtemp(prefix="est-zonemap-q-")
+    path = Z.clustered_copy(spark, ev, root, "user_id", _ZM_FILES)
+    zm = Z.zone_map(spark, path, "user_id")
+    pruned, _read, _total = Z.pruned_read(spark, path, zm, "user_id", lo, hi)
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch overlap matrix: pairwise daily-active-user overlap for
+# every pair of days, entirely from per-day k=128 sketches.
+#
+# This is the sketch-ALGEBRA showcase: build each day's sketch once
+# (one map-side-combining pass over the events), then answer all
+# C(days,2) union/intersection cardinalities from the k-row sketches
+# alone — the fact table is read exactly once no matter how many pairs
+# the matrix has.  At 100 TB the sketch table is days × k rows (365 ×
+# 128 = 47k — driver-trivial); recomputing each pair from raw data
+# would instead rescan the corpus C(days,2) times.
+#
+# Sketch build uses the same 4×-oversampled hash-threshold prefilter as
+# the bottom-k quantile sketch (operators/sketches.py): a per-day count
+# sets thr ≈ 4k·2³²/n so the rank window sees ~4k rows per day, never
+# n.  k=128 < daily actives at every SF, so the SATURATED estimator
+# regime (theta < 2³²) is exercised by the driver gate, not just by
+# unit tests.
+# ---------------------------------------------------------------------------
+
+_DAILY_K = 128
+
+_THETA_DAILY_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d,
+         {sql_stable_hash32("'theta|' || cast(user_id AS VARCHAR)")} AS h
+  FROM events
+), cnt AS (
+  SELECT d, count(*) AS n FROM du GROUP BY d
+), cand AS (
+  SELECT du.d, du.h
+  FROM du JOIN cnt USING (d)
+  WHERE du.h < ({4 * _DAILY_K} * {_TWO32}) // cnt.n
+), sk AS (
+  SELECT d, h FROM (
+    SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn FROM cand
+  ) WHERE rn <= {_DAILY_K}
+), acc AS (
+  SELECT d, count(*) AS n, max(h) AS mx FROM sk GROUP BY d
+), pairs AS (
+  SELECT a.d AS da, b.d AS db, a.n AS a_n, a.mx AS a_mx, b.n AS b_n, b.mx AS b_mx
+  FROM acc a JOIN acc b ON a.d < b.d
+), uh AS (
+  SELECT DISTINCT da, db, h FROM (
+    SELECT p.da, p.db, s.h FROM pairs p JOIN sk s ON s.d = p.da
+    UNION ALL
+    SELECT p.da, p.db, s.h FROM pairs p JOIN sk s ON s.d = p.db
+  )
+), u_sk AS (
+  SELECT da, db, h FROM (
+    SELECT da, db, h, row_number() OVER (PARTITION BY da, db ORDER BY h) AS rn
+    FROM uh
+  ) WHERE rn <= {_DAILY_K}
+), u_acc AS (
+  SELECT da, db, count(*) AS u_n, max(h) AS u_mx FROM u_sk GROUP BY da, db
+), i_cnt AS (
+  SELECT p.da, p.db, count(*) AS c
+  FROM pairs p
+  JOIN sk sa ON sa.d = p.da
+  JOIN sk sb ON sb.d = p.db AND sb.h = sa.h
+  JOIN u_acc u ON u.da = p.da AND u.db = p.db
+  WHERE sa.h < (CASE WHEN u.u_n = {_DAILY_K} THEN u.u_mx ELSE {_TWO32} END)
+  GROUP BY p.da, p.db
+)
+SELECT p.da, p.db,
+       cast((CASE WHEN p.a_n = {_DAILY_K} THEN p.a_n - 1 ELSE p.a_n END) * {_TWO32} //
+            (CASE WHEN p.a_n = {_DAILY_K} THEN p.a_mx ELSE {_TWO32} END) AS BIGINT) AS est_a,
+       cast((CASE WHEN p.b_n = {_DAILY_K} THEN p.b_n - 1 ELSE p.b_n END) * {_TWO32} //
+            (CASE WHEN p.b_n = {_DAILY_K} THEN p.b_mx ELSE {_TWO32} END) AS BIGINT) AS est_b,
+       cast((CASE WHEN u.u_n = {_DAILY_K} THEN u.u_n - 1 ELSE u.u_n END) * {_TWO32} //
+            (CASE WHEN u.u_n = {_DAILY_K} THEN u.u_mx ELSE {_TWO32} END) AS BIGINT) AS est_union,
+       cast(coalesce(i.c, 0) * {_TWO32} //
+            (CASE WHEN u.u_n = {_DAILY_K} THEN u.u_mx ELSE {_TWO32} END) AS BIGINT) AS est_intersection
+FROM pairs p
+JOIN u_acc u ON u.da = p.da AND u.db = p.db
+LEFT JOIN i_cnt i ON i.da = p.da AND i.db = p.db
+ORDER BY p.da, p.db
+"""
+
+
+@register(
+    "sketch_theta_overlap_daily",
+    _THETA_DAILY_ORACLE,
+    tags=("sketch", "setops", "scale"),
+)
+def sketch_theta_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.to_date("ts").alias("d"),
+            stable_hash32(
+                F.concat(F.lit("theta|"), F.col("user_id").cast("string"))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    cnt = du.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    thr = F.expr(f"({4 * _DAILY_K} * {_TWO32}) div n")
+    cand = du.join(F.broadcast(cnt.select("d", thr.alias("thr"))), "d").where(
+        F.col("h") < F.col("thr")
+    )
+    sk = materialize(
+        cand.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("d").orderBy("h"))
+        )
+        .where(F.col("rn") <= _DAILY_K)
+        .select("d", "h"),
+        name="theta-daily-sk",
+    )
+    acc = sk.groupBy("d").agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("mx"))
+    a = acc.select(
+        F.col("d").alias("da"), F.col("n").alias("a_n"), F.col("mx").alias("a_mx")
+    )
+    b = acc.select(
+        F.col("d").alias("db"), F.col("n").alias("b_n"), F.col("mx").alias("b_mx")
+    )
+    pairs = a.join(b, F.col("da") < F.col("db"))
+    uh = (
+        pairs.select("da", "db")
+        .join(sk.select(F.col("d").alias("da"), "h"), "da")
+        .unionByName(
+            pairs.select("da", "db").join(
+                sk.select(F.col("d").alias("db"), "h"), "db"
+            )
+        )
+        .distinct()
+    )
+    u_sk = (
+        uh.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("da", "db").orderBy("h"))
+        )
+        .where(F.col("rn") <= _DAILY_K)
+    )
+    u_acc = u_sk.groupBy("da", "db").agg(
+        F.count(F.lit(1)).alias("u_n"), F.max("h").alias("u_mx")
+    )
+    theta_u = F.expr(f"CASE WHEN u_n = {_DAILY_K} THEN u_mx ELSE {_TWO32} END")
+    sa = sk.select(F.col("d").alias("da"), "h")
+    sb = sk.select(F.col("d").alias("db"), F.col("h").alias("hb"))
+    i_cnt = (
+        pairs.select("da", "db")
+        .join(sa, "da")
+        .join(sb, "db")
+        .where(F.col("hb") == F.col("h"))
+        .join(u_acc, ["da", "db"])
+        .where(F.col("h") < theta_u)
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    def est(n: str, mx: str):
+        return F.expr(
+            f"cast((CASE WHEN {n} = {_DAILY_K} THEN {n} - 1 ELSE {n} END) * {_TWO32} div "
+            f"(CASE WHEN {n} = {_DAILY_K} THEN {mx} ELSE {_TWO32} END) AS BIGINT)"
+        )
+
+    return (
+        pairs.join(u_acc, ["da", "db"])
+        .join(i_cnt, ["da", "db"], "left")
+        .select(
+            "da",
+            "db",
+            est("a_n", "a_mx").alias("est_a"),
+            est("b_n", "b_mx").alias("est_b"),
+            est("u_n", "u_mx").alias("est_union"),
+            F.expr(
+                f"cast(coalesce(c, 0) * {_TWO32} div "
+                f"(CASE WHEN u_n = {_DAILY_K} THEN u_mx ELSE {_TWO32} END) AS BIGINT)"
+            ).alias("est_intersection"),
+        )
+        .orderBy("da", "db")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive-pair mining for embedding training: for each anchor
+# vector, the 3 HARD NEGATIVES (highest-cosine neighbors with a
+# DIFFERENT label — the pairs a contrastive loss learns most from) and
+# the 1 HARD POSITIVE (lowest-cosine same-label vector — the hardest
+# pull-together case).
+#
+# Scale: anchors broadcast (bounded set, like the ANN query side); the
+# corpus streams through ONE scan scoring against all anchors; ranking
+# uses the two-stage top-k primitive so no task ever holds an anchor's
+# full candidate list.  At 100 TB this is the brute-force-exact miner;
+# swapping candidate generation to the IVF/LSH queries in this catalog
+# turns it into the approximate production shape with the same output
+# contract.
+# ---------------------------------------------------------------------------
+
+_HNM_ANCHORS = 10  # vec_id < 10, as in the ANN baseline queries
+
+_HNM_ORACLE = f"""
+WITH scored AS (
+  SELECT a.vec_id AS qid, a.label AS q_label,
+         b.vec_id AS neighbor_id, b.label AS n_label,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < {_HNM_ANCHORS} AND b.vec_id <> a.vec_id
+), negs AS (
+  SELECT qid, 'neg' AS kind, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored WHERE n_label <> q_label
+), poss AS (
+  SELECT qid, 'pos' AS kind, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim ASC, neighbor_id) AS rn
+  FROM scored WHERE n_label = q_label
+)
+SELECT qid, kind, neighbor_id, cos_sim, rn FROM negs WHERE rn <= 3
+UNION ALL
+SELECT qid, kind, neighbor_id, cos_sim, rn FROM poss WHERE rn <= 1
+ORDER BY qid, kind, rn
+"""
+
+
+@register(
+    "emb_hard_negative_mining",
+    _HNM_ORACLE,
+    tags=("llm", "ann", "training"),
+)
+def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.functions.numeric import cosine
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _HNM_ANCHORS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = emb.join(
+        F.broadcast(anchors), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "q_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    negs = topk_per_group(
+        scored.where(F.col("n_label") != F.col("q_label")),
+        "qid",
+        [F.desc("cos_sim"), F.asc("neighbor_id")],
+        3,
+        rn_col="rn",
+    ).select("qid", F.lit("neg").alias("kind"), "neighbor_id", "cos_sim", "rn")
+    poss = topk_per_group(
+        scored.where(F.col("n_label") == F.col("q_label")),
+        "qid",
+        [F.asc("cos_sim"), F.asc("neighbor_id")],
+        1,
+        rn_col="rn",
+    ).select("qid", F.lit("pos").alias("kind"), "neighbor_id", "cos_sim", "rn")
+    return negs.unionByName(poss).orderBy("qid", "kind", "rn")
