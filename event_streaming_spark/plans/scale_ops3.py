@@ -792,3 +792,40 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn_col="rn",
     ).select("qid", F.lit("pos").alias("kind"), "neighbor_id", "cos_sim", "rn")
     return negs.unionByName(poss).orderBy("qid", "kind", "rn")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training over the corpus (operators/bpe.py — module doc
+# has the full scale story).  The catalog query trains 8 merges on the
+# corpus word-frequency table and returns the merge table itself plus
+# the resulting corpus token count — i.e. the tokenizer artifact a
+# training pipeline ships, not just a statistic about it.
+#
+# Iterative argmax training is not one SQL statement, so this registers
+# rows-only for the driver; the REAL verification is
+# tests/test_bpe.py's differential against an independent pure-Python
+# BPE on randomized corpora, plus the determinism double-run.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+@register(
+    "text_bpe_train_merges",
+    None,  # iterative argmax — rows-only check (see header comment)
+    tags=("llm", "text", "iterative", "tokenizer"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.bpe import bpe_train
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    merges = bpe_train(words, _BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long"
+    ).orderBy("step")
