@@ -44,6 +44,12 @@ class CommitConflict(RuntimeError):
     pass
 
 
+class SchemaConflict(ValueError):
+    """Append schema is incompatible with the table schema (same-name
+    column with a different type, or a new column without
+    ``merge_schema=True``)."""
+
+
 class VersionedStore:
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
@@ -74,7 +80,14 @@ class VersionedStore:
             return []
         return [os.path.join(self.data_dir, f) for f in self._manifest(v)["files"]]
 
-    def _commit(self, compute_files, op: str, retries: int = 20, txn: str | None = None) -> int:
+    def _commit(
+        self,
+        compute_files,
+        op: str,
+        retries: int = 20,
+        txn: str | None = None,
+        compute_schema=None,
+    ) -> int:
         """Publish a new manifest atomically.  ``compute_files`` maps the
         parent's file list → the child's (called fresh per attempt so a
         lost race recomputes against the new head).
@@ -88,13 +101,23 @@ class VersionedStore:
             parent = self.latest_version()
             if txn is not None and txn in self.committed_txns():
                 return parent  # replay of an already-committed transaction
-            files = compute_files(
-                self._manifest(parent)["files"] if parent >= 0 else []
-            )
+            parent_manifest = self._manifest(parent) if parent >= 0 else {}
+            files = compute_files(parent_manifest.get("files", []))
             nxt = parent + 1
             tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
                 record = {"version": nxt, "parent": parent, "op": op, "files": files}
+                # Schema rides in the manifest (Delta's metaData action):
+                # schema-changing commits pass compute_schema (re-run per
+                # attempt, so a lost race re-merges against the racing
+                # winner's schema); every other commit inherits.
+                schema_json = (
+                    compute_schema(parent_manifest)
+                    if compute_schema is not None
+                    else parent_manifest.get("schema")
+                )
+                if schema_json is not None:
+                    record["schema"] = schema_json
                 if txn is not None:
                     record["txn"] = txn
                 json.dump(record, fh)
@@ -137,17 +160,88 @@ class VersionedStore:
         return moved
 
     # -- operations -----------------------------------------------------------
-    def append(self, df: DataFrame, txn: str | None = None) -> int:
+    def table_schema(self, version: int | None = None):
+        """The snapshot's recorded StructType (schema time travel: an
+        old version reads with the schema it was committed under), or
+        None for pre-schema-tracking manifests (they fall back to
+        parquet self-description)."""
+        from pyspark.sql.types import StructType
+
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            return None
+        sj = self._manifest(v).get("schema")
+        return StructType.fromJson(json.loads(sj)) if sj else None
+
+    @staticmethod
+    def _merged_schema(cur, new_schema, merge_schema: bool):
+        """Validate ``new_schema`` against table schema ``cur``; return
+        the evolved StructType.  Rules (Delta semantics): same-name
+        columns must keep their type; columns MISSING from the append
+        are fine (read fills NULL); NEW columns require
+        ``merge_schema=True`` and extend the table schema."""
+        from pyspark.sql.types import StructType
+
+        cur_by_name = {f.name: f for f in cur.fields}
+        added = []
+        for f in new_schema.fields:
+            have = cur_by_name.get(f.name)
+            if have is None:
+                added.append(f)
+            elif have.dataType != f.dataType:
+                raise SchemaConflict(
+                    f"column {f.name!r}: table has {have.dataType.simpleString()}, "
+                    f"append has {f.dataType.simpleString()}"
+                )
+        if added and not merge_schema:
+            raise SchemaConflict(
+                f"append adds columns {[f.name for f in added]}; "
+                "pass merge_schema=True to evolve the table schema"
+            )
+        return StructType(cur.fields + added)
+
+    def append(self, df: DataFrame, txn: str | None = None, merge_schema: bool = False) -> int:
         if txn is not None and txn in self.committed_txns():
             return self.latest_version()  # don't even stage replayed data
         new = self._stage_files(df, "append")
-        return self._commit(lambda prev: prev + new, "append", txn=txn)
+        df_schema_json = df.schema.json()
+
+        def compute_schema(parent_manifest: dict) -> str:
+            from pyspark.sql.types import StructType
+
+            sj = parent_manifest.get("schema")
+            if sj is None and parent_manifest.get("files"):
+                # pre-tracking table: adopt its on-disk schema first
+                sj = self.read(parent_manifest["version"]).schema.json()
+            if sj is None:
+                return df_schema_json  # first commit defines the schema
+            cur = StructType.fromJson(json.loads(sj))
+            return self._merged_schema(
+                cur, StructType.fromJson(json.loads(df_schema_json)), merge_schema
+            ).json()
+
+        return self._commit(
+            lambda prev: prev + new, "append", txn=txn, compute_schema=compute_schema
+        )
 
     def read(self, version: int | None = None) -> DataFrame:
         files = self.files(version)
         if not files:
             raise ValueError(f"no snapshot at version {version!r}")
-        return self.spark.read.parquet(*files)
+        schema = self.table_schema(version)
+        if schema is None:
+            return self.spark.read.parquet(*files)
+        # mergeSchema unions the file schemas; projecting the manifest
+        # schema pins column ORDER and surfaces evolved columns as NULL
+        # on files written before the evolution.
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        have = set(df.columns)
+        cols = [
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols)
 
     def delete_where(self, predicate) -> int:
         """Copy-on-write delete: rewrite ONLY the files that contain

@@ -160,8 +160,13 @@ def test_streaming_sink_one_version_per_batch_and_replay_safe(spark, store, tmp_
 
 def test_schema_evolution_read(spark, store):
     store.append(spark.range(10).select(F.col("id")))
-    store.append(spark.range(10, 20).select(F.col("id"), F.lit("b").alias("tag")))
-    merged = store.spark.read.option("mergeSchema", "true").parquet(*store.files())
+    # adding a column is an EXPLICIT evolution now (merge_schema=True);
+    # store.read() itself returns the merged schema with NULL backfill
+    store.append(
+        spark.range(10, 20).select(F.col("id"), F.lit("b").alias("tag")),
+        merge_schema=True,
+    )
+    merged = store.read()
     assert set(merged.columns) == {"id", "tag"}
     assert merged.where(F.col("tag").isNull()).count() == 10
 
@@ -431,3 +436,90 @@ def test_cdf_driven_incremental_signature_maintenance(spark, tmp_path):
     assert a == b
     # and the delta really was delta-sized: 5 updated + 3 inserted docs
     assert changed.count() == 8
+
+
+# ---------------------------------------------------------------------------
+# schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_add_column_and_time_travel(spark, tmp_path):
+    from event_streaming_spark.sources.versioned import VersionedStore
+
+    store = VersionedStore(spark, str(tmp_path / "evo"))
+    v1 = store.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"))
+    v2 = store.append(
+        spark.createDataFrame([(3, "c", 9.5)], "id long, s string, score double"),
+        merge_schema=True,
+    )
+    head = store.read()
+    assert head.columns == ["id", "s", "score"]
+    rows = {r["id"]: r["score"] for r in head.collect()}
+    # pre-evolution rows surface NULL in the evolved column
+    assert rows == {1: None, 2: None, 3: 9.5}
+    # schema time travel: v1 still reads with its own 2-column schema
+    old = store.read(v1)
+    assert old.columns == ["id", "s"]
+    assert old.count() == 2
+    assert store.table_schema(v2).fieldNames() == ["id", "s", "score"]
+
+
+def test_schema_evolution_requires_flag(spark, tmp_path):
+    import pytest as _pytest
+
+    from event_streaming_spark.sources.versioned import SchemaConflict, VersionedStore
+
+    store = VersionedStore(spark, str(tmp_path / "evo2"))
+    store.append(spark.createDataFrame([(1, "a")], "id long, s string"))
+    with _pytest.raises(SchemaConflict, match="merge_schema=True"):
+        store.append(
+            spark.createDataFrame([(2, "b", 1.0)], "id long, s string, x double")
+        )
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    import pytest as _pytest
+
+    from event_streaming_spark.sources.versioned import SchemaConflict, VersionedStore
+
+    store = VersionedStore(spark, str(tmp_path / "evo3"))
+    store.append(spark.createDataFrame([(1, "a")], "id long, s string"))
+    with _pytest.raises(SchemaConflict, match="column 's'"):
+        store.append(
+            spark.createDataFrame([(2, 5)], "id long, s long"), merge_schema=True
+        )
+
+
+def test_schema_evolution_missing_column_fills_null(spark, tmp_path):
+    from event_streaming_spark.sources.versioned import VersionedStore
+
+    store = VersionedStore(spark, str(tmp_path / "evo4"))
+    store.append(spark.createDataFrame([(1, "a")], "id long, s string"))
+    # append WITHOUT the s column: allowed, reads as NULL
+    store.append(spark.createDataFrame([(2,)], "id long"))
+    rows = {r["id"]: r["s"] for r in store.read().collect()}
+    assert rows == {1: "a", 2: None}
+
+
+def test_schema_evolution_survives_merge_and_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from event_streaming_spark.sources.versioned import VersionedStore
+
+    store = VersionedStore(spark, str(tmp_path / "evo5"))
+    store.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"))
+    store.append(
+        spark.createDataFrame([(3, "c", 1.5)], "id long, s string, score double"),
+        merge_schema=True,
+    )
+    store.merge(
+        spark.createDataFrame([(2, "B", 2.5)], "id long, s string, score double"),
+        key="id",
+    )
+    store.compact()
+    head = store.read().orderBy("id")
+    assert head.columns == ["id", "s", "score"]
+    got = [(r["id"], r["s"], r["score"]) for r in head.collect()]
+    assert got == [(1, "a", None), (2, "B", 2.5), (3, "c", 1.5)]
+    # rows with NULL in the evolved column still filter correctly
+    assert store.read().where(F.col("score").isNull()).count() == 1
