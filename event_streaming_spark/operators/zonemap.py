@@ -98,3 +98,79 @@ def clustered_copy(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_clustered(src, path, cluster_col, n_files)
     return path
+
+
+class IncrementalZoneMap:
+    """Zone maps maintained INCREMENTALLY over a VersionedStore.
+
+    The store's data files are immutable, so a file's (min, max, count)
+    never changes once computed — exactly why table formats keep stats
+    in their manifests.  ``refresh()`` scans ONLY files the cache has
+    not seen (new appends, merge/compact rewrites); files dropped by a
+    version (COW delete, compaction) simply fall out of the manifest
+    intersection at query time.  At 100 TB this is the difference
+    between a stats refresh that reads the new day's partition and one
+    that rescans the table.
+
+    ``pruned_read(lo, hi, version=)`` works against ANY retained
+    snapshot: time travel composes with data skipping because the cache
+    is keyed by immutable file, not by version.
+    """
+
+    def __init__(self, store, col: str) -> None:
+        self.store = store
+        self.col = col
+        self._zones: dict[str, tuple] = {}  # file -> (zmin, zmax, n_rows)
+
+    def refresh(self, version: int | None = None) -> int:
+        """Compute zones for files of ``version`` (default head) not yet
+        cached.  Returns how many files were NEWLY scanned."""
+        files = self.store.files(version)
+        missing = [f for f in files if f not in self._zones]
+        if not missing:
+            return 0
+        spark = self.store.spark
+        rows = (
+            spark.read.parquet(*missing)
+            .select(
+                F.col("_metadata.file_path").alias("file"),
+                F.col(self.col).alias("v"),
+            )
+            .groupBy("file")
+            .agg(
+                F.min("v").alias("zmin"),
+                F.max("v").alias("zmax"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()
+        )
+        # _metadata.file_path is a URI; key the cache by the same local
+        # path the manifest hands out.
+        by_tail = {os.path.basename(r["file"]): r for r in rows}
+        for f in missing:
+            r = by_tail.get(os.path.basename(f))
+            if r is not None:
+                self._zones[f] = (r["zmin"], r["zmax"], r["n_rows"])
+            else:  # zero-row file: parquet scan emits no group for it
+                self._zones[f] = (None, None, 0)
+        return len(missing)
+
+    def pruned_read(self, lo, hi, version: int | None = None):
+        """``(df, files_read, files_total)`` for the snapshot, reading
+        only files whose zone intersects [lo, hi]."""
+        self.refresh(version)
+        files = self.store.files(version)
+        keep = [
+            f
+            for f in files
+            if self._zones[f][0] is not None
+            and self._zones[f][1] >= lo
+            and self._zones[f][0] <= hi
+        ]
+        spark = self.store.spark
+        if not keep:
+            df = self.store.read(version).where(F.lit(False))
+        else:
+            df = spark.read.parquet(*keep)
+        c = F.col(self.col)
+        return df.where((c >= lo) & (c <= hi)), len(keep), len(files)

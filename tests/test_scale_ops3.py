@@ -309,3 +309,54 @@ def test_hard_negative_mining_contract(spark):
         # hard negatives are the HIGHEST different-label sims (desc)
         sims = [r["cos_sim"] for r in sorted(negs, key=lambda x: x["rn"])]
         assert sims == sorted(sims, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental zone maps over the VersionedStore
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_zonemap_scans_only_new_files(spark, tmp_path):
+    from event_streaming_spark.operators.zonemap import IncrementalZoneMap
+    from event_streaming_spark.sources.versioned import VersionedStore
+
+    store = VersionedStore(spark, str(tmp_path / "vz"))
+    store.append(
+        spark.range(0, 100).select(F.col("id").alias("k")).repartitionByRange(4, "k")
+    )
+    zm = IncrementalZoneMap(store, "k")
+    first = zm.refresh()
+    assert first == 4
+    # second refresh with no new version: nothing scanned
+    assert zm.refresh() == 0
+    store.append(
+        spark.range(100, 200).select(F.col("id").alias("k")).repartitionByRange(4, "k")
+    )
+    # only the 4 NEW files are scanned — the core incremental claim
+    assert zm.refresh() == 4
+    df, n_read, n_total = zm.pruned_read(10, 30)
+    assert n_total == 8 and n_read < n_total
+    assert df.count() == 21
+    # correctness against a full scan
+    assert df.count() == store.read().where(F.col("k").between(10, 30)).count()
+
+
+def test_incremental_zonemap_time_travel_and_compaction(spark, tmp_path):
+    from event_streaming_spark.operators.zonemap import IncrementalZoneMap
+    from event_streaming_spark.sources.versioned import VersionedStore
+
+    store = VersionedStore(spark, str(tmp_path / "vz2"))
+    v0 = store.append(
+        spark.range(0, 50).select(F.col("id").alias("k")).repartitionByRange(2, "k")
+    )
+    zm = IncrementalZoneMap(store, "k")
+    zm.refresh()
+    store.delete_where("k >= 40")           # COW rewrite
+    store.compact(target_files=1)           # rewrites the survivors
+    # head: pruned read agrees with a full scan after rewrites
+    df, _, n_total = zm.pruned_read(0, 20)
+    assert df.count() == 21
+    # time travel: the OLD snapshot still prunes with its own files
+    df0, _, total0 = zm.pruned_read(45, 49, version=v0)
+    assert df0.count() == 5
+    assert total0 == 2
