@@ -141,27 +141,25 @@ def docs_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
         members.where(F.col("doc_id") == F.col("rep")).select("rep"),
         docs["doc_id"] == F.col("rep"),
     ).select(F.col("rep").alias("doc_id"), "text")
-    # FOUR consumers read the shingle table (sizes, doc-frequency,
-    # prefix ranking, verify) — pin it once, or the md5-shingle
-    # projection re-runs per consumer (measured 53 s → 8 s at sf0.001
-    # from this one change).
-    tok = materialize(
+    # THREE consumers read the shingle-set table (doc-frequency, prefix
+    # ranking, verify) — pin it once, or the md5-shingle projection
+    # re-runs per consumer (measured 53 s → 8 s at sf0.001 from this
+    # one change).  Sets are kept as ARRAYS: the set size rides along
+    # for free (no size aggregate, no join back), and verification
+    # later is one codegen array_intersect instead of a token-level
+    # join + groupBy.
+    sets = materialize(
         uniq.select(
-            "doc_id", F.explode(S.shingle_hashes(F.col("text"))).alias("sh")
-        ).distinct(),
-        name="ppjoin-tok",
+            "doc_id",
+            F.array_distinct(S.shingle_hashes(F.col("text"))).alias("hs"),
+        ).withColumn("n", F.size("hs")),
+        name="ppjoin-sets",
     )
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    tok = sets.select("doc_id", "n", F.explode("hs").alias("sh"))
     dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
-    ranked = (
-        tok.join(dfreq, "sh")
-        .join(sz, "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("dfc", "sh")
-            ),
-        )
+    ranked = tok.join(dfreq, "sh").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("dfc", "sh")),
     )
     # prefix length: n - ceil(t*n) + 1
     plen = F.col("n") - F.expr(f"({_T_NUM} * n + {_T_DEN} - 1) div {_T_DEN}") + 1
@@ -179,20 +177,35 @@ def docs_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .distinct()
     )
+    # Verify: join the two shingle ARRAYS to each candidate pair and
+    # count the overlap with one codegen array_intersect — the shuffle
+    # carries one array row per pair side (not |set| token rows), and
+    # there is no verify groupBy at all.
     sized = (
-        cand.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .where(
-            _T_DEN * F.least("na", "nb") >= _T_NUM * F.greatest("na", "nb")
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hs").alias("ha"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
         )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hs").alias("hb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .where(_T_DEN * F.least("na", "nb") >= _T_NUM * F.greatest("na", "nb"))
     )
-    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    tb = tok.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
-    inter = (
-        sized.join(ta, "doc_a")
-        .join(tb, (F.col("doc_b") == F.col("b_id")) & (F.col("sha") == F.col("shb")))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    inter = sized.select(
+        "doc_a",
+        "doc_b",
+        "na",
+        "nb",
+        F.size(F.array_intersect("ha", "hb")).alias("n_common"),
     )
     rep_pairs = inter.where(
         (_T_NUM + _T_DEN) * F.col("n_common") >= _T_NUM * (F.col("na") + F.col("nb"))
@@ -206,7 +219,7 @@ def docs_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
     intra = (
         m1.join(m2, "rep")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .join(sz.select(F.col("doc_id").alias("rep"), F.col("n")), "rep")
+        .join(sets.select(F.col("doc_id").alias("rep"), F.col("n")), "rep")
         .select(
             "doc_a",
             "doc_b",
