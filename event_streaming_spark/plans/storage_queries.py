@@ -89,3 +89,88 @@ def versioned_time_travel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return old.join(head, "event_type").select(
         "event_type", "n_v1", "sum_cents_v1", "sum_cents_head"
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H refresh streams (RF1 insert / RF2 delete) through the
+# VersionedStore.  The reference workload family this catalog's q1-q22
+# sweep mirrors defines two refresh functions: RF1 inserts a new batch
+# of orders, RF2 deletes an old cohort.  Here both run as versioned
+# commits — append and copy-on-write delete — and the query reads ALL
+# THREE snapshots (base, +RF1, +RF1−RF2) via time travel in one result,
+# so the driver's hash check pins insert correctness, delete
+# correctness, and snapshot stability simultaneously.
+#
+# Determinism: the RF1 batch is synthesized from existing orders
+# (o_orderkey % 97 == 0) with keys shifted past max(o_orderkey); the
+# RF2 cohort is o_orderkey % 89 == 0 — both reconstructible in pure
+# SQL, so the oracle recomputes every state from the raw table.
+#
+# Scale: append cost = new batch size; the COW delete rewrites only
+# files containing matches (file-level pruning via _metadata); the
+# three reads share the immutable base files.
+# ---------------------------------------------------------------------------
+
+_RF_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+), rf1 AS (
+  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders) AS o_orderkey,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0
+), v1 AS (
+  SELECT * FROM base UNION ALL SELECT * FROM rf1
+), v2 AS (
+  SELECT * FROM v1 WHERE o_orderkey % 89 <> 0
+), s0 AS (
+  SELECT count(*) AS n, cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM base
+), s1 AS (
+  SELECT count(*) AS n, cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM v1
+), s2 AS (
+  SELECT count(*) AS n, cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM v2
+)
+SELECT 0 AS version, s0.n AS n_orders, s0.cents AS sum_cents FROM s0
+UNION ALL
+SELECT 1, s1.n, s1.cents FROM s1
+UNION ALL
+SELECT 2, s2.n, s2.cents FROM s2
+ORDER BY version
+"""
+
+
+@register(
+    "tpch_refresh_streams_versioned",
+    _RF_ORACLE,
+    tags=("storage", "versioned", "tpch", "refresh"),
+)
+def tpch_refresh_streams_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="est-rf-q-")
+    store = VersionedStore(spark, root)
+    v0 = store.append(orders)
+    shift = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    rf1 = orders.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + shift).alias("o_orderkey"), "o_totalprice"
+    )
+    v1 = store.append(rf1)
+    store.delete_where("o_orderkey % 89 = 0")
+    v2 = store.latest_version()
+
+    def snap(version: int, tag: int) -> DataFrame:
+        return (
+            store.read(version)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .select(F.lit(tag).alias("version"), "n_orders", "sum_cents")
+        )
+
+    return snap(v0, 0).unionByName(snap(v1, 1)).unionByName(snap(v2, 2)).orderBy(
+        "version"
+    )
