@@ -842,3 +842,46 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count long"
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Exact-k per-stratum deterministic sample: k docs PER LANGUAGE by
+# md5-hash order — the balanced-eval-set constructor (rate-based
+# stratified sampling, sample_stratified_by_lang, cannot guarantee
+# per-stratum counts; this guarantees exactly min(k, |stratum|)).
+# Hash order makes it a uniform sample that is reproducible across
+# engines/runs AND nested (k'=10 of the k=20 sample is the k'=10
+# sample).  Scale: two-stage top-k (operators/ranks.py) — no stratum
+# ever funnels through one task, unlike the naive rank window.
+# ---------------------------------------------------------------------------
+
+_EK_K = 20
+
+_EK_ORACLE = f"""
+SELECT lang, doc_id, rn FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {sql_stable_hash32("'ek|' || cast(doc_id AS VARCHAR)")}, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {_EK_K}
+ORDER BY lang, rn
+"""
+
+
+@register(
+    "sample_exact_k_per_lang",
+    _EK_ORACLE,
+    tags=("llm", "sampling", "deterministic"),
+)
+def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    h = stable_hash32(F.concat(F.lit("ek|"), F.col("doc_id").cast("string")))
+    base = docs.select("lang", "doc_id", h.alias("h"))
+    picked = topk_per_group(
+        base, "lang", [F.asc("h"), F.asc("doc_id")], _EK_K, rn_col="rn"
+    )
+    return picked.select("lang", "doc_id", "rn").orderBy("lang", "rn")
