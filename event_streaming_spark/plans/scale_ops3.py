@@ -431,6 +431,7 @@ ORDER BY n1, n2, n3
     "graph_triangle_count_near_dup",
     _TRI_ORACLE,
     tags=("graph", "llm", "scale"),
+    bench=True,
 )
 def graph_triangle_count_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = minhash_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -634,6 +635,7 @@ ORDER BY p.da, p.db
     "sketch_theta_overlap_daily",
     _THETA_DAILY_ORACLE,
     tags=("sketch", "setops", "scale"),
+    bench=True,
 )
 def sketch_theta_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
