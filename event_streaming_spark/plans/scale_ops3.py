@@ -887,3 +887,57 @@ def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, "lang", [F.asc("h"), F.asc("doc_id")], _EK_K, rn_col="rn"
     )
     return picked.select("lang", "doc_id", "rn").orderBy("lang", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source leakage matrix: near-duplicate pair counts per SOURCE
+# PAIR.  The dedup graph answers a governance question pair-level
+# output can't surface directly: which ingest sources copy from each
+# other (off-diagonal mass = leakage / shared upstream; diagonal mass =
+# within-source boilerplate).  Composes the LSH pair query by
+# reference — one candidate-generation definition, reused by clusters,
+# triangles, edit-distance, centrality AND this audit, on both engines.
+# Scale: pairs ⋈ doc metadata twice (hash joins on doc_id), then a
+# source-pair count — all candidate-sized, never corpus².
+# ---------------------------------------------------------------------------
+
+_XSRC_ORACLE = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_LSH_ORACLE})
+), meta AS (
+  SELECT doc_id, source FROM documents
+), lab AS (
+  SELECT least(ma.source, mb.source) AS source_a,
+         greatest(ma.source, mb.source) AS source_b
+  FROM pairs p
+  JOIN meta ma ON ma.doc_id = p.doc_a
+  JOIN meta mb ON mb.doc_id = p.doc_b
+)
+SELECT source_a, source_b, count(*) AS n_pairs
+FROM lab
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "dedup_cross_source_leakage_matrix",
+    _XSRC_ORACLE,
+    tags=("llm", "dedup", "audit"),
+)
+def dedup_cross_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    meta = load(spark, sf_dir, "documents").select("doc_id", "source")
+    ma = meta.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    mb = meta.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

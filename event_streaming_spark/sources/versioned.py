@@ -331,11 +331,23 @@ class VersionedStore:
 
         return self._commit(compute, "merge", txn=txn)
 
-    def compact(self, target_files: int = 1) -> int:
+    def compact(self, target_files: int = 1, sort_by: str | None = None) -> int:
+        """Rewrite the head snapshot into ``target_files`` files.
+
+        ``sort_by``: range-cluster the rewrite on a column, so each
+        output file owns a tight value range — this is CLUSTERING
+        compaction, the step that keeps zone maps
+        (operators/zonemap.py::IncrementalZoneMap) selective after many
+        unordered appends have interleaved the key space.  Plain
+        coalesce (default) just fixes the small-files problem."""
         base = self.latest_version()
         df = self.read(base)
         old = set(self._manifest(base)["files"])
-        new = self._stage_files(df.coalesce(target_files), "compact")
+        if sort_by is not None:
+            laid_out = df.repartitionByRange(target_files, F.col(sort_by))
+        else:
+            laid_out = df.coalesce(target_files)
+        new = self._stage_files(laid_out, "compact")
 
         def compute(prev: list[str]) -> list[str]:
             if set(prev) != old:

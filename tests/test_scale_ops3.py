@@ -360,3 +360,29 @@ def test_incremental_zonemap_time_travel_and_compaction(spark, tmp_path):
     df0, _, total0 = zm.pruned_read(45, 49, version=v0)
     assert df0.count() == 5
     assert total0 == 2
+
+
+def test_clustering_compaction_restores_zone_selectivity(spark, tmp_path):
+    """Unordered appends interleave the keyspace → zones useless; a
+    sort_by compaction restores file-level pruning."""
+    from event_streaming_spark.operators.zonemap import IncrementalZoneMap
+    from event_streaming_spark.sources.versioned import VersionedStore
+
+    store = VersionedStore(spark, str(tmp_path / "cc"))
+    # two appends that each span the FULL key range, in 4 files each
+    store.append(
+        spark.range(0, 400).select((F.col("id") % 100).alias("k")).repartition(4)
+    )
+    store.append(
+        spark.range(0, 400).select((F.col("id") % 100).alias("k")).repartition(4)
+    )
+    zm = IncrementalZoneMap(store, "k")
+    _, n_read, n_total = zm.pruned_read(10, 19)
+    assert n_read == n_total == 8  # interleaved layout: nothing prunes
+    store.compact(target_files=8, sort_by="k")
+    zm2 = IncrementalZoneMap(store, "k")
+    df, n_read2, n_total2 = zm2.pruned_read(10, 19)
+    assert n_total2 == 8 and n_read2 < n_total2  # clustered: pruning works
+    assert df.count() == 80
+    # and the data survived the rewrite exactly
+    assert store.read().count() == 800
