@@ -266,3 +266,81 @@ def test_weighted_median_distributed_shape_matches_bruteforce(spark, rows):
             if 2 * cw >= total:
                 assert got[g] == v
                 break
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-2 primitives
+# ---------------------------------------------------------------------------
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=25
+    )
+)
+@SETTINGS
+def test_triangles_match_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from event_streaming_spark.operators.graph import triangles
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if und:
+        df = spark.createDataFrame(sorted(und), ["doc_a", "doc_b"])
+        got = {tuple(r) for r in triangles(df).collect()}
+    else:
+        got = set()
+    nodes = {n for e in und for n in e}
+    want = {
+        (a, b, c)
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in und and (a, c) in und and (b, c) in und
+    }
+    assert got == want
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        st.integers(1, 9),
+        min_size=1,
+        max_size=12,
+    ),
+    n=st.integers(1, 5),
+)
+@SETTINGS
+def test_bpe_train_matches_reference(spark, words, n):
+    from event_streaming_spark.operators.bpe import bpe_train
+    from tests.test_bpe import ref_bpe_train
+
+    df = spark.createDataFrame([(w, c) for w, c in words.items()], "word string, wc long")
+    assert bpe_train(df, n) == ref_bpe_train(words, n)
+
+
+@given(
+    a=st.sets(st.integers(0, 400), min_size=0, max_size=60),
+    b=st.sets(st.integers(0, 400), min_size=0, max_size=60),
+)
+@SETTINGS
+def test_theta_unsaturated_exact_on_random_sets(spark, tmp_path_factory, a, b):
+    """Below k the estimator must be EXACT on any overlap structure."""
+    from event_streaming_spark.plans.scale_ops3 import sketch_theta_set_ops_users
+
+    tmp = tmp_path_factory.mktemp("theta-prop")
+    rows = [(u, "view") for u in a] + [(u, "purchase") for u in b]
+    if not rows:
+        rows = [(0, "click")]  # neither set present → all-zero estimates
+    df = spark.createDataFrame(rows, "user_id long, event_type string").select(
+        F.monotonically_increasing_id().alias("event_id"),
+        F.current_timestamp().alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    r = sketch_theta_set_ops_users(spark, str(tmp)).first()
+    assert r["est_viewers"] == len(a)
+    assert r["est_purchasers"] == len(b)
+    assert r["est_union"] == len(a | b)
+    assert r["est_intersection"] == len(a & b)
