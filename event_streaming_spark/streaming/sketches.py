@@ -198,3 +198,114 @@ class CountMinStreamingSketch:
         from event_streaming_spark.operators.sketches import count_min_lookup
 
         return count_min_lookup(self.table(), keys, key_col, self.depth, self.width)
+
+
+class ThetaStreamingSketch:
+    """Streaming KMV/theta sketch: mergeable distinct-count state that —
+    unlike HLL — also supports direct SET OPERATIONS between two
+    sketches (union / intersection estimates), the streaming twin of
+    the batch queries ``sketch_theta_set_ops_users`` /
+    ``sketch_theta_overlap_daily`` (plans/scale_ops3.py).
+
+    Monoid: bottom-k of a union = bottom-k of the combined bottom-k's,
+    so each micro-batch appends its own ≤ k smallest distinct hashes
+    and the merged state is a k-row read-time fold.  Same atomic-rename
+    idempotency as the HLL log (publish dir IS the mark); ``compact()``
+    folds the log back to ≤ k rows without changing any estimate.
+
+    Estimator (integer, engine/run-deterministic):
+        theta = k-th smallest hash when saturated, else 2^32
+        est   = |{h < theta}| * 2^32 div theta
+    which degrades to the EXACT distinct count while unsaturated.
+    """
+
+    def __init__(
+        self, spark: SparkSession, path: str, key_col: str, k: int = 256
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.k = k
+
+    def _hashes(self, df: DataFrame) -> DataFrame:
+        from event_streaming_spark.functions.hashing import stable_hash32
+
+        h = stable_hash32(
+            F.concat(F.lit("theta|"), F.col(self.key_col).cast("string"))
+        )
+        return df.select(h.alias("h")).distinct().orderBy("h").limit(self.k)
+
+    def sink(self, stream_df: DataFrame, checkpoint: str):
+        ledger = os.path.join(checkpoint, "theta-ledger")
+
+        def _batch(batch_df: DataFrame, batch_id: int) -> None:
+            mark = os.path.join(ledger, f"batch-{batch_id}.done")
+            if os.path.exists(mark):
+                return
+            target = os.path.join(self.path, f"batch-{batch_id}")
+            if not os.path.isdir(target):
+                os.makedirs(self.path, exist_ok=True)
+                tmp = os.path.join(self.path, f"._staging-batch-{batch_id}")
+                self._hashes(batch_df).write.mode("overwrite").parquet(tmp)
+                os.rename(tmp, target)
+            os.makedirs(ledger, exist_ok=True)
+            with open(mark, "w") as fh:
+                fh.write("done")
+
+        return (
+            stream_df.writeStream.foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def hashes(self) -> DataFrame:
+        """Merged sketch: the k smallest distinct hashes across batches."""
+        raw = self.spark.read.option("recursiveFileLookup", "true").parquet(self.path)
+        return raw.distinct().orderBy("h").limit(self.k)
+
+    def estimate(self) -> int:
+        rows = [r["h"] for r in self.hashes().collect()]
+        return self._estimate_from(sorted(rows))
+
+    def _estimate_from(self, hs: list[int]) -> int:
+        two32 = 1 << 32
+        if len(hs) < self.k:
+            return len(hs)
+        theta = hs[-1]
+        return (len(hs) - 1) * two32 // theta
+
+    def set_ops(self, other: "ThetaStreamingSketch") -> dict[str, int]:
+        """Union / intersection estimates between two sketches — the
+        operation HLL registers cannot answer directly.  k-row driver
+        math (both sketches are ≤ k hashes by construction)."""
+        if other.k != self.k:
+            raise ValueError("sketches must share k")
+        two32 = 1 << 32
+        a = sorted(r["h"] for r in self.hashes().collect())
+        b = sorted(r["h"] for r in other.hashes().collect())
+        union = sorted(set(a) | set(b))[: self.k]
+        saturated = len(union) == self.k
+        theta = union[-1] if saturated else two32
+        below = len(union) - 1 if saturated else len(union)
+        est_union = below * two32 // theta
+        c = len([h for h in set(a) & set(b) if h < theta])
+        return {
+            "est_a": self._estimate_from(a),
+            "est_b": other._estimate_from(b),
+            "est_union": est_union,
+            "est_intersection": c * two32 // theta,
+        }
+
+    def compact(self) -> None:
+        """Fold the per-batch log to ≤ k rows (estimates unchanged).
+        Same crash-repair contract as the HLL log; run only while no
+        stream is writing."""
+        import shutil
+
+        tmp = self.path + "._compacting"
+        self.hashes().coalesce(1).write.mode("overwrite").parquet(tmp)
+        final, bak = self.path, self.path + "._old"
+        os.rename(final, bak)
+        os.rename(tmp, final)
+        shutil.rmtree(bak)

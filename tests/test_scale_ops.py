@@ -654,3 +654,65 @@ def test_topk_per_group_k_larger_than_group(spark):
         ("a", 2, 2),
         ("b", 9, 1),
     ]
+
+
+def test_streaming_theta_equals_batch_and_set_ops(spark, tmp_path):
+    """The streamed bottom-k state must reproduce the exact distinct
+    count while unsaturated, and two sketches must answer set ops."""
+    from event_streaming_spark.streaming.sketches import ThetaStreamingSketch
+
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    # |A|=200 (0..199), |B|=150 (100..249) → |A∩B|=100, |A∪B|=250
+    a = spark.range(0, 200).select(F.col("id").alias("k"))
+    b = spark.range(100, 250).select(F.col("id").alias("k"))
+    for i in range(2):  # two micro-batches each
+        a.filter(F.col("id") % 2 == i).coalesce(1).write.mode("append").parquet(src_a)
+        b.filter(F.col("id") % 2 == i).coalesce(1).write.mode("append").parquet(src_b)
+
+    ska = ThetaStreamingSketch(spark, str(tmp_path / "ska"), "k")
+    skb = ThetaStreamingSketch(spark, str(tmp_path / "skb"), "k")
+    for sk, src, ck in ((ska, src_a, "cka"), (skb, src_b, "ckb")):
+        stream = (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sk.sink(stream, str(tmp_path / ck)).awaitTermination(120)
+
+    assert ska.estimate() == 200   # < k=256 → exact
+    assert skb.estimate() == 150
+    ops = ska.set_ops(skb)
+    assert ops == {
+        "est_a": 200,
+        "est_b": 150,
+        "est_union": 250,
+        "est_intersection": 100,
+    }
+    # compact folds the log to <= k rows without changing anything
+    ska.compact()
+    assert ska.estimate() == 200
+    assert ska.set_ops(skb)["est_intersection"] == 100
+
+    # replay: re-running over the same source must not change state
+    stream = (
+        spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).parquet(src_a)
+    )
+    ska.sink(stream, str(tmp_path / "cka2")).awaitTermination(120)
+    assert ska.estimate() == 200
+
+
+def test_streaming_theta_saturated_accuracy(spark, tmp_path):
+    """Past k the estimator is approximate: 3-RSE accuracy bound."""
+    from event_streaming_spark.streaming.sketches import ThetaStreamingSketch
+
+    src = str(tmp_path / "src")
+    spark.range(5000).select((F.col("id") * 104729 % 1000000).alias("k")).coalesce(
+        2
+    ).write.parquet(src)
+    sk = ThetaStreamingSketch(spark, str(tmp_path / "sk"), "k", k=256)
+    stream = (
+        spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sk.sink(stream, str(tmp_path / "ck")).awaitTermination(120)
+    est = sk.estimate()
+    assert abs(est - 5000) / 5000 < 0.20
