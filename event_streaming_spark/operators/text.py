@@ -222,3 +222,4 @@ def sql_token_hashes_wide(expr: str, bits: int) -> str:
 
     toks = f"list_distinct(string_split({sql_normalize_text(expr)}, ' '))"
     return f"list_transform({toks}, t -> {sql_stable_hash_bits('t', bits)})"
+
