@@ -69,7 +69,11 @@ _PRIORITY = [
     "corpus_curation_end_to_end",
     "sample_stratified_by_lang",
     "text_quality_features",
-    "binary_column_metadata",
+    # Multimodal flagship upgraded for r3 session 2: the phash
+    # round-trip differentially verifies the REAL encode→decode→resize→
+    # hash chain (binary_column_metadata — driver-green in r2 — rotates
+    # past the window; it only probed length/prefix bytes).
+    "multimodal_phash_roundtrip",
     "events_user_value_deciles",
     # Round-2 flagships rotated INTO the r3 graded prefix (slots 36-50):
     # sketches, graph, scale joins, storage-layout and heavy-agg queries
@@ -112,6 +116,7 @@ _PRIORITY = [
     "q12_priority_by_ship_year",
     "q13_customer_order_distribution",
     "q14_promo_revenue_share",
+    "binary_column_metadata",
     # SURVEY §2.2 / §2.3 operator flagships (driver-green in r2).
     "point_lookup_composite_key",
     "dedup_keep_first_event",

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import tempfile
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -941,3 +942,102 @@ def dedup_cross_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal round-trip under the ORACLE: synthesize a deterministic
+# 16×16 grayscale BMP per document from its MinHash signature, push the
+# BYTES through the real pipeline — BMP encode → raster decode → integer
+# luma → exact 8×8 box filter → 64-bit average hash (operators/phash.py)
+# — while DuckDB computes the hash ARITHMETICALLY from the same
+# signature (the image is 2×2 uniform cells, so every pixel stage is
+# exactly invertible: luma(v,v,v) = v because the weights sum to 1000,
+# the box mean of a uniform 2×2 cell is v, and the global mean is
+# (4·Σv) div 64).  A single mismatched byte anywhere in the
+# encode/decode/resize/threshold chain flips hash bits and fails the
+# differential — this puts the multimodal kernels under the driver's
+# hash gate, not just pytest.
+#
+# Scale: one Arrow-batched pandas pass per doc (build 822 bytes, hash
+# them); everything else is a projection.
+# ---------------------------------------------------------------------------
+
+_PH_N_DOCS = 200
+
+
+def _sql_phash_terms() -> str:
+    # bit 0 is the SIGN bit of the signed 64-bit hash
+    terms = ["(CASE WHEN v0 > mean THEN -9223372036854775808 ELSE 0 END)"]
+    for i in range(1, 64):
+        terms.append(
+            f"(CASE WHEN v{i % 16} > mean THEN {1 << (63 - i)} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_PHASH_RT_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id, {S.sql_shingle_hashes('text')} AS hs
+  FROM documents WHERE doc_id < {_PH_N_DOCS}
+), sig AS (
+  SELECT doc_id, {', '.join(S.sql_minhash_exprs('hs'))}
+  FROM hs WHERE len(hs) > 0
+), v AS (
+  SELECT doc_id, {', '.join(f'(mh{i:02d} % 256) AS v{i}' for i in range(16))}
+  FROM sig
+), m AS (
+  SELECT *, (4 * ({' + '.join(f'v{i}' for i in range(16))})) // 64 AS mean FROM v
+)
+SELECT doc_id, cast({_sql_phash_terms()} AS BIGINT) AS phash
+FROM m
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_phash_roundtrip",
+    _PHASH_RT_ORACLE,
+    tags=("multimodal", "hash", "dedup"),
+)
+def multimodal_phash_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from event_streaming_spark.operators.phash import with_average_hash
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _PH_N_DOCS)
+    hs = docs.select("doc_id", S.shingle_hashes(F.col("text")).alias("hs")).where(
+        F.size("hs") > 0
+    )
+    sig = hs.select("doc_id", *S.minhash_cols(F.col("hs")))
+    vals = sig.select(
+        "doc_id",
+        F.array(*[(F.col(f"mh{i:02d}") % 256).cast("int") for i in range(16)]).alias(
+            "vals"
+        ),
+    )
+
+    @pandas_udf("binary")
+    def _bmp(v: pd.Series) -> pd.Series:
+        import struct
+
+        def one(cells):
+            # 16×16 gray BMP of 2×2 uniform cells, cell (r,c) = cells[(r*8+c) % 16]
+            rows = []
+            for y in range(16):
+                row = bytearray()
+                for x in range(16):
+                    g = int(cells[((y // 2) * 8 + (x // 2)) % 16])
+                    row += bytes((g, g, g))  # BGR == gray
+                rows.append(bytes(row))  # 48 bytes, already 4-aligned
+            raster = b"".join(reversed(rows))  # bottom-up, as BMP wants
+            header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, 16, 16, 1, 24, 0, len(raster), 0, 0, 0, 0
+            )
+            return header + info + raster
+
+        return v.map(one)
+
+    imgs = vals.select("doc_id", _bmp(F.col("vals")).alias("content"))
+    hashed = with_average_hash(imgs, "content")
+    return hashed.select("doc_id", F.col("phash")).orderBy("doc_id")
