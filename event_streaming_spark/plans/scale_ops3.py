@@ -1041,3 +1041,47 @@ def multimodal_phash_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = vals.select("doc_id", _bmp(F.col("vals")).alias("content"))
     hashed = with_average_hash(imgs, "content")
     return hashed.select("doc_id", F.col("phash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental zone maps under the oracle: the same selective range
+# query as events_zonemap_pruned_scan, but served through a
+# VersionedStore whose stats cache (IncrementalZoneMap) was built
+# incrementally across TWO clustered appends — the second refresh scans
+# only the second append's files.  The oracle is still the plain
+# filter: the storage layer, the incremental stats AND the pruning all
+# have to be semantically invisible.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_zonemap_incremental_scan",
+    _ZM_ORACLE,
+    tags=("storage", "layout", "versioned", "scale"),
+)
+def events_zonemap_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.zonemap import IncrementalZoneMap
+    from event_streaming_spark.sources.versioned import VersionedStore
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    mx = ev.agg(F.max("user_id")).first()[0]
+    lo, hi = (mx * 10) // 100, (mx * 25) // 100
+    root = tempfile.mkdtemp(prefix="est-zonemap-inc-q-")
+    store = VersionedStore(spark, root)
+    half = ev.where(F.col("user_id") % 2 == 0)
+    other = ev.where(F.col("user_id") % 2 == 1)
+    store.append(half.repartitionByRange(8, F.col("user_id")))
+    zm = IncrementalZoneMap(store, "user_id")
+    zm.refresh()  # stats for the first 8 files
+    store.append(other.repartitionByRange(8, F.col("user_id")))
+    pruned, _read, _total = zm.pruned_read(lo, hi)  # refreshes ONLY the new 8
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
