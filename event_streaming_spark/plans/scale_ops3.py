@@ -1,24 +1,34 @@
 """Round-3 scale tranche #2: set-similarity, sketch set-ops, sampling,
-graph and storage-layout operators whose POINT is the 100 TB shape.
+graph, tokenizer and storage-layout operators whose POINT is the
+100 TB shape.
 
-- prefix-filtered set-similarity join (PPJoin-style): the classic
-  candidate-pruning alternative to MinHash — exact Jaccard output, but
-  only prefix tokens (the RAREST per set) ever reach the join;
+- prefix-filtered set-similarity join (PPJoin-style) with exact-dup
+  collapse: exact Jaccard output, candidate volume bounded by UNIQUE
+  content (the collapse is what survives duplicate-heavy corpora);
 - KMV/theta sketch set operations: union/intersection cardinality from
-  two k-sized sketches — sketch-sized work regardless of data volume;
+  k-sized sketches — one query-pair version and a full day×day overlap
+  MATRIX answered from a single sketch-building pass;
 - degree-oriented triangle counting on the near-dup graph: each
   triangle counted once from its lowest-degree corner, the standard
   trick that keeps wedge generation off the high-degree hubs;
 - inverted-index keyword search: postings-join AND-search with term
   frequency ranking — the query touches postings, never raw text;
-- zone-map pruned scan: min/max file skipping over a range-clustered
-  layout (operators/zonemap.py) — the predicate decides which FILES
-  open, not just which rows survive.
+- zone-map pruned scans: min/max file skipping over a range-clustered
+  layout (operators/zonemap.py), both the batch form and the
+  VersionedStore-incremental form, each under the plain-filter oracle;
+- contrastive pair mining (hard negatives/positives) over embeddings;
+- BPE tokenizer training (operators/bpe.py) — rows-only at the driver,
+  differentially tested against a pure-Python reference;
+- cross-source leakage matrix and exact-k per-stratum sampling;
+- multimodal phash round-trip: a signature-derived BMP goes through the
+  REAL encode→decode→resize→hash kernels while DuckDB predicts the hash
+  arithmetically — the multimodal stack under the differential gate.
 
 Reference parity: the reference's query surface stops at its keyed
 store + scan operators (see SURVEY.md §2); these are the
 beyond-reference data-pipeline operators the task brief lists as
-first-class.  Every query is oracle-paired and exact-integer.
+first-class.  All oracle-paired and exact-integer except the BPE
+trainer (iterative argmax — see its header).
 """
 
 from __future__ import annotations
