@@ -344,3 +344,66 @@ def test_theta_unsaturated_exact_on_random_sets(spark, tmp_path_factory, a, b):
     assert r["est_purchasers"] == len(b)
     assert r["est_union"] == len(a | b)
     assert r["est_intersection"] == len(a & b)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("red blue green gold iron wolf moon star".split()),
+                 min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_ppjoin_matches_bruteforce_on_random_corpora(spark, tmp_path_factory, texts):
+    from event_streaming_spark.operators.similarity import shingle_hashes
+    from event_streaming_spark.plans.scale_ops3 import docs_prefix_filter_jaccard_join
+
+    tmp = tmp_path_factory.mktemp("ppjoin-prop")
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_common"], r["na"], r["nb"])
+        for r in docs_prefix_filter_jaccard_join(spark, str(tmp)).collect()
+    }
+    sets = {
+        r["doc_id"]: set(r["hs"])
+        for r in spark.read.parquet(str(tmp / "documents.parquet"))
+        .select("doc_id", shingle_hashes(F.col("text")).alias("hs"))
+        .collect()
+    }
+    want = set()
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                if 3 * inter >= len(sets[i]) + len(sets[j]):  # J >= 1/2
+                    want.add((i, j, inter, len(sets[i]), len(sets[j])))
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 1000), min_size=1, max_size=120),
+    n_files=st.integers(1, 6),
+    bounds=st.tuples(st.integers(0, 1000), st.integers(0, 1000)),
+)
+@SETTINGS
+def test_zonemap_pruned_read_matches_full_filter(
+    spark, tmp_path_factory, vals, n_files, bounds
+):
+    from event_streaming_spark.operators import zonemap as Z
+
+    lo, hi = min(bounds), max(bounds)
+    tmp = tmp_path_factory.mktemp("zm-prop")
+    path = str(tmp / "t")
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    Z.write_clustered(df, path, "k", n_files)
+    zm = Z.zone_map(spark, path, "k")
+    pruned, n_read, n_total = Z.pruned_read(spark, path, zm, "k", lo, hi)
+    got = sorted(r["k"] for r in pruned.collect())
+    want = sorted(v for v in vals if lo <= v <= hi)
+    assert got == want
+    assert n_read <= n_total
