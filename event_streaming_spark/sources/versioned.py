@@ -87,6 +87,7 @@ class VersionedStore:
         retries: int = 20,
         txn: str | None = None,
         compute_schema=None,
+        compute_deletes=None,
     ) -> int:
         """Publish a new manifest atomically.  ``compute_files`` maps the
         parent's file list → the child's (called fresh per attempt so a
@@ -118,6 +119,16 @@ class VersionedStore:
                 )
                 if schema_json is not None:
                     record["schema"] = schema_json
+                # Equality-delete tombstones (merge-on-read): inherited
+                # by every commit unless the commit materializes them
+                # (compact) or adds new ones (delete_keys_where).
+                deletes = (
+                    compute_deletes(parent_manifest)
+                    if compute_deletes is not None
+                    else parent_manifest.get("delete_files", [])
+                )
+                if deletes:
+                    record["delete_files"] = deletes
                 if txn is not None:
                     record["txn"] = txn
                 json.dump(record, fh)
@@ -230,18 +241,63 @@ class VersionedStore:
             raise ValueError(f"no snapshot at version {version!r}")
         schema = self.table_schema(version)
         if schema is None:
-            return self.spark.read.parquet(*files)
-        # mergeSchema unions the file schemas; projecting the manifest
-        # schema pins column ORDER and surfaces evolved columns as NULL
-        # on files written before the evolution.
-        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
-        have = set(df.columns)
-        cols = [
-            F.col(f.name) if f.name in have
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in schema.fields
-        ]
-        return df.select(*cols)
+            df = self.spark.read.parquet(*files)
+        else:
+            # mergeSchema unions the file schemas; projecting the manifest
+            # schema pins column ORDER and surfaces evolved columns as NULL
+            # on files written before the evolution.
+            df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+            have = set(df.columns)
+            cols = [
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+            df = df.select(*cols)
+        return self._apply_deletes(df, version)
+
+    def _apply_deletes(self, df: DataFrame, version: int | None) -> DataFrame:
+        """Merge-on-read: anti-join the snapshot's equality tombstones
+        (per key column) onto the base read.  No tombstones → no-op."""
+        v = self.latest_version() if version is None else version
+        dels = self._manifest(v).get("delete_files", []) if v >= 0 else []
+        if not dels:
+            return df
+        by_key: dict[str, list[str]] = {}
+        for d in dels:
+            by_key.setdefault(d["key"], []).append(
+                os.path.join(self.data_dir, d["file"])
+            )
+        for key, paths in sorted(by_key.items()):
+            keys = self.spark.read.parquet(*paths).select(key).distinct()
+            df = df.join(keys, key, "left_anti")
+        return df
+
+    def delete_keys_where(self, predicate, key: str) -> int:
+        """MERGE-ON-READ delete: record the matching keys as an equality
+        tombstone file instead of rewriting data (Iceberg v2 equality
+        deletes; the complement to ``delete_where``'s copy-on-write).
+
+        Cost is O(matching keys) — one small parquet write and a
+        manifest commit; no data file is touched.  Readers anti-join the
+        tombstones until ``compact()`` materializes them.  The trade:
+        every read of every retained-and-later version pays the
+        anti-join until compaction, and the tombstone is GLOBAL by key —
+        a row appended later with a tombstoned key stays hidden until a
+        compaction clears the tombstones (documented semantic, simpler
+        than Iceberg's sequence-number scoping; re-inserting a deleted
+        key means compacting first).
+        """
+        keys = self.read().where(predicate).select(key).distinct()
+        staged = self._stage_files(keys, "dkeys")
+        new_entries = [{"file": f, "key": key} for f in staged]
+
+        def compute_deletes(pm: dict) -> list:
+            return pm.get("delete_files", []) + new_entries
+
+        return self._commit(
+            lambda prev: prev, "delete_keys", compute_deletes=compute_deletes
+        )
 
     def delete_where(self, predicate) -> int:
         """Copy-on-write delete: rewrite ONLY the files that contain
@@ -354,7 +410,9 @@ class VersionedStore:
                 raise CommitConflict("table changed under compact; rerun")
             return new
 
-        return self._commit(compute, "compact")
+        # the rewrite read through read() → tombstones are MATERIALIZED
+        # in the new files; clear them from the child manifest
+        return self._commit(compute, "compact", compute_deletes=lambda pm: [])
 
     def rollback(self, to_version: int) -> int:
         """Restore an earlier snapshot as the NEW head (history preserved
@@ -375,21 +433,40 @@ class VersionedStore:
         files are read and anti-joined.  At production scale this is why
         the feed is cheap: an append's feed reads ONLY the new files.
         """
-        old = set(self._manifest(from_version)["files"])
-        new = set(self._manifest(to_version)["files"])
+        m_old, m_new = self._manifest(from_version), self._manifest(to_version)
+        if m_old.get("delete_files", []) != m_new.get("delete_files", []):
+            # Equality tombstones change row membership WITHOUT changing
+            # the file list, so the cheap file-level diff is blind to
+            # them — fall back to the logical diff through read() (which
+            # applies tombstones on both sides).
+            a, r = self.read(to_version), self.read(from_version)
+            ins = a.exceptAll(r).withColumn("_change", F.lit("insert"))
+            dels = r.exceptAll(a).withColumn("_change", F.lit("delete"))
+            return ins.union(dels)
+        old = set(m_old["files"])
+        new = set(m_new["files"])
         added = [os.path.join(self.data_dir, f) for f in sorted(new - old)]
         removed = [os.path.join(self.data_dir, f) for f in sorted(old - new)]
         empty = None
+        # Tombstones (identical on both sides here) still gate row
+        # VISIBILITY: a tombstoned row inside an added/removed file was
+        # never visible in either snapshot, so it must not appear in
+        # the feed.
+        gate = lambda df: self._apply_deletes(df, to_version)  # noqa: E731
         if added and removed:
-            a = self.spark.read.parquet(*added)
-            r = self.spark.read.parquet(*removed)
+            a = gate(self.spark.read.parquet(*added))
+            r = gate(self.spark.read.parquet(*removed))
             ins = a.exceptAll(r).withColumn("_change", F.lit("insert"))
             dels = r.exceptAll(a).withColumn("_change", F.lit("delete"))
             return ins.union(dels)
         if added:
-            return self.spark.read.parquet(*added).withColumn("_change", F.lit("insert"))
+            return gate(self.spark.read.parquet(*added)).withColumn(
+                "_change", F.lit("insert")
+            )
         if removed:
-            return self.spark.read.parquet(*removed).withColumn("_change", F.lit("delete"))
+            return gate(self.spark.read.parquet(*removed)).withColumn(
+                "_change", F.lit("delete")
+            )
         return empty  # no structural change
 
     def sink(self, stream_df: DataFrame, checkpoint: str):
@@ -474,7 +551,9 @@ class VersionedStore:
         keep = {v for v in range(max(0, head - keep_last + 1), head + 1)} & existing
         referenced: set[str] = set()
         for v in keep:
-            referenced |= set(self._manifest(v)["files"])
+            m = self._manifest(v)
+            referenced |= set(m["files"])
+            referenced |= {d["file"] for d in m.get("delete_files", [])}
         now = time.time()
         removed = []
         for f in os.listdir(self.data_dir):

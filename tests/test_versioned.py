@@ -523,3 +523,72 @@ def test_schema_evolution_survives_merge_and_compact(spark, tmp_path):
     assert got == [(1, "a", None), (2, "B", 2.5), (3, "c", 1.5)]
     # rows with NULL in the evolved column still filter correctly
     assert store.read().where(F.col("score").isNull()).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read (equality tombstone) deletes
+# ---------------------------------------------------------------------------
+
+
+def _mor_store(spark, tmp_path, name):
+    from event_streaming_spark.sources.versioned import VersionedStore
+
+    store = VersionedStore(spark, str(tmp_path / name))
+    store.append(
+        spark.range(100).select(F.col("id"), (F.col("id") % 10).alias("grp"))
+    )
+    return store
+
+
+def test_lazy_delete_hides_without_rewriting(spark, tmp_path):
+    store = _mor_store(spark, tmp_path, "mor1")
+    files_before = set(store.files())
+    v = store.delete_keys_where("grp = 3", key="id")
+    # no data file rewritten — the commit is metadata + one tombstone file
+    assert set(store.files(v)) == files_before
+    assert store.read().count() == 90
+    assert store.read().where(F.col("grp") == 3).count() == 0
+    # time travel: the pre-delete snapshot still shows everything
+    assert store.read(v - 1).count() == 100
+
+
+def test_lazy_delete_survives_append_and_global_tombstone_semantics(spark, tmp_path):
+    store = _mor_store(spark, tmp_path, "mor2")
+    store.delete_keys_where("id < 10", key="id")
+    # appended rows with a tombstoned key stay hidden (documented)
+    store.append(spark.range(5).select(F.col("id"), F.lit(99).cast("long").alias("grp")))
+    assert store.read().count() == 90
+    # compact materializes: tombstones cleared, counts unchanged
+    store.compact()
+    head = store.latest_version()
+    assert store._manifest(head).get("delete_files", []) == []
+    assert store.read().count() == 90
+    # after compaction the key is insertable again
+    store.append(spark.range(5).select(F.col("id"), F.lit(7).cast("long").alias("grp")))
+    assert store.read().count() == 95
+
+
+def test_lazy_delete_change_feed_and_vacuum(spark, tmp_path):
+    import time
+
+    store = _mor_store(spark, tmp_path, "mor3")
+    v0 = store.latest_version()
+    v1 = store.delete_keys_where("id >= 90", key="id")
+    feed = store.table_changes(v0, v1)
+    rows = feed.collect()
+    assert all(r["_change"] == "delete" for r in rows)
+    assert sorted(r["id"] for r in rows) == list(range(90, 100))
+    # vacuum must NOT remove the tombstone file while referenced
+    store.vacuum(keep_last=2, min_age_s=0)
+    assert store.read().count() == 90
+    # append twice so the tombstone-bearing manifests age out entirely,
+    # then compact (clears tombstones) and vacuum again
+    store.compact()
+    store.append(
+        spark.range(1).select(
+            (F.col("id") + 1000).alias("id"), F.lit(0).cast("long").alias("grp")
+        )
+    )
+    time.sleep(0.01)
+    store.vacuum(keep_last=2, min_age_s=0)
+    assert store.read().count() == 91
