@@ -592,3 +592,25 @@ def test_lazy_delete_change_feed_and_vacuum(spark, tmp_path):
     time.sleep(0.01)
     store.vacuum(keep_last=2, min_age_s=0)
     assert store.read().count() == 91
+
+
+def test_lazy_delete_composes_with_schema_evolution(spark, tmp_path):
+    from event_streaming_spark.sources.versioned import VersionedStore
+
+    store = VersionedStore(spark, str(tmp_path / "mor4"))
+    store.append(spark.range(20).select(F.col("id")))
+    store.append(
+        spark.range(20, 30).select(F.col("id"), F.lit(1.5).alias("w")),
+        merge_schema=True,
+    )
+    store.delete_keys_where("id % 2 = 0", key="id")
+    head = store.read()
+    # evolved schema survives the tombstone anti-join, rows halve
+    assert head.columns == ["id", "w"]
+    assert head.count() == 15
+    assert head.where(F.col("id") % 2 == 0).count() == 0
+    # old columns NULL-backfilled rows are tombstoned like any other
+    assert head.where(F.col("w").isNull()).count() == 10
+    store.compact()
+    assert store.read().count() == 15
+    assert store.read().columns == ["id", "w"]
