@@ -174,3 +174,45 @@ class IncrementalZoneMap:
             df = spark.read.parquet(*keep)
         c = F.col(self.col)
         return df.where((c >= lo) & (c <= hi)), len(keep), len(files)
+
+
+def zone_map_multi(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """Per-file zone manifest with min/max for SEVERAL columns:
+    ``(file, <c>_min, <c>_max ..., n_rows)`` — the multi-dimensional
+    form that pairs with a Z-order layout (operators/layout.py): one
+    interleaved sort key makes EVERY interleaved dimension's per-file
+    envelope tight, so a box predicate prunes on all of them at once."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("file"), *cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def pruned_read_multi(
+    spark: SparkSession,
+    path: str,
+    zm: DataFrame,
+    box: dict,
+) -> tuple[DataFrame, int, int]:
+    """Read only files whose zones intersect EVERY ``col: (lo, hi)`` in
+    ``box`` — conjunctive file skipping — then re-apply the residual
+    box filter.  Returns ``(df, files_read, files_total)``."""
+    zones = zm.collect()
+    keep = []
+    for r in zones:
+        ok = all(r[f"{c}_max"] >= lo and r[f"{c}_min"] <= hi for c, (lo, hi) in box.items())
+        if ok:
+            keep.append(r["file"])
+    if not keep:
+        df = spark.read.parquet(path).where(F.lit(False))
+    else:
+        df = spark.read.option("basePath", path).parquet(*keep)
+    for c, (lo, hi) in box.items():
+        df = df.where((F.col(c) >= lo) & (F.col(c) <= hi))
+    return df, len(keep), len(zones)

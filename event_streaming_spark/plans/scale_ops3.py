@@ -33,6 +33,7 @@ trainer (iterative argmax — see its header).
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pandas as pd
@@ -1085,6 +1086,69 @@ def events_zonemap_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFra
     zm.refresh()  # stats for the first 8 files
     store.append(other.repartitionByRange(8, F.col("user_id")))
     pruned, _read, _total = zm.pruned_read(lo, hi)  # refreshes ONLY the new 8
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D data skipping: Z-order layout + MULTI-column zone maps.  A box
+# predicate (user range × day range) prunes files on BOTH dimensions at
+# once — the payoff of the interleaved sort key: sorting by user alone
+# would give useless day zones, and vice versa.  Oracle is the plain
+# box filter; the layout/stats/pruning stack must be invisible.
+# ---------------------------------------------------------------------------
+
+_Z2_FILES = 16
+_Z2_DAY_LO, _Z2_DAY_HI = 7, 13  # second calendar week of the fixed 30-day span
+
+_Z2_ORACLE = f"""
+WITH b AS (
+  SELECT (max(user_id) * 10) // 100 AS lo, (max(user_id) * 25) // 100 AS hi
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events, b
+WHERE user_id BETWEEN b.lo AND b.hi
+  AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      BETWEEN {_Z2_DAY_LO} AND {_Z2_DAY_HI}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_zorder_2d_pruned_scan",
+    _Z2_ORACLE,
+    tags=("storage", "layout", "zorder", "scale"),
+)
+def events_zorder_2d_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.layout import cluster_by_zorder
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("day"),
+        "event_type",
+        "value",
+    )
+    mx = ev.agg(F.max("user_id")).first()[0]
+    lo, hi = (mx * 10) // 100, (mx * 25) // 100
+    root = tempfile.mkdtemp(prefix="est-z2-q-")
+    path = os.path.join(root, "z2")
+    cluster_by_zorder(ev, ["user_id", "day"], num_files=_Z2_FILES).write.parquet(path)
+    zm = Z.zone_map_multi(spark, path, ["user_id", "day"])
+    pruned, _read, _total = Z.pruned_read_multi(
+        spark, path, zm, {"user_id": (lo, hi), "day": (_Z2_DAY_LO, _Z2_DAY_HI)}
+    )
     return (
         pruned.groupBy("event_type")
         .agg(

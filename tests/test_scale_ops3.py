@@ -433,3 +433,32 @@ def test_compression_ratio_quality_signal(spark):
         for r in with_compression_ratio(df.repartition(5), "text").collect()
     }
     assert re_run == got
+
+
+def test_zorder_2d_zone_maps_prune_on_both_dimensions(spark, tmp_path):
+    """Z-order layout makes BOTH interleaved dimensions' zones tight;
+    a box predicate must skip files, and so must each 1-D slab."""
+    from event_streaming_spark.operators.layout import cluster_by_zorder
+    from event_streaming_spark.operators.zonemap import (
+        pruned_read_multi,
+        zone_map_multi,
+    )
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    path = str(tmp_path / "z2")
+    cluster_by_zorder(df, ["x", "y"], num_files=16).write.parquet(path)
+    zm = zone_map_multi(spark, path, ["x", "y"])
+    box, n_box, total = pruned_read_multi(
+        spark, path, zm, {"x": (0, 15), "y": (0, 15)}
+    )
+    assert total == 16 and n_box < total
+    assert box.count() == 16 * 16
+    # each 1-D slab also prunes — the whole point of interleaving
+    _, n_x, _ = pruned_read_multi(spark, path, zm, {"x": (0, 7)})
+    _, n_y, _ = pruned_read_multi(spark, path, zm, {"y": (0, 7)})
+    assert n_x < total and n_y < total
+    # correctness on the slabs too
+    sx, _, _ = pruned_read_multi(spark, path, zm, {"x": (0, 7)})
+    assert sx.count() == df.where(F.col("x") <= 7).count()
