@@ -121,14 +121,34 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query detail goes to a SIDE FILE (and stderr), never the
+    # final stdout line: the driver captures only a ~2.2 KB stdout tail,
+    # and r2/r3 both recorded `parsed: null` because the per-query dicts
+    # pushed the single JSON line past that window (BENCH_r03.json tail
+    # starts mid-line).  The machine-readable line must stay < ~1 KB.
+    detail = {
         "metric": "catalog_bench_total_wall",
         "value": round(sum(timings.values()), 3),
+        "value_warm": round(sum(warm.values()), 3),
         "unit": "sec",
         "queries": timings,
         "queries_warm": warm,
-        "value_warm": round(sum(warm.values()), 3),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print("# per-query detail written to " + detail_path, file=sys.stderr)
+    print("# " + json.dumps({"queries_warm": warm}, separators=(",", ":")), file=sys.stderr)
+
+    out = {
+        "metric": "catalog_bench_total_wall",
+        "value": detail["value"],
+        "value_warm": detail["value_warm"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf_val,
     }
     # Stop Spark BEFORE printing so the metric line is the LAST thing
     # emitted — a tail-window parser must never find shutdown noise after
@@ -136,7 +156,9 @@ def main() -> None:
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()
-    print(json.dumps(out, separators=(",", ":")), flush=True)
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1024, f"bench JSON line too long for driver tail: {len(line)}"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,7 @@ from event_streaming_spark.plans import scale_ops  # noqa: F401,E402
 from event_streaming_spark.plans import scale_ops2  # noqa: F401,E402
 from event_streaming_spark.plans import storage_queries  # noqa: F401,E402
 from event_streaming_spark.plans import scale_ops3  # noqa: F401,E402
+from event_streaming_spark.plans import streaming_queries  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
@@ -38,31 +39,26 @@ from event_streaming_spark.plans import scale_ops3  # noqa: F401,E402
 # coverage-priority order after the prefix.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # TPC-H analogue sweep — one slot each, numeric order.
+    # TPC-H analogue sweep.  r4 rotation (VERDICT r3 "Next round" #2): eight
+    # of the analogues (q2/q7/q11/q16/q17/q19/q20/q22 — ALL driver-green in
+    # CORRECTNESS_r03.json and still judge-verified by the full-catalog
+    # oracle run each round) rotate just past the window to make room for
+    # the r3 tranche-2 flagships that have never had a driver row.
     "q1_pricing_summary",
-    "q2_min_cost_supplier_per_part",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q7_nation_pair_volume",
     "q8_national_market_share",
     "q9_product_type_profit",
     "q10_returned_item_customers",
-    "q11_important_stock_value",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
     "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q20_promotion_part_suppliers",
     "q21_suppliers_kept_waiting",
-    "q22_above_avg_inactive_customers",
     # LLM-data-pipeline flagships (dedup / similarity / curation / text).
     "dedup_exact_sha256",
     "minhash_lsh_near_dup_pairs",
     "simhash_near_dup_histogram",
     "dedup_near_dup_clusters",
-    "ngram_jaccard_same_source_pairs",
     "emb_cosine_topk_bruteforce",
     "emb_ivf_two_stage_ann",
     "emb_lsh_recall_audit",
@@ -111,7 +107,34 @@ _PRIORITY = [
     # oracle run — keeping the window at 50.
     "docs_prefix_filter_jaccard_join",
     "events_zonemap_pruned_scan",
+    # Round-4 rotation: the r3 tranche-2 flagships (theta sketches,
+    # triangle counting, incremental zone maps, 2-D Z-order skipping,
+    # versioned refresh streams, leakage matrix, exact-k sampling,
+    # hard-negative mining) enter the graded window for their first
+    # driver row (VERDICT r3 "Next round" #2).
+    "sketch_theta_overlap_daily",
+    "graph_triangle_count_near_dup",
+    "events_zonemap_incremental_scan",
+    "events_zorder_2d_pruned_scan",
+    "tpch_refresh_streams_versioned",
+    "dedup_cross_source_leakage_matrix",
+    "sample_exact_k_per_lang",
+    "emb_hard_negative_mining",
+    # Round-4 addition: the streaming publish→log→window→drain pipeline as
+    # an oracle-paired query (VERDICT r3 "Next round" #3) — stream ≡ batch
+    # under the driver's value-hash, displacing ngram_jaccard (driver-green
+    # r3; the near-dup family keeps 5 other in-window rows).
+    "streaming_drain_equals_batch",
     # --- past the grading window ---
+    "ngram_jaccard_same_source_pairs",
+    "q2_min_cost_supplier_per_part",
+    "q7_nation_pair_volume",
+    "q11_important_stock_value",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_promotion_part_suppliers",
+    "q22_above_avg_inactive_customers",
     "q4_order_priority_late_ship",
     "q12_priority_by_ship_year",
     "q13_customer_order_distribution",
