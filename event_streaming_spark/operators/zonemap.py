@@ -75,7 +75,14 @@ def pruned_read(
     O(#files) driver work; the data read touches surviving files only.
     """
     zones = zm.select("file", "zmin", "zmax").collect()
-    keep = [r["file"] for r in zones if r["zmax"] >= lo and r["zmin"] <= hi]
+    # A file whose skip column is entirely NULL has NULL zmin/zmax; its
+    # rows can never satisfy the residual range filter, so dropping the
+    # file is semantically exact (and comparing None would TypeError).
+    keep = [
+        r["file"]
+        for r in zones
+        if r["zmin"] is not None and r["zmax"] >= lo and r["zmin"] <= hi
+    ]
     if not keep:
         # Empty selection: preserve schema via an always-false filter on
         # one file's footer schema (no data read — parquet skips row
@@ -130,8 +137,12 @@ class IncrementalZoneMap:
         if not missing:
             return 0
         spark = self.store.spark
+        # mergeSchema: under schema evolution some files may predate the
+        # skip column entirely; they surface as all-NULL → (None, None)
+        # zones, which pruned_read treats as prunable (their rows could
+        # never pass the residual filter).
         rows = (
-            spark.read.parquet(*missing)
+            spark.read.option("mergeSchema", "true").parquet(*missing)
             .select(
                 F.col("_metadata.file_path").alias("file"),
                 F.col(self.col).alias("v"),
@@ -157,7 +168,13 @@ class IncrementalZoneMap:
 
     def pruned_read(self, lo, hi, version: int | None = None):
         """``(df, files_read, files_total)`` for the snapshot, reading
-        only files whose zone intersects [lo, hi]."""
+        only files whose zone intersects [lo, hi].
+
+        The kept-file read goes through ``store.read_files`` — the same
+        manifest-schema projection and equality-tombstone anti-join as a
+        full ``store.read`` — so pruning composes with merge-on-read
+        deletes and schema evolution instead of bypassing them (a raw
+        ``spark.read.parquet(*keep)`` would resurrect tombstoned rows)."""
         self.refresh(version)
         files = self.store.files(version)
         keep = [
@@ -167,11 +184,7 @@ class IncrementalZoneMap:
             and self._zones[f][1] >= lo
             and self._zones[f][0] <= hi
         ]
-        spark = self.store.spark
-        if not keep:
-            df = self.store.read(version).where(F.lit(False))
-        else:
-            df = spark.read.parquet(*keep)
+        df = self.store.read_files(keep, version)
         c = F.col(self.col)
         return df.where((c >= lo) & (c <= hi)), len(keep), len(files)
 
@@ -206,7 +219,14 @@ def pruned_read_multi(
     zones = zm.collect()
     keep = []
     for r in zones:
-        ok = all(r[f"{c}_max"] >= lo and r[f"{c}_min"] <= hi for c, (lo, hi) in box.items())
+        # NULL min/max (all-NULL column in that file) → rows can't pass
+        # the residual box filter on that dimension; skip the file.
+        ok = all(
+            r[f"{c}_min"] is not None
+            and r[f"{c}_max"] >= lo
+            and r[f"{c}_min"] <= hi
+            for c, (lo, hi) in box.items()
+        )
         if ok:
             keep.append(r["file"])
     if not keep:

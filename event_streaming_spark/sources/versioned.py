@@ -256,6 +256,34 @@ class VersionedStore:
             df = df.select(*cols)
         return self._apply_deletes(df, version)
 
+    def read_files(self, files: list[str], version: int | None = None) -> DataFrame:
+        """Snapshot-consistent read of a SUBSET of a version's data files
+        (the contract data-skipping layers need: prune the file list, but
+        keep the snapshot semantics).  Applies the same manifest-schema
+        projection and equality-tombstone anti-join as :meth:`read`, so a
+        pruned scan can never resurrect deleted rows or see a
+        pre-evolution schema.  ``files`` must belong to ``version``."""
+        v = self.latest_version() if version is None else version
+        allowed = set(self.files(v))
+        stray = [f for f in files if f not in allowed]
+        if stray:
+            raise ValueError(f"files not in snapshot v{v}: {stray[:3]}")
+        if not files:
+            return self.read(v).where(F.lit(False))
+        schema = self.table_schema(v)
+        if schema is None:
+            df = self.spark.read.parquet(*files)
+        else:
+            df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+            have = set(df.columns)
+            cols = [
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+            df = df.select(*cols)
+        return self._apply_deletes(df, v)
+
     def _apply_deletes(self, df: DataFrame, version: int | None) -> DataFrame:
         """Merge-on-read: anti-join the snapshot's equality tombstones
         (per key column) onto the base read.  No tombstones → no-op."""
@@ -398,7 +426,9 @@ class VersionedStore:
         coalesce (default) just fixes the small-files problem."""
         base = self.latest_version()
         df = self.read(base)
-        old = set(self._manifest(base)["files"])
+        base_manifest = self._manifest(base)
+        old = set(base_manifest["files"])
+        observed_deletes = base_manifest.get("delete_files", [])
         if sort_by is not None:
             laid_out = df.repartitionByRange(target_files, F.col(sort_by))
         else:
@@ -410,9 +440,19 @@ class VersionedStore:
                 raise CommitConflict("table changed under compact; rerun")
             return new
 
-        # the rewrite read through read() → tombstones are MATERIALIZED
-        # in the new files; clear them from the child manifest
-        return self._commit(compute, "compact", compute_deletes=lambda pm: [])
+        # The rewrite read through read() → the tombstones OBSERVED at
+        # read time are MATERIALIZED in the new files; clear them from the
+        # child manifest.  But a concurrent delete_keys_where changes
+        # delete_files WITHOUT changing the file list, so the file-set
+        # conflict check above is blind to it — accepting such a parent
+        # would wipe tombstones the rewrite never saw and resurrect their
+        # rows.  Conflict on any tombstone drift instead.
+        def compute_deletes(pm: dict) -> list:
+            if pm.get("delete_files", []) != observed_deletes:
+                raise CommitConflict("tombstones changed under compact; rerun")
+            return []
+
+        return self._commit(compute, "compact", compute_deletes=compute_deletes)
 
     def rollback(self, to_version: int) -> int:
         """Restore an earlier snapshot as the NEW head (history preserved

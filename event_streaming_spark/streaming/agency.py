@@ -195,11 +195,15 @@ class TopicContext:
         return 0
 
     # -- O2 consume -------------------------------------------------------------
-    def stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
+    def stream(
+        self, max_files_per_trigger: int | None = None, session: SparkSession | None = None
+    ) -> DataFrame:
         """The topic as an unbounded DataFrame.
 
         max_files_per_trigger bounds each micro-batch (backpressure for
-        catch-up reads over a deep log)."""
+        catch-up reads over a deep log).  ``session`` lets a caller plan
+        the stream on a specific (e.g. per-query-conf cloned) session."""
+        spark = session or self.agency.spark
         os.makedirs(self.log_dir, exist_ok=True)
         if self.agency.backend == "kafka":
             from event_streaming_spark.streaming.kafka_contract import (
@@ -208,7 +212,7 @@ class TopicContext:
             )
 
             try:
-                reader = self.agency.spark.readStream.format("kafka")
+                reader = spark.readStream.format("kafka")
                 for k, v in kafka_source_options(self.broker, self.topic).items():
                     reader = reader.option(k, v)
                 raw = reader.load()
@@ -219,7 +223,7 @@ class TopicContext:
                     "use backend='file' for a self-contained durable log"
                 ) from e
             return from_kafka_envelope(raw, self.schema)
-        reader = self.agency.spark.readStream.schema(self.schema)
+        reader = spark.readStream.schema(self.schema)
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
         if self.agency.log_format == "parquet":
@@ -256,36 +260,40 @@ class TopicContext:
         """
         self.stop()
         self.notify_data = notify_data
-        conf = self.agency.spark.conf
-        prev_shuffle = conf.get("spark.sql.shuffle.partitions")
+        session = self.agency.spark
         if state_partitions is not None:
-            conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        try:
-            df = self.stream(max_files_per_trigger=max_files_per_trigger)
-            if transform is not None:
-                df = transform(df)
+            # Scope the shuffle-partition override to THIS query by
+            # planning it on a session CLONE (shared SparkContext +
+            # cached data, isolated SQLConf) instead of toggling the
+            # shared session's conf — a concurrent consumer or batch job
+            # planned during the old set/restore window could capture the
+            # temporary value, and two concurrent consumes could restore
+            # each other's override out of order.  The conf is captured
+            # into the query's IncrementalExecution at start() and the
+            # state partitioning is pinned by the checkpoint thereafter.
+            from event_streaming_spark.session import tune_session
 
-            def _batch(batch_df: DataFrame, batch_id: int) -> None:
-                on_notify(self, batch_df, batch_id)
+            session = tune_session(self.agency.spark.newSession())
+            session.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        df = self.stream(max_files_per_trigger=max_files_per_trigger, session=session)
+        if transform is not None:
+            df = transform(df)
 
-            writer = (
-                df.writeStream.foreachBatch(_batch)
-                .outputMode(output_mode)  # "update" lets windowed aggs emit pre-watermark
-                .option("checkpointLocation", self.checkpoint_dir)
-                .queryName(f"{self.broker}/{self.topic}")
-            )
-            writer = writer.trigger(availableNow=True) if once else writer.trigger(
-                processingTime="1 second"
-            )
-            # The conf is captured into the query's IncrementalExecution at
-            # start(); restoring it afterwards cannot re-shape a running
-            # stream (state partitioning is pinned by the checkpoint).
-            self._query = writer.start()
-            if once:
-                self._query.awaitTermination()
-        finally:
-            if state_partitions is not None:
-                conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        def _batch(batch_df: DataFrame, batch_id: int) -> None:
+            on_notify(self, batch_df, batch_id)
+
+        writer = (
+            df.writeStream.foreachBatch(_batch)
+            .outputMode(output_mode)  # "update" lets windowed aggs emit pre-watermark
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(f"{self.broker}/{self.topic}")
+        )
+        writer = writer.trigger(availableNow=True) if once else writer.trigger(
+            processingTime="1 second"
+        )
+        self._query = writer.start()
+        if once:
+            self._query.awaitTermination()
         return self._query
 
     def stop(self) -> None:

@@ -614,3 +614,146 @@ def test_lazy_delete_composes_with_schema_evolution(spark, tmp_path):
     store.compact()
     assert store.read().count() == 15
     assert store.read().columns == ["id", "w"]
+
+
+# ---------------------------------------------------------------------------
+# r4 ADVICE regressions: compact vs concurrent tombstones; pruned reads
+# that must respect tombstones + manifest schema.
+# ---------------------------------------------------------------------------
+
+
+def test_compact_conflicts_on_concurrent_tombstone_commit(spark, tmp_path):
+    """A delete_keys_where that commits between compact's read and its
+    manifest publish changes delete_files WITHOUT changing the file list;
+    compact must refuse (CommitConflict), not wipe the unseen tombstones
+    (which would silently resurrect the deleted rows)."""
+    store = VersionedStore(spark, str(tmp_path / "race"))
+    store.append(spark.range(100).select(F.col("id")))
+
+    orig_stage = store._stage_files
+    raced = {"done": False}
+
+    def racy_stage(df, tag):
+        out = orig_stage(df, tag)
+        if tag == "compact" and not raced["done"]:
+            raced["done"] = True
+            # concurrent writer lands an equality tombstone AFTER compact
+            # read its snapshot but BEFORE compact commits
+            store._stage_files = orig_stage
+            store.delete_keys_where("id < 10", key="id")
+            store._stage_files = racy_stage
+        return out
+
+    store._stage_files = racy_stage
+    with pytest.raises(CommitConflict):
+        store.compact()
+    store._stage_files = orig_stage
+    # the tombstones survived: deleted rows stay invisible
+    assert store.read().count() == 90
+    # rerun on the new head succeeds and materializes them
+    store.compact()
+    head = store.latest_version()
+    assert store._manifest(head).get("delete_files", []) == []
+    assert store.read().count() == 90
+
+
+def test_incremental_zonemap_pruned_read_respects_tombstones(spark, tmp_path):
+    from event_streaming_spark.operators.zonemap import IncrementalZoneMap
+
+    store = VersionedStore(spark, str(tmp_path / "zmor"))
+    # clustered appends so zones are selective
+    store.append(spark.range(0, 50).select(F.col("id")))
+    store.append(spark.range(50, 100).select(F.col("id")))
+    zm = IncrementalZoneMap(store, "id")
+    zm.refresh()
+    store.delete_keys_where("id >= 20 AND id < 30", key="id")
+    df, n_read, n_total = zm.pruned_read(0, 49)
+    assert n_read < n_total  # still prunes the [50,100) file(s)
+    got = sorted(r["id"] for r in df.collect())
+    assert got == [i for i in range(50) if not (20 <= i < 30)]
+    # time travel: the pre-delete snapshot still shows everything
+    df0, _, _ = zm.pruned_read(0, 49, version=1)
+    assert df0.count() == 50
+
+
+def test_incremental_zonemap_pruned_read_projects_manifest_schema(spark, tmp_path):
+    from event_streaming_spark.operators.zonemap import IncrementalZoneMap
+
+    store = VersionedStore(spark, str(tmp_path / "zevo"))
+    store.append(spark.range(0, 50).select(F.col("id")))
+    store.append(
+        spark.range(50, 100).select(F.col("id"), F.lit(1.5).alias("w")),
+        merge_schema=True,
+    )
+    zm = IncrementalZoneMap(store, "id")
+    df, n_read, n_total = zm.pruned_read(0, 10)
+    # pre-evolution files surface the evolved column as NULL — the pruned
+    # read must carry the manifest schema, not the raw file footer schema
+    assert df.columns == ["id", "w"]
+    assert df.count() == 11
+    assert df.where(F.col("w").isNull()).count() == 11
+
+
+def test_read_files_rejects_stray_paths(spark, tmp_path):
+    store = VersionedStore(spark, str(tmp_path / "stray"))
+    store.append(spark.range(10).select(F.col("id")))
+    with pytest.raises(ValueError, match="not in snapshot"):
+        store.read_files(["/nonexistent/file.parquet"])
+
+
+def test_module_zonemap_null_only_file_is_pruned_not_crash(spark, tmp_path):
+    from event_streaming_spark.operators import zonemap as Z
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "nulls")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    spark.createDataFrame([(i, i) for i in range(20)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame([(100 + i, None) for i in range(5)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    zm = Z.zone_map(spark, path, "v")
+    df, n_read, n_total = Z.pruned_read(spark, path, zm, "v", 5, 10)
+    assert n_total == 2 and n_read == 1  # the all-NULL file is skipped
+    assert df.count() == 6
+    mzm = Z.zone_map_multi(spark, path, ["k", "v"])
+    df2, n_read2, _ = Z.pruned_read_multi(spark, path, mzm, {"k": (0, 50), "v": (5, 10)})
+    assert n_read2 == 1 and df2.count() == 6
+
+
+def test_consume_state_partitions_does_not_touch_shared_conf(spark, tmp_path):
+    """state_partitions must scope to the consumer's own cloned session;
+    the shared session's shuffle conf stays untouched even DURING the
+    drain (a concurrently-planned query must never capture it)."""
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    agency = EventsAgency(spark, root=str(tmp_path / "agency"))
+    ctx = agency._get_or_create(None, "conf-scope")
+    ctx.publish(
+        [
+            {"event_id": i, "ts": "2024-01-01T00:00:00", "user_id": i,
+             "event_type": "view", "value": 1.0, "props": "{}"}
+            for i in range(4)
+        ]
+    )
+    seen: list[str] = []
+
+    def on_notify(c, df, bid):
+        # the SHARED session's conf, observed mid-drain
+        seen.append(spark.conf.get("spark.sql.shuffle.partitions"))
+        df.count()
+
+    ctx.consume(
+        on_notify,
+        once=True,
+        transform=lambda df: df.groupBy("event_type").count(),
+        output_mode="update",
+        state_partitions=3,
+    )
+    agency.close(remove_logs=True)
+    assert seen and all(s == before for s in seen)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
