@@ -124,10 +124,16 @@ class IncrementalZoneMap:
     is keyed by immutable file, not by version.
     """
 
-    def __init__(self, store, col: str) -> None:
+    def __init__(self, store, col: str | None = None, cols: list[str] | None = None) -> None:
+        if cols is None:
+            if col is None:
+                raise ValueError("pass col or cols")
+            cols = [col]
         self.store = store
-        self.col = col
-        self._zones: dict[str, tuple] = {}  # file -> (zmin, zmax, n_rows)
+        self.cols = list(cols)
+        self.col = self.cols[0]
+        # file -> {col: (zmin, zmax)} for every tracked col (+ "__n" rows)
+        self._zones: dict[str, dict] = {}
 
     def refresh(self, version: int | None = None) -> int:
         """Compute zones for files of ``version`` (default head) not yet
@@ -137,22 +143,19 @@ class IncrementalZoneMap:
         if not missing:
             return 0
         spark = self.store.spark
+        aggs = []
+        for c in self.cols:
+            aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+        aggs.append(F.count(F.lit(1)).alias("__n"))
         # mergeSchema: under schema evolution some files may predate the
         # skip column entirely; they surface as all-NULL → (None, None)
         # zones, which pruned_read treats as prunable (their rows could
         # never pass the residual filter).
         rows = (
             spark.read.option("mergeSchema", "true").parquet(*missing)
-            .select(
-                F.col("_metadata.file_path").alias("file"),
-                F.col(self.col).alias("v"),
-            )
+            .select(F.col("_metadata.file_path").alias("file"), *self.cols)
             .groupBy("file")
-            .agg(
-                F.min("v").alias("zmin"),
-                F.max("v").alias("zmax"),
-                F.count(F.lit(1)).alias("n_rows"),
-            )
+            .agg(*aggs)
             .collect()
         )
         # _metadata.file_path is a URI; key the cache by the same local
@@ -161,9 +164,13 @@ class IncrementalZoneMap:
         for f in missing:
             r = by_tail.get(os.path.basename(f))
             if r is not None:
-                self._zones[f] = (r["zmin"], r["zmax"], r["n_rows"])
+                self._zones[f] = {
+                    c: (r[f"{c}__min"], r[f"{c}__max"]) for c in self.cols
+                }
+                self._zones[f]["__n"] = r["__n"]
             else:  # zero-row file: parquet scan emits no group for it
-                self._zones[f] = (None, None, 0)
+                self._zones[f] = {c: (None, None) for c in self.cols}
+                self._zones[f]["__n"] = 0
         return len(missing)
 
     def pruned_read(self, lo, hi, version: int | None = None):
@@ -175,18 +182,34 @@ class IncrementalZoneMap:
         full ``store.read`` — so pruning composes with merge-on-read
         deletes and schema evolution instead of bypassing them (a raw
         ``spark.read.parquet(*keep)`` would resurrect tombstoned rows)."""
+        return self.pruned_read_box({self.col: (lo, hi)}, version=version)
+
+    def pruned_read_box(self, box: dict, version: int | None = None):
+        """Conjunctive multi-column skipping against the snapshot: keep
+        only files whose zones intersect EVERY ``col: (lo, hi)`` in
+        ``box`` (cols must be tracked by this map), then re-apply the box
+        as the residual filter.  Pairs with
+        ``VersionedStore.compact(zorder_by=...)``, whose layout makes
+        every tracked dimension's per-file envelope tight at once."""
+        untracked = [c for c in box if c not in self.cols]
+        if untracked:
+            raise ValueError(f"columns not tracked by this zone map: {untracked}")
         self.refresh(version)
         files = self.store.files(version)
         keep = [
             f
             for f in files
-            if self._zones[f][0] is not None
-            and self._zones[f][1] >= lo
-            and self._zones[f][0] <= hi
+            if all(
+                self._zones[f][c][0] is not None
+                and self._zones[f][c][1] >= lo
+                and self._zones[f][c][0] <= hi
+                for c, (lo, hi) in box.items()
+            )
         ]
         df = self.store.read_files(keep, version)
-        c = F.col(self.col)
-        return df.where((c >= lo) & (c <= hi)), len(keep), len(files)
+        for c, (lo, hi) in box.items():
+            df = df.where((F.col(c) >= lo) & (F.col(c) <= hi))
+        return df, len(keep), len(files)
 
 
 def zone_map_multi(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:

@@ -79,7 +79,6 @@ _PRIORITY = [
     "sketch_hll_distinct_cross_engine",
     "sketch_count_min_hot_users",
     "sketch_bottomk_value_quantiles",
-    "dedup_clusters_star_variant",
     "join_bloom_semi_lineitem_big_orders",
     "graph_pagerank_near_dup",
     "hier_customer_chain_depth",
@@ -125,8 +124,14 @@ _PRIORITY = [
     # under the driver's value-hash, displacing ngram_jaccard (driver-green
     # r3; the near-dup family keeps 5 other in-window rows).
     "streaming_drain_equals_batch",
+    # Round-4 addition: Z-order clustering compaction INSIDE the
+    # VersionedStore + multi-column incremental zone map box scan
+    # (VERDICT r3 "Next round" #4), displacing dedup_clusters_star_variant
+    # (driver-green r3; the CC family keeps dedup_near_dup_clusters).
+    "versioned_zorder_compact_scan",
     # --- past the grading window ---
     "ngram_jaccard_same_source_pairs",
+    "dedup_clusters_star_variant",
     "q2_min_cost_supplier_per_part",
     "q7_nation_pair_volume",
     "q11_important_stock_value",

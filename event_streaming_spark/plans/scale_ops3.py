@@ -1159,3 +1159,55 @@ def events_zorder_2d_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering COMPACTION inside the VersionedStore: interleaved
+# appends destroy any useful layout; ``compact(zorder_by=[user, day])``
+# restores 2-D skipping as part of the store's own maintenance, and the
+# multi-column IncrementalZoneMap serves a box predicate over the
+# compacted snapshot (pruning on BOTH dimensions).  Oracle is the plain
+# box filter — store, maintenance, stats and pruning must all be
+# semantically invisible.  (VERDICT r3 "Next round" #4.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "versioned_zorder_compact_scan",
+    _Z2_ORACLE,
+    tags=("storage", "layout", "zorder", "versioned", "scale"),
+)
+def versioned_zorder_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.zonemap import IncrementalZoneMap
+    from event_streaming_spark.sources.versioned import VersionedStore
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("day"),
+        "event_type",
+        "value",
+    )
+    mx = ev.agg(F.max("user_id")).first()[0]
+    lo, hi = (mx * 10) // 100, (mx * 25) // 100
+    root = tempfile.mkdtemp(prefix="est-zcompact-q-")
+    store = VersionedStore(spark, root)
+    # Interleaved appends: each carries the FULL user and day range, so
+    # every pre-compaction file's envelope is the whole plane and zone
+    # maps prune nothing — the worst-case layout maintenance must fix.
+    store.append(ev.where(F.col("user_id") % 2 == 0).repartition(4))
+    store.append(ev.where(F.col("user_id") % 2 == 1).repartition(4))
+    store.compact(target_files=_Z2_FILES, zorder_by=["user_id", "day"])
+    zm = IncrementalZoneMap(store, cols=["user_id", "day"])
+    pruned, _read, _total = zm.pruned_read_box(
+        {"user_id": (lo, hi), "day": (_Z2_DAY_LO, _Z2_DAY_HI)}
+    )
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )

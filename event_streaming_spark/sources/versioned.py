@@ -415,7 +415,13 @@ class VersionedStore:
 
         return self._commit(compute, "merge", txn=txn)
 
-    def compact(self, target_files: int = 1, sort_by: str | None = None) -> int:
+    def compact(
+        self,
+        target_files: int = 1,
+        sort_by: str | None = None,
+        zorder_by: list[str] | None = None,
+        bits_per_col: int = 16,
+    ) -> int:
         """Rewrite the head snapshot into ``target_files`` files.
 
         ``sort_by``: range-cluster the rewrite on a column, so each
@@ -423,13 +429,32 @@ class VersionedStore:
         compaction, the step that keeps zone maps
         (operators/zonemap.py::IncrementalZoneMap) selective after many
         unordered appends have interleaved the key space.  Plain
-        coalesce (default) just fixes the small-files problem."""
+        coalesce (default) just fixes the small-files problem.
+
+        ``zorder_by``: 2-D+ clustering — range-cluster on the Morton
+        (bit-interleaved) key of the listed columns (Delta/Iceberg
+        OPTIMIZE ZORDER BY), so per-file min/max envelopes are tight on
+        EVERY listed dimension at once and a box predicate skips files
+        on all of them (operators/layout.py for the key; columns must be
+        non-negative ints < 2^bits_per_col — callers clamp/scale).  One
+        range shuffle, same cost shape as sort_by."""
+        if sort_by is not None and zorder_by is not None:
+            raise ValueError("pass sort_by or zorder_by, not both")
         base = self.latest_version()
         df = self.read(base)
         base_manifest = self._manifest(base)
         old = set(base_manifest["files"])
         observed_deletes = base_manifest.get("delete_files", [])
-        if sort_by is not None:
+        if zorder_by is not None:
+            from event_streaming_spark.operators.layout import zorder_key
+
+            laid_out = (
+                df.withColumn("__zkey", zorder_key(zorder_by, bits_per_col))
+                .repartitionByRange(target_files, F.col("__zkey"))
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        elif sort_by is not None:
             laid_out = df.repartitionByRange(target_files, F.col(sort_by))
         else:
             laid_out = df.coalesce(target_files)

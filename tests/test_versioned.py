@@ -757,3 +757,48 @@ def test_consume_state_partitions_does_not_touch_shared_conf(spark, tmp_path):
     agency.close(remove_logs=True)
     assert seen and all(s == before for s in seen)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_compact_zorder_restores_2d_skipping(spark, tmp_path):
+    """Interleaved appends give every file the full 2-D envelope (no
+    pruning possible); compact(zorder_by=[x, y]) must restore box
+    skipping on BOTH dimensions, under the incremental zone map, with
+    row-identical results."""
+    from event_streaming_spark.operators.zonemap import IncrementalZoneMap
+
+    n = 4096
+    base = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 37) % 64).alias("y"),
+    )
+    store = VersionedStore(spark, str(tmp_path / "zc"))
+    store.append(base.where(F.col("id") % 2 == 0).repartition(4))
+    store.append(base.where(F.col("id") % 2 == 1).repartition(4))
+
+    zm_pre = IncrementalZoneMap(store, cols=["x", "y"])
+    box = {"x": (8, 15), "y": (8, 15)}
+    _, read_pre, total_pre = zm_pre.pruned_read_box(box)
+    assert read_pre == total_pre  # interleaved layout: nothing prunes
+
+    store.compact(target_files=16, zorder_by=["x", "y"], bits_per_col=6)
+    zm = IncrementalZoneMap(store, cols=["x", "y"])
+    df, read_post, total_post = zm.pruned_read_box(box)
+    assert total_post == 16
+    # an (1/8)^2 box over a 16-file Z-order layout must skip most files
+    assert read_post <= total_post // 2
+    expect = base.where(
+        F.col("x").between(8, 15) & F.col("y").between(8, 15)
+    )
+    assert sorted(r["id"] for r in df.collect()) == sorted(
+        r["id"] for r in expect.collect()
+    )
+    # maintenance composes with history: pre-compact snapshot intact
+    assert store.read(1).count() == n
+
+
+def test_compact_rejects_sort_and_zorder_together(spark, tmp_path):
+    store = VersionedStore(spark, str(tmp_path / "zboth"))
+    store.append(spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("x")))
+    with pytest.raises(ValueError, match="not both"):
+        store.compact(sort_by="id", zorder_by=["x"])
