@@ -11,11 +11,15 @@ The scalable plan (same skeleton for both primitives):
    whose ids follow the global order;
 2. pin the bucketed frame (``operators/materialize.py``) so the two
    consumers below see the SAME sampled bucket boundaries;
-3. one tiny aggregate per bucket (count / sum) — O(#partitions) rows,
-   bounded by cluster config, never by data — collected and prefix-summed
-   on the driver;
+3. one tiny aggregate per bucket (count / sum) — O(#buckets) rows,
+   metadata-scale, never data-scale — collected and prefix-summed on the
+   driver;
 4. a bucket-partitioned window for the local part + the bucket's offset
-   folded back in as a literal array lookup.
+   folded back in via a broadcast join on the bucket id.
+
+The bucket count is DATA-DRIVEN (``_n_buckets``): max(cores, session
+shuffle partitions, plan-size estimate at ~128 MiB/bucket, capped) — a
+fixed per-host constant would quietly under-partition at 100×.
 
 Used by ``events_user_value_deciles`` (global ntile/percent_rank) and
 ``docs_pack_into_contexts`` (global token-offset packing).
@@ -31,27 +35,67 @@ from event_streaming_spark.operators.materialize import materialize
 
 _PID = "__pid"
 
+#: Target bytes of input per range bucket when plan statistics are
+#: available — the shuffle-partition sizing rule of thumb.
+_BYTES_PER_BUCKET = 128 << 20
+#: Absolute bucket ceiling: offsets stay an O(#buckets) driver list
+#: (driver-trivial at this bound) and range-sampling cost stays sane.
+_MAX_BUCKETS = 1 << 18
+
+
+def _n_buckets(df: DataFrame) -> int:
+    """Data-driven range-bucket count.
+
+    A FIXED defaultParallelism bucket count silently under-partitions at
+    scale: at 100× the data each of 32 buckets carries 100× the rows a
+    task should hold.  Instead take the max of (a) defaultParallelism
+    (never fewer buckets than cores), (b) the session's shuffle
+    partitions (the knob operators already size to the deployment), and
+    (c) the optimizer's size estimate at ~128 MiB per bucket, capped —
+    estimates can wildly overestimate on post-join plans, and an
+    overestimate only means smaller buckets, never wrong answers."""
+    sess = df.sparkSession
+    floor = sess.sparkContext.defaultParallelism
+    try:
+        conf = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf = floor
+    by_size = 0
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        by_size = -(-size // _BYTES_PER_BUCKET)
+    except Exception:  # pragma: no cover - stats unavailable on some plans
+        pass
+    return max(floor, conf, min(by_size, _MAX_BUCKETS))
+
 
 def _bucketize(df: DataFrame, order_cols: list[Column], name: str) -> DataFrame:
-    n_buckets = df.sparkSession.sparkContext.defaultParallelism
     return materialize(
-        df.repartitionByRange(n_buckets, *order_cols).withColumn(
+        df.repartitionByRange(_n_buckets(df), *order_cols).withColumn(
             _PID, F.spark_partition_id()
         ),
         name,
     )
 
 
-def _offsets_array(bucketed: DataFrame, agg: Column) -> tuple[Column, int]:
-    """Per-bucket prefix offsets as a literal array + the global total."""
+def _offsets_join(bucketed: DataFrame, agg: Column) -> tuple[DataFrame, int]:
+    """Per-bucket prefix offsets as a joinable ``(__pid, __off)`` frame +
+    the global total.  A join (not a literal array lookup) keeps the plan
+    valid at ANY bucket count — a 10⁵-entry literal array would blow
+    codegen, while a 10⁵-row join side is trivial.  No forced broadcast
+    (repo discipline: hints only on FIXED-cardinality sides); AQE sees a
+    few-KB build side at runtime and picks the broadcast join itself,
+    and the big side is already hash-clustered on __pid for the window,
+    so even the sort-merge fallback reuses that exchange."""
     rows = bucketed.groupBy(_PID).agg(agg.alias("v")).collect()
     per_bucket = {r[_PID]: r["v"] or 0 for r in rows}
     offsets, running = [], 0
     for pid in range(max(per_bucket, default=-1) + 1):
-        offsets.append(running)
+        offsets.append((pid, running))
         running += per_bucket.get(pid, 0)
-    arr = F.array(*[F.lit(o) for o in offsets]) if offsets else F.array(F.lit(0))
-    return arr, running
+    spark = bucketed.sparkSession
+    off = spark.createDataFrame(offsets or [(0, 0)], f"{_PID} int, __off long")
+    return off, running
 
 
 def with_global_row_number(
@@ -64,10 +108,13 @@ def with_global_row_number(
     free from the offsets pass.
     """
     bucketed = _bucketize(df, order_cols, "global-rn-buckets")
-    arr, total = _offsets_array(bucketed, F.count(F.lit(1)))
+    off, total = _offsets_join(bucketed, F.count(F.lit(1)))
     w = Window.partitionBy(_PID).orderBy(*order_cols)
-    rn = (F.element_at(arr, F.col(_PID) + 1) + F.row_number().over(w)).cast("long")
-    return bucketed.withColumn(out_col, rn).drop(_PID), total
+    rn = (F.col("__off") + F.row_number().over(w)).cast("long")
+    return (
+        bucketed.join(off, _PID).withColumn(out_col, rn).drop(_PID, "__off"),
+        total,
+    )
 
 
 def with_global_cumsum(
@@ -80,16 +127,17 @@ def with_global_cumsum(
     distributed.  ``value_col`` must be integral (exact offsets).
     Returns ``(df + out_col, global_total)``."""
     bucketed = _bucketize(df, order_cols, "global-cumsum-buckets")
-    arr, total = _offsets_array(bucketed, F.sum(F.col(value_col).cast("long")))
+    off, total = _offsets_join(bucketed, F.sum(F.col(value_col).cast("long")))
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cs = (F.element_at(arr, F.col(_PID) + 1) + F.sum(F.col(value_col).cast("long")).over(w)).cast(
-        "long"
+    cs = (F.col("__off") + F.sum(F.col(value_col).cast("long")).over(w)).cast("long")
+    return (
+        bucketed.join(off, _PID).withColumn(out_col, cs).drop(_PID, "__off"),
+        int(total),
     )
-    return bucketed.withColumn(out_col, cs).drop(_PID), int(total)
 
 
 def with_group_rank(

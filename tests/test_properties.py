@@ -407,3 +407,48 @@ def test_zonemap_pruned_read_matches_full_filter(
     want = sorted(v for v in vals if lo <= v <= hi)
     assert got == want
     assert n_read <= n_total
+
+
+def test_global_rank_invariant_to_bucket_count(spark):
+    """r4: bucket count is data-driven (shuffle conf / size estimate) —
+    the ASSIGNED row numbers must be identical at any bucket count."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_spark.operators.ranks import (
+        _n_buckets,
+        with_global_cumsum,
+        with_global_row_number,
+    )
+
+    rows = [((i * 13) % 40, i, (i % 5) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "k INT, uid INT, v INT").repartition(8)
+    order = [F.asc("k"), F.asc("uid")]
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("3", "17", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            assert _n_buckets(df) >= int(n)
+            got, total = with_global_row_number(df, order, "rn")
+            assert total == 300
+            results.append({(r["uid"], r["rn"]) for r in got.collect()})
+            cs, tv = with_global_cumsum(df, order, "v", "cs")
+            results.append({(r["uid"], r["cs"]) for r in cs.collect()})
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[2] == results[4]
+    assert results[1] == results[3] == results[5]
+
+
+def test_n_buckets_scales_with_conf_and_caps(spark):
+    from event_streaming_spark.operators.ranks import _MAX_BUCKETS, _n_buckets
+
+    df = spark.range(100)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "555")
+        n = _n_buckets(df)
+        assert 555 <= n <= _MAX_BUCKETS
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
