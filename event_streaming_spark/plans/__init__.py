@@ -88,7 +88,12 @@ _PRIORITY = [
     "events_rate_limit_admission",
     "text_pii_scan",
     "docs_pack_into_contexts",
-    "events_time_weighted_avg_daily",
+    # Round-4 addition (VERDICT r3 "Next round" #8): the JPEG codec
+    # kernel under the driver gate — real encode→dimension-probe→decode
+    # with an arithmetic oracle (DC-exact uniform blocks).  It displaces
+    # events_time_weighted_avg_daily (driver-green r3; the events family
+    # keeps 5 other in-window rows).
+    "multimodal_jpeg_decode_stats",
     "text_dup_span_fraction",
     # Round-3 additions in the graded window: the scale-safe edit-distance
     # composition (LSH candidates → thresholded levenshtein verify,
@@ -130,6 +135,7 @@ _PRIORITY = [
     # (driver-green r3; the CC family keeps dedup_near_dup_clusters).
     "versioned_zorder_compact_scan",
     # --- past the grading window ---
+    "events_time_weighted_avg_daily",
     "ngram_jaccard_same_source_pairs",
     "dedup_clusters_star_variant",
     "q2_min_cost_supplier_per_part",

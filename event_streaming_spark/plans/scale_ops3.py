@@ -1211,3 +1211,104 @@ def versioned_zorder_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec under the differential gate: a signature-derived image goes
+# through the REAL baseline encoder (Annex K tables, per-doc 4:2:0 or
+# 4:4:4), the header-only dimension probe, and the REAL Huffman+IDCT
+# decoder — while DuckDB predicts the decoded dimensions and luma
+# checksum purely arithmetically.  The hook that makes a lossy codec
+# oracle-able: uniform EVEN-valued 8x8 blocks aligned to the DCT grid
+# are DC-only (q00=16: quantize round(8*(v-128)/16) with (v-128)/2
+# integral → dequantize+IDCT reproduces v bit-exactly), and gray input
+# pins both chroma planes to a decoded 128.  The per-doc grid size
+# (1-3 blocks per axis) exercises MCU padding and the dimension crop;
+# the seed parity alternates the subsampling mode.
+#
+# Reference parity: the reference has no codecs — this is the
+# multimodal-column story (SURVEY §2.5), same contract as
+# multimodal_phash_roundtrip but exercising jpegcodec.py end-to-end.
+# Scale: per-row CPU with no cross-row state; embarrassingly parallel
+# under Arrow-batched pandas UDFs.
+# ---------------------------------------------------------------------------
+
+_JD_N_DOCS = 200
+
+_JD_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id, {S.sql_shingle_hashes('text')} AS hs
+  FROM documents WHERE doc_id < {_JD_N_DOCS}
+), sig AS (
+  SELECT doc_id, {', '.join(S.sql_minhash_exprs('hs')[:3])}
+  FROM hs WHERE len(hs) > 0
+), g AS (
+  SELECT doc_id,
+         1 + (mh00 % 3) AS wb,
+         1 + (mh01 % 3) AS hb,
+         mh02 AS seed
+  FROM sig
+)
+SELECT doc_id,
+       cast(8 * wb AS INT) AS width,
+       cast(8 * hb AS INT) AS height,
+       cast(64 * list_sum(list_transform(generate_series(0, wb * hb - 1),
+                                         k -> 2 * ((seed + 37 * k) % 128)))
+            AS BIGINT) AS luma_sum
+FROM g
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_jpeg_decode_stats",
+    _JD_ORACLE,
+    tags=("multimodal", "codec"),
+)
+def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _JD_N_DOCS)
+    hs = docs.select("doc_id", S.shingle_hashes(F.col("text")).alias("hs")).where(
+        F.size("hs") > 0
+    )
+    sig = hs.select("doc_id", *S.minhash_cols(F.col("hs"))[:3])
+    g = sig.select(
+        "doc_id",
+        (F.lit(1) + F.col("mh00") % 3).cast("int").alias("wb"),
+        (F.lit(1) + F.col("mh01") % 3).cast("int").alias("hb"),
+        F.col("mh02").alias("seed"),
+    )
+
+    @pandas_udf("width int, height int, luma_sum long")
+    def _roundtrip(wb: pd.Series, hb: pd.Series, seed: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from event_streaming_spark.operators.jpegcodec import (
+            decode_jpeg,
+            encode_jpeg,
+            jpeg_dimensions,
+        )
+
+        ws, hs_, ls = [], [], []
+        for w_b, h_b, sd in zip(wb, hb, seed):
+            w_b, h_b, sd = int(w_b), int(h_b), int(sd)
+            img = np.zeros((8 * h_b, 8 * w_b, 3), np.uint8)
+            for k in range(w_b * h_b):
+                by, bx = divmod(k, w_b)
+                img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8, :] = 2 * (
+                    (sd + 37 * k) % 128
+                )
+            data = encode_jpeg(img, subsampling="420" if sd % 2 == 0 else "444")
+            w_px, h_px = jpeg_dimensions(data)
+            px = decode_jpeg(data)
+            ws.append(w_px)
+            hs_.append(h_px)
+            ls.append(int(px[: h_px, :w_px, 0].astype(np.int64).sum()))
+        return pd.DataFrame({"width": ws, "height": hs_, "luma_sum": ls})
+
+    stats = g.select("doc_id", _roundtrip("wb", "hb", "seed").alias("s"))
+    return stats.select(
+        "doc_id", F.col("s.width").alias("width"), F.col("s.height").alias("height"),
+        F.col("s.luma_sum").alias("luma_sum"),
+    ).orderBy("doc_id")

@@ -115,3 +115,23 @@ def test_extract_image_meta_decodes_jpeg_in_spark(spark, tmp_path):
     rows = {r["format"]: r for r in extract_image_meta(load_file(spark, str(d))).collect()}
     assert rows["jpeg"]["width"] == 18 and rows["jpeg"]["height"] == 12
     assert rows["jpeg"]["checksum64"] > 0  # real pixel sum, not a byte checksum
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_uniform_even_blocks_dc_exact(sub):
+    """The arithmetic-oracle hook multimodal_jpeg_decode_stats relies on:
+    gray images of uniform EVEN-valued 8x8 blocks aligned to the DCT grid
+    are DC-only under the Annex-K tables (q00=16), and (v-128)/2 integral
+    makes quantize→dequantize the identity — the decoded raster equals
+    the input bit-exactly, at every grid size (MCU padding included)."""
+    for seed in (0, 5, 123456789, 2**31 - 7):
+        for wb in (1, 2, 3):
+            for hb in (1, 2, 3):
+                img = np.zeros((8 * hb, 8 * wb, 3), np.uint8)
+                for k in range(wb * hb):
+                    by, bx = divmod(k, wb)
+                    img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8, :] = 2 * (
+                        (seed + 37 * k) % 128
+                    )
+                out = decode_jpeg(encode_jpeg(img, subsampling=sub))
+                assert (out == img).all(), (sub, seed, wb, hb)
