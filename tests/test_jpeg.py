@@ -1,6 +1,6 @@
-"""Baseline JPEG codec (operators/jpegcodec.py): encode/decode roundtrip,
-marker handling, subsampling, capability gates, and the Spark-side
-multimodal wiring."""
+"""JPEG codec (operators/jpegcodec.py): baseline + progressive (SOF2)
+encode/decode roundtrip, marker handling, subsampling, capability gates,
+and the Spark-side multimodal wiring."""
 
 from __future__ import annotations
 
@@ -66,9 +66,23 @@ def test_byte_stuffing_and_gray_expansion():
     assert out.shape == (24, 24, 3)  # decodes cleanly, content is lossy
 
 
-def test_progressive_gate_and_lenient_dimensions():
-    # hand-build a SOF2 (progressive) header: dims must still parse,
-    # pixel decode must gate with NotImplementedError
+def test_arithmetic_gate_and_lenient_dimensions():
+    # hand-build a SOF9 (arithmetic-coded sequential) header: dims must
+    # still parse, pixel decode must gate with NotImplementedError.
+    # (SOF2 progressive is DECODED since round 4 — see
+    # test_progressive_matches_baseline.)
+    sof9 = (
+        b"\xff\xd8"
+        + b"\xff\xc9"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", 10, 20)
+        + bytes([1, 1, 0x11, 0])
+    )
+    assert jpeg_dimensions(sof9) == (20, 10)
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg(sof9 + b"\xff\xd9")
+    # a truncated SOF2 with no SOS is corrupt, not capability-gated
     sof2 = (
         b"\xff\xd8"
         + b"\xff\xc2"
@@ -78,7 +92,7 @@ def test_progressive_gate_and_lenient_dimensions():
         + bytes([1, 1, 0x11, 0])
     )
     assert jpeg_dimensions(sof2) == (20, 10)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="missing SOF/SOS"):
         decode_jpeg(sof2 + b"\xff\xd9")
 
 
@@ -135,3 +149,69 @@ def test_uniform_even_blocks_dc_exact(sub):
                     )
                 out = decode_jpeg(encode_jpeg(img, subsampling=sub))
                 assert (out == img).all(), (sub, seed, wb, hb)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_progressive_matches_baseline(sub):
+    """SOF2 differential contract: the progressive encoder shares the
+    baseline's quantization front half, so decoding its stream must give
+    BIT-IDENTICAL pixels to decoding the baseline stream — this
+    exercises all four progressive scan procedures (DC/AC first, DC/AC
+    successive-approximation refinement) plus EOB runs and the
+    non-interleaved component block order."""
+    from event_streaming_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    for shape in [(16, 24), (14, 20), (9, 9), (33, 41)]:
+        h, w = shape
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = 128 + 60 * np.sin(xx / 5.0) + 50 * np.cos(yy / 7.0)
+        img = np.clip(
+            base[:, :, None] + rng.integers(-40, 40, (h, w, 3)), 0, 255
+        ).astype(np.uint8)
+        data = encode_jpeg_progressive(img, subsampling=sub)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        assert jpeg_dimensions(data) == (w, h)
+        assert np.array_equal(
+            decode_jpeg(data), decode_jpeg(encode_jpeg(img, subsampling=sub))
+        )
+
+
+def test_progressive_eob_runs_span_blocks():
+    """A large flat image makes every AC band all-zero → the encoder
+    accumulates EOB runs ACROSS blocks (EOBn symbols with n>0) and the
+    decoder must honor multi-block runs; a lone bright block in the
+    middle splits the run and forces correction-bit buffering in the
+    refinement scans."""
+    from event_streaming_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    img = np.full((64, 64, 3), 120, dtype=np.uint8)
+    img[24:32, 24:32] = 250  # one busy block splits the EOB runs
+    for sub in ("444", "420"):
+        prog = encode_jpeg_progressive(img, subsampling=sub)
+        base = encode_jpeg(img, subsampling=sub)
+        assert np.array_equal(decode_jpeg(prog), decode_jpeg(base))
+
+
+def test_progressive_table_redefinition_between_scans():
+    """Progressive streams redefine AC Huffman tables between scans
+    (per-scan optimized DHT re-using table ids 0/1); the parser must
+    snapshot tables at each SOS, not share one mutable registry."""
+    from event_streaming_spark.operators.jpegcodec import (
+        _parse_stream,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    img = np.clip(rng.integers(0, 255, (24, 24, 3)), 0, 255).astype(np.uint8)
+    qt, sof, mode, scans = _parse_stream(encode_jpeg_progressive(img))
+    assert mode == "progressive"
+    assert len(scans) == 10  # the default libjpeg-style script
+    # AC scans for the luma component use table id 0 but DIFFERENT
+    # optimized tables — their snapshots must differ across scans
+    ac_luma = [
+        s["ac"][0] for s in scans if s["ss"] > 0 and list(s["sel"]) == [1]
+    ]
+    assert len(ac_luma) >= 3
+    vals = [tuple(t.vals) for t in ac_luma]
+    assert len(set(vals)) > 1

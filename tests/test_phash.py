@@ -134,3 +134,24 @@ def test_phash_works_on_png_and_jpeg_codecs(spark):
     assert h_jpg is not None
     d = bin((h_bmp ^ h_jpg) & ((1 << 64) - 1)).count("1")
     assert d <= 7  # lossy-codec wobble stays inside the near-dup radius
+
+
+def test_phash_stable_across_baseline_and_progressive_jpeg():
+    # r4: the SAME picture as baseline vs progressive (SOF2) JPEG must
+    # hash IDENTICALLY — both encoders share the quantization front
+    # half, so the decoded pixels (and thus the hash) are bit-equal.
+    import numpy as np
+
+    from event_streaming_spark.operators.jpegcodec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = np.clip(
+        rng.integers(0, 255, (24, 32, 3)).astype(np.int64), 0, 255
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        h_base = average_hash_bytes(encode_jpeg(arr, subsampling=sub))
+        h_prog = average_hash_bytes(encode_jpeg_progressive(arr, subsampling=sub))
+        assert h_base == h_prog
