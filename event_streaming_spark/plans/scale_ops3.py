@@ -1224,7 +1224,11 @@ def versioned_zorder_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame
 # integral → dequantize+IDCT reproduces v bit-exactly), and gray input
 # pins both chroma planes to a decoded 128.  The per-doc grid size
 # (1-3 blocks per axis) exercises MCU padding and the dimension crop;
-# the seed parity alternates the subsampling mode.
+# the seed parity alternates the subsampling mode.  Each doc ALSO goes
+# through the progressive (SOF2) encoder and the full multi-scan
+# progressive decode — `luma_sum_prog` puts the successive-approximation
+# machinery under the same arithmetic oracle (the two encoders share the
+# quantization front half, so the oracle predicts both sums identically).
 #
 # Reference parity: the reference has no codecs — this is the
 # multimodal-column story (SURVEY §2.5), same contract as
@@ -1254,7 +1258,10 @@ SELECT doc_id,
        cast(8 * hb AS INT) AS height,
        cast(64 * list_sum(list_transform(generate_series(0, wb * hb - 1),
                                          k -> 2 * ((seed + 37 * k) % 128)))
-            AS BIGINT) AS luma_sum
+            AS BIGINT) AS luma_sum,
+       cast(64 * list_sum(list_transform(generate_series(0, wb * hb - 1),
+                                         k -> 2 * ((seed + 37 * k) % 128)))
+            AS BIGINT) AS luma_sum_prog
 FROM g
 ORDER BY doc_id
 """
@@ -1280,17 +1287,18 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mh02").alias("seed"),
     )
 
-    @pandas_udf("width int, height int, luma_sum long")
+    @pandas_udf("width int, height int, luma_sum long, luma_sum_prog long")
     def _roundtrip(wb: pd.Series, hb: pd.Series, seed: pd.Series) -> pd.DataFrame:
         import numpy as np
 
         from event_streaming_spark.operators.jpegcodec import (
             decode_jpeg,
             encode_jpeg,
+            encode_jpeg_progressive,
             jpeg_dimensions,
         )
 
-        ws, hs_, ls = [], [], []
+        ws, hs_, ls, lp = [], [], [], []
         for w_b, h_b, sd in zip(wb, hb, seed):
             w_b, h_b, sd = int(w_b), int(h_b), int(sd)
             img = np.zeros((8 * h_b, 8 * w_b, 3), np.uint8)
@@ -1299,16 +1307,24 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8, :] = 2 * (
                     (sd + 37 * k) % 128
                 )
-            data = encode_jpeg(img, subsampling="420" if sd % 2 == 0 else "444")
+            sub = "420" if sd % 2 == 0 else "444"
+            data = encode_jpeg(img, subsampling=sub)
             w_px, h_px = jpeg_dimensions(data)
             px = decode_jpeg(data)
+            # the same pixels through the SOF2 encoder + the multi-scan
+            # progressive decode: the oracle predicts the same sum
+            prog = decode_jpeg(encode_jpeg_progressive(img, subsampling=sub))
             ws.append(w_px)
             hs_.append(h_px)
             ls.append(int(px[: h_px, :w_px, 0].astype(np.int64).sum()))
-        return pd.DataFrame({"width": ws, "height": hs_, "luma_sum": ls})
+            lp.append(int(prog[: h_px, :w_px, 0].astype(np.int64).sum()))
+        return pd.DataFrame(
+            {"width": ws, "height": hs_, "luma_sum": ls, "luma_sum_prog": lp}
+        )
 
     stats = g.select("doc_id", _roundtrip("wb", "hb", "seed").alias("s"))
     return stats.select(
         "doc_id", F.col("s.width").alias("width"), F.col("s.height").alias("height"),
         F.col("s.luma_sum").alias("luma_sum"),
+        F.col("s.luma_sum_prog").alias("luma_sum_prog"),
     ).orderBy("doc_id")
