@@ -1328,3 +1328,106 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.luma_sum").alias("luma_sum"),
         F.col("s.luma_sum_prog").alias("luma_sum_prog"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25-ranked search over the same postings shape as
+# docs_keyword_search_postings, disjunctive (OR) matching.  The scoring
+# is EXACT-INTEGER fixed-point BM25: k1=1.2 and b=0.75 fold into the
+# rational identity
+#   tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+#     = tf*44*L / (20*tf*L + 6*L + 18*dl*N)        with avgdl = L/N,
+# and the IDF is the log-free rational variant
+#   idf_fp = ((N - df + 1) * 1000) div (df + 1)
+# (monotone in the same direction as the Robertson log-idf).  Every
+# operand is an integer and every division is floor division, so Spark
+# and DuckDB agree bit-for-bit — a transcendental ln() would hash-drift
+# on last-ulp differences between java.lang.Math and libm.  tf is capped
+# at 63 (standard saturation; also bounds idf_fp*tf*44*L < 2^63 for
+# corpora up to ~10^8 total tokens — at larger scale drop the 1000
+# SCALE first).
+#
+# Scale: query terms/IDF are fixed-cardinality broadcasts; work is
+# proportional to matched postings, never the corpus; the one shuffle
+# joins matched postings to doc lengths on doc_id.
+# ---------------------------------------------------------------------------
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({sql_normalize_text('text')}, ' ')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), g AS (
+  SELECT cast(sum(dl) AS BIGINT) AS big_l, count(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, term, least(count(*), 63) AS tf
+  FROM tok WHERE term IN {_SEARCH_TERMS!r}
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), idf AS (
+  SELECT term, ((n_docs - df + 1) * 1000) // (df + 1) AS idf_fp FROM df, g
+), s AS (
+  SELECT tf.doc_id,
+         (idf_fp * tf * 44 * big_l)
+           // (20 * tf * big_l + 6 * big_l + 18 * dl.dl * n_docs) AS s_fp
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), g
+)
+SELECT doc_id,
+       cast(count(*) AS INT) AS n_terms,
+       cast(sum(s_fp) AS BIGINT) AS score_fp
+FROM s
+GROUP BY doc_id
+ORDER BY score_fp DESC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "docs_bm25_postings_rank",
+    _BM25_ORACLE,
+    tags=("llm", "text", "search"),
+)
+def docs_bm25_postings_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    g = dl.agg(
+        F.sum("dl").cast("bigint").alias("big_l"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        tok.where(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.least(F.count(F.lit(1)), F.lit(63).cast("bigint")).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # fixed-cardinality sides (|terms| rows / 1 row): broadcast hints are
+    # inside the repo discipline here
+    idf = (
+        df_.crossJoin(F.broadcast(g))
+        .withColumn("idf_fp", F.expr("((n_docs - df + 1) * 1000) div (df + 1)"))
+        .select("term", "idf_fp")
+    )
+    s = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .withColumn(
+            "s_fp",
+            F.expr(
+                "(idf_fp * tf * 44 * big_l)"
+                " div (20 * tf * big_l + 6 * big_l + 18 * dl * n_docs)"
+            ),
+        )
+    )
+    return (
+        s.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+            F.sum("s_fp").cast("bigint").alias("score_fp"),
+        )
+        .orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(20)
+    )
