@@ -128,3 +128,142 @@ def streaming_drain_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     last["total_value"] = (last["sv"] / 1e6).round(2)
     out = last[["event_date", "event_type", "n_events", "total_value"]]
     return spark.createDataFrame(out, _RESULT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Streaming SESSION windows: the gap-based analogue of the daily drain.
+# Built-in `session_window` (merging event-time state) drains the topic
+# log availableNow in append mode; a sentinel event 2 hours past the max
+# real timestamp pushes the watermark beyond every real session's end,
+# so the trailing no-data micro-batch finalizes and emits them all —
+# each session exactly once.  The oracle is batch gaps-and-islands with
+# a STRICT < 30min gap: Spark merges sessions only while the next event
+# falls strictly inside [first, last+gap), so an exactly-30-minute gap
+# starts a new session (the `events_sessionize_30m` batch query keeps
+# its <= semantics; this one mirrors the streaming operator's).
+#
+# Scale: state is one aggregate row per OPEN session (merged by the
+# state store); emission is append-once per finalized session —
+# callback traffic is session-sized, never event-sized.  The published
+# log drains through executors exactly like streaming_drain_equals_batch.
+# ---------------------------------------------------------------------------
+
+_SESSIONW_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER w < INTERVAL 30 MINUTE THEN 0 ELSE 1
+         END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       epoch_ms(date_trunc('millisecond', min(ts))) AS session_start_ms,
+       count(*) AS n_events,
+       round(cast(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS double) / 1000.0,
+             3) AS duration_s,
+       {sql_exact_sum('value')} AS session_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+_SESSIONW_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("session_value", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "streaming_session_window_drain",
+    _SESSIONW_ORACLE,
+    tags=("streaming", "window", "session"),
+)
+def streaming_session_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish events (+ watermark sentinel) → session_window drain in
+    append mode; finalized sessions must hash-equal the batch islands."""
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    root = tempfile.mkdtemp(prefix="est-sessw-")
+    batches: list = []
+    try:
+        agency = EventsAgency(spark, root=root, log_format="parquet")
+        ctx = agency._get_or_create("driver-gate", "events-sessions")
+        ev = load(spark, sf_dir, "events")
+        ctx.publish(ev)
+        max_ts = ev.agg(F.max("ts")).first()[0]  # 1-row scalar probe
+        ctx.publish(
+            [
+                {
+                    "event_id": -1,
+                    "ts": (max_ts + __import__("datetime").timedelta(hours=2))
+                    .isoformat(sep="T"),
+                    "user_id": -1,
+                    "event_type": "__flush__",
+                    "value": 0.0,
+                    "props": "{}",
+                }
+            ]
+        )
+
+        def sessioned(df: DataFrame) -> DataFrame:
+            return (
+                df.withWatermark("ts", "1 hour")
+                .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sv"),
+                )
+            )
+
+        def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
+            # append mode: each finalized session arrives exactly once
+            batches.append(
+                batch_df.select(
+                    "user_id",
+                    F.unix_millis(F.col("session_window.start")).alias(
+                        "session_start_ms"
+                    ),
+                    "n_events",
+                    # window.end = last event + gap: subtract the gap to
+                    # recover the last event's epoch-ms exactly
+                    (
+                        F.unix_millis(F.col("session_window.end"))
+                        - F.lit(30 * 60 * 1000)
+                        - F.unix_millis(F.col("session_window.start"))
+                    ).alias("dur_ms"),
+                    "sv",
+                ).toPandas()
+            )
+
+        ctx.consume(
+            on_notify,
+            once=True,
+            transform=sessioned,
+            output_mode="append",
+            state_partitions=8,
+        )
+        agency.close(remove_logs=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    import pandas as pd
+
+    if not batches:
+        return spark.createDataFrame([], _SESSIONW_SCHEMA)
+    out = pd.concat(batches, ignore_index=True)
+    out = out[out["user_id"] >= 0].copy()  # drop the watermark sentinel
+    out["duration_s"] = (out["dur_ms"] / 1000.0).round(3)
+    out["session_value"] = (out["sv"] / 1e6).round(2)
+    out = out[
+        ["user_id", "session_start_ms", "n_events", "duration_s", "session_value"]
+    ]
+    return spark.createDataFrame(out, _SESSIONW_SCHEMA)
