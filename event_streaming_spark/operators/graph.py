@@ -186,3 +186,57 @@ def triangles(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame
         (F.col("w_a") + F.col("lo") + F.col("hi") - least3 - greatest3).alias("n2"),
         greatest3.alias("n3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frontier-join BFS (multi-source shortest hop distance).
+# ---------------------------------------------------------------------------
+
+
+def bfs_layers(
+    seeds: DataFrame, edges: DataFrame, max_depth: int, directed: bool = False
+) -> DataFrame:
+    """``(node, dist)``: minimum hop count from the seed SET, bounded by
+    ``max_depth`` rounds.
+
+    Use case: blast-radius queries on the near-dup graph — "everything
+    within k hops of these flagged documents" (contamination spread,
+    takedown propagation), the standard decontamination sweep after a
+    leak is located.
+
+    Scale shape: textbook frontier BFS as joins — each round is ONE
+    equi-join (frontier ⋈ edges on src), a distinct (shuffle bounded by
+    the frontier's neighborhood, never the graph), and a left-anti
+    against the visited set; every frame is pinned through the
+    fault-tolerant materializer so round k+1 reads round k's output, not
+    its lineage.  Rounds are bounded by ``max_depth``; the convergence
+    probe is an ``isEmpty()`` on the pinned frontier — O(1) driver work.
+    Exact integer distances: bit-identical on any partitioning/engine.
+    """
+    s, d = edges.columns[0], edges.columns[1]
+    fwd = edges.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+    if not directed:
+        fwd = fwd.union(edges.select(F.col(d).alias("src"), F.col(s).alias("dst")))
+    e = materialize(fwd.distinct(), "bfs-edges")
+    n_col = seeds.columns[0]
+    visited = materialize(
+        seeds.select(F.col(n_col).alias("node")).distinct().withColumn(
+            "dist", F.lit(0).cast("int")
+        ),
+        "bfs-layer0",
+    )
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = materialize(
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("int")),
+            f"bfs-layer{depth}",
+        )
+        if nxt.isEmpty():
+            break
+        visited = materialize(visited.union(nxt), f"bfs-visited{depth}")
+        frontier = nxt.select("node")
+    return visited

@@ -1431,3 +1431,58 @@ def docs_bm25_postings_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_fp").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS over the near-dup graph: minimum hop distance from a
+# deterministic seed set (every 50th doc) out to 4 hops — the
+# "blast radius" sweep around flagged documents (contamination spread /
+# takedown propagation).  The oracle is a RECURSIVE CTE whose UNION
+# (distinct) bounds row growth to nodes × depths; min(dist) collapses
+# multi-path reachability identically on both engines.  Exact integer
+# distances + bounded rounds: the iterative operator under the hash
+# gate, like integer PageRank and the CC pair.
+# ---------------------------------------------------------------------------
+
+_BFS_DEPTH = 4
+_BFS_SEED_MOD = 50
+
+
+def _bfs_oracle() -> str:
+    return f"""
+WITH RECURSIVE raw AS ({_LSH_ORACLE}),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM raw
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM raw
+),
+bfs(node, dist) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % {_BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, bfs.dist + 1
+  FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.dist < {_BFS_DEPTH}
+)
+SELECT node AS doc_id, cast(min(dist) AS INT) AS dist
+FROM bfs
+GROUP BY node
+ORDER BY doc_id
+"""
+
+
+@register(
+    "graph_bfs_blast_radius",
+    _bfs_oracle(),
+    tags=("graph", "iterative", "llm", "dedup"),
+)
+def graph_bfs_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.graph import bfs_layers
+
+    seeds = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % _BFS_SEED_MOD == 0)
+    )
+    edges = minhash_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    reached = bfs_layers(seeds, edges, max_depth=_BFS_DEPTH)
+    return reached.select(F.col("node").alias("doc_id"), "dist").orderBy("doc_id")

@@ -452,3 +452,41 @@ def test_n_buckets_scales_with_conf_and_caps(spark):
         assert 555 <= n <= _MAX_BUCKETS
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_bfs_layers_matches_bruteforce(spark):
+    """r4: frontier-join BFS equals single-machine BFS on random graphs,
+    at any max_depth, including unreachable nodes (absent) and seeds in
+    no edge (dist 0)."""
+    import collections
+    import random
+
+    from event_streaming_spark.operators.graph import bfs_layers
+
+    rnd = random.Random(17)
+    n = 60
+    edges = sorted({(rnd.randrange(n), rnd.randrange(n)) for _ in range(90)})
+    edges = [(a, b) for a, b in edges if a != b]
+    seeds = [0, 7, 55]
+    for depth in (1, 3, 6):
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        dist = {s: 0 for s in seeds}
+        frontier = list(seeds)
+        for d in range(1, depth + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node INT")
+        edf = spark.createDataFrame(edges, "a INT, b INT")
+        got = {
+            (r["node"], r["dist"])
+            for r in bfs_layers(sdf, edf, max_depth=depth).collect()
+        }
+        assert got == set(dist.items()), depth
