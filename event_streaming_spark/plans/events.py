@@ -390,3 +390,80 @@ def events_unpivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_date", "stack(2, 'click', click, 'purchase', purchase) AS (kind, n)"
     )
     return long.filter(F.col("n") > 0)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 (type-2 slowly-changing dimension) history build: treat each
+# user's event_type as an observed attribute; collapse consecutive equal
+# observations into validity intervals (valid_from, valid_to half-open,
+# NULL valid_to = current).  The standard warehouse history-table build,
+# as one shuffle on user_id with all window passes over that same
+# partitioning (change flag → island id → interval bounds via lead).
+# Exactly-integer interval bounds (epoch ms); deterministic tiebreak on
+# event_id for same-ts observations.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH obs AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = lag(event_type) OVER w THEN 0 ELSE 1
+         END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), isl AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM obs
+), iv AS (
+  SELECT user_id, event_type, island,
+         epoch_ms(date_trunc('millisecond', min(ts))) AS valid_from_ms,
+         count(*) AS n_obs
+  FROM isl
+  GROUP BY user_id, event_type, island
+)
+SELECT user_id, event_type,
+       valid_from_ms,
+       lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY island)
+         AS valid_to_ms,
+       CASE WHEN lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY island)
+                 IS NULL THEN 1 ELSE 0 END AS is_current,
+       n_obs
+FROM iv
+ORDER BY user_id, valid_from_ms, event_type
+"""
+
+
+@register(
+    "events_scd2_type_history",
+    _SCD2_ORACLE,
+    tags=("events", "window", "warehouse"),
+)
+def events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs = ev.withColumn(
+        "chg",
+        F.when(F.col("event_type") == F.lag("event_type").over(w), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    isl = obs.withColumn("island", F.sum("chg").over(run))
+    iv = isl.groupBy("user_id", "event_type", "island").agg(
+        F.unix_millis(F.date_trunc("millisecond", F.min("ts"))).alias("valid_from_ms"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("island")
+    return (
+        iv.withColumn("valid_to_ms", F.lead("valid_from_ms").over(wl))
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to_ms").isNull(), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .select(
+            "user_id", "event_type", "valid_from_ms", "valid_to_ms", "is_current",
+            "n_obs",
+        )
+        .orderBy("user_id", "valid_from_ms", "event_type")
+    )
