@@ -1486,3 +1486,58 @@ def graph_bfs_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = minhash_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     reached = bfs_layers(seeds, edges, max_depth=_BFS_DEPTH)
     return reached.select(F.col("node").alias("doc_id"), "dist").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLY — the encode half of the train/apply pair.  The
+# scale trick real tokenizers use: encode each DISTINCT word once
+# (vocabulary-sized fold work, the merge table compiled into the plan as
+# literals), then join per-word token counts back to the corpus
+# occurrences — the 100 TB corpus never runs the fold, only the vocab
+# does.  Emits per-doc token statistics (words, chars, BPE tokens,
+# chars-per-token compression).
+#
+# Like training, the result depends on the learned merge table, which is
+# not one SQL statement — rows-only for the driver; the REAL gate is
+# tests/test_bpe.py's differential: Spark-encoded corpora must equal the
+# independent pure-Python tokenizer word-for-word.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_encode_corpus",
+    None,  # depends on the iteratively-learned merges (see header comment)
+    tags=("llm", "text", "tokenizer"),
+)
+def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word")).where(
+        F.length("word") > 0
+    )
+    words = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    merges = bpe_train(words, _BPE_MERGES)
+    # vocabulary-sized encode: one fold per DISTINCT word
+    wtok = materialize(
+        words.select(
+            "word",
+            F.length("word").alias("n_chars"),
+            F.size(bpe_encode(F.col("word"), merges)).alias("n_tok"),
+        ),
+        "bpe-vocab-encoded",
+    )
+    return (
+        tok.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.round(F.col("n_chars") / F.col("n_tokens").cast("double"), 6),
+        )
+        .orderBy("doc_id")
+    )

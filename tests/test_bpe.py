@@ -134,3 +134,49 @@ def test_pair_counts_weighted(spark):
     )
     got = {(r["l"], r["r"]): r["cnt"] for r in pair_counts(df).collect()}
     assert got == {("a", "b"): 3, ("b", "a"): 2}
+
+
+def test_bpe_encode_corpus_matches_reference(spark):
+    """r4: the catalog encode query's per-doc token counts must equal
+    tokenizing each doc with the pure-Python reference trained on the
+    same word-frequency table (train + apply differential, end to end)."""
+    import re
+
+    from event_streaming_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+        for r in REGISTRY["text_bpe_encode_corpus"].fn(spark, SF_SMALL).collect()
+    }
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    def toks(text):
+        return [w for w in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if w]
+
+    words = collections.Counter(w for r in docs for w in toks(r["text"]))
+    merges = ref_bpe_train(dict(words), 8)
+    enc_cache = {}
+
+    def encode_len(w):
+        if w not in enc_cache:
+            s = list(w)
+            for _step, l, r, _c in merges:
+                s = _ref_merge(s, l, r)
+            enc_cache[w] = len(s)
+        return enc_cache[w]
+
+    want = {}
+    for r in docs:
+        ws = toks(r["text"])
+        if not ws:
+            continue
+        want[r["doc_id"]] = (
+            len(ws),
+            sum(len(w) for w in ws),
+            sum(encode_len(w) for w in ws),
+        )
+    assert got == want
