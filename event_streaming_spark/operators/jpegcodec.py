@@ -874,9 +874,18 @@ class _ScanOps:
         if n:
             self.ops.append((False, v, n))
 
+    def rst(self) -> None:
+        """Restart-marker boundary: pad to a byte and emit RSTn."""
+        self.ops.append((None, 0, 0))
+
     def replay(self, writer: "_BitWriter", codes: dict) -> None:
+        n_rst = 0
         for is_sym, v, n in self.ops:
-            if is_sym:
+            if is_sym is None:
+                writer.flush()
+                writer.out.extend((0xFF, 0xD0 + n_rst % 8))
+                n_rst += 1
+            elif is_sym:
                 c, ln = codes[v]
                 writer.write(c, ln)
             else:
@@ -913,9 +922,10 @@ def _scan_blocks(ci, sampling, w, h, mcux, mcuy):
     return [r * stride + c for r in range(bh) for c in range(bw)]
 
 
-def _encode_ac_first(ops, zz, block_idx, ss, se, al):
+def _encode_ac_first(ops, zz, block_idx, ss, se, al, dri=0):
     """AC first pass (G.1.2.2 encoder): values |coef|>>Al with sign,
-    zero runs, ZRL, and accumulated EOB runs."""
+    zero runs, ZRL, and accumulated EOB runs.  ``dri`` > 0 inserts a
+    restart boundary every ``dri`` blocks (EOB runs never span one)."""
     eobrun = 0
 
     def emit_eobrun():
@@ -926,7 +936,10 @@ def _encode_ac_first(ops, zz, block_idx, ss, se, al):
             ops.bits(eobrun & ((1 << nbits) - 1), nbits)
             eobrun = 0
 
-    for idx in block_idx:
+    for i, idx in enumerate(block_idx):
+        if dri and i and i % dri == 0:
+            emit_eobrun()
+            ops.rst()
         row = zz[idx]
         r = 0
         wrote = False
@@ -952,10 +965,12 @@ def _encode_ac_first(ops, zz, block_idx, ss, se, al):
     emit_eobrun()
 
 
-def _encode_ac_refine(ops, zz, block_idx, ss, se, al):
+def _encode_ac_refine(ops, zz, block_idx, ss, se, al, dri=0):
     """AC refinement pass (G.1.2.3 encoder): newly-nonzero coefficients
     as run+sign, correction bits for history-nonzero ones buffered and
-    emitted after the symbol (or EOB run) they trail."""
+    emitted after the symbol (or EOB run) they trail.  ``dri`` > 0
+    inserts a restart boundary every ``dri`` blocks (pending EOB runs
+    and correction bits flush first — nothing spans a restart)."""
     eobrun = 0
     corr: list = []  # correction bits pending behind an EOB run
 
@@ -970,7 +985,10 @@ def _encode_ac_refine(ops, zz, block_idx, ss, se, al):
                 ops.bits(b, 1)
             corr = []
 
-    for idx in block_idx:
+    for i, idx in enumerate(block_idx):
+        if dri and i and i % dri == 0:
+            emit_eobrun()
+            ops.rst()
         row = zz[idx]
         t = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
         # index (into the band) of the last NEWLY-nonzero coefficient:
@@ -1016,7 +1034,9 @@ def _encode_ac_refine(ops, zz, block_idx, ss, se, al):
     emit_eobrun()
 
 
-def encode_jpeg_progressive(px, subsampling: str = "444", script=None) -> bytes:
+def encode_jpeg_progressive(
+    px, subsampling: str = "444", script=None, dri: int = 0
+) -> bytes:
     """uint8 RGB (h, w, 3) → progressive (SOF2) JPEG bytes.
 
     Identical quantized coefficients to :func:`encode_jpeg` (shared
@@ -1026,7 +1046,11 @@ def encode_jpeg_progressive(px, subsampling: str = "444", script=None) -> bytes:
     (DHT emitted immediately before its SOS) because the Annex K
     example tables have no EOBn symbols.  Decoding this stream yields
     BIT-IDENTICAL pixels to decoding the baseline stream for the same
-    input — the coefficient path is exact."""
+    input — the coefficient path is exact.  ``dri`` > 0 emits a DRI
+    segment and restart markers every ``dri`` MCUs in every scan (an
+    MCU is one block in the non-interleaved AC scans), with DC
+    predictors and EOB runs reset at each boundary — real progressive
+    crawl payloads use restart intervals routinely."""
     h, w, sampling, quantized, mcux, mcuy = _quantize_planes(px, subsampling)
     zzs = [q.reshape(-1, 64)[:, ZIGZAG] for q in quantized]
     script = list(_PROGRESSIVE_SCRIPT if script is None else script)
@@ -1048,13 +1072,21 @@ def encode_jpeg_progressive(px, subsampling: str = "444", script=None) -> bytes:
     seg(0xC2, bytes(sof))  # SOF2: progressive DCT
     for tc, th, (bits, vals) in ((0, 0, HUFF_DC_LUM), (0, 1, HUFF_DC_CHROM)):
         seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if dri:
+        seg(0xDD, struct.pack(">H", dri))
     dc_codes = [_canonical_codes(*HUFF_DC_LUM), _canonical_codes(*HUFF_DC_CHROM)]
 
     for comps, ss, se, ah, al in script:
         writer = _BitWriter()
         if ss == 0:  # DC scan (interleaved when several components)
             pred = {ci: 0 for ci in comps}
+            n_rst = 0
             for mcu in range(mcux * mcuy):
+                if dri and mcu and mcu % dri == 0:
+                    writer.flush()
+                    writer.out.extend((0xFF, 0xD0 + n_rst % 8))
+                    n_rst += 1
+                    pred = {ci: 0 for ci in comps}
                 my, mx = divmod(mcu, mcux)
                 for ci in comps:
                     sh, sv = sampling[ci]
@@ -1079,9 +1111,9 @@ def encode_jpeg_progressive(px, subsampling: str = "444", script=None) -> bytes:
             ops = _ScanOps()
             block_idx = _scan_blocks(ci, sampling, w, h, mcux, mcuy)
             if ah == 0:
-                _encode_ac_first(ops, zzs[ci], block_idx, ss, se, al)
+                _encode_ac_first(ops, zzs[ci], block_idx, ss, se, al, dri=dri)
             else:
-                _encode_ac_refine(ops, zzs[ci], block_idx, ss, se, al)
+                _encode_ac_refine(ops, zzs[ci], block_idx, ss, se, al, dri=dri)
             bits, vals = _optimal_huffman(ops.freq or {0x00: 1})
             th = 0 if ci == 0 else 1
             seg(0xC4, bytes([(1 << 4) | th]) + bytes(bits) + bytes(vals))

@@ -215,3 +215,23 @@ def test_progressive_table_redefinition_between_scans():
     assert len(ac_luma) >= 3
     vals = [tuple(t.vals) for t in ac_luma]
     assert len(set(vals)) > 1
+
+
+def test_progressive_restart_intervals_roundtrip():
+    """DRI in progressive streams: restart markers every n MCUs (1 MCU =
+    1 block in non-interleaved AC scans) with DC predictors and EOB runs
+    reset per interval — decode must stay bit-identical to baseline, and
+    the markers must actually be present."""
+    from event_streaming_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(9)
+    img = np.clip(
+        128 + rng.integers(-100, 100, (33, 41, 3)), 0, 255
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        base = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        for dri in (1, 3, 7):
+            data = encode_jpeg_progressive(img, subsampling=sub, dri=dri)
+            n_rst = sum(data.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+            assert n_rst > 0, (sub, dri)
+            assert np.array_equal(base, decode_jpeg(data)), (sub, dri)
