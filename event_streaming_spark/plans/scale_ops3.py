@@ -1354,8 +1354,11 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_ORACLE = f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split({sql_normalize_text('text')}, ' ')) AS term
-  FROM documents
+  SELECT doc_id, t AS term
+  FROM (
+    SELECT doc_id, unnest(string_split({sql_normalize_text('text')}, ' ')) AS t
+    FROM documents
+  ) WHERE t <> ''
 ), dl AS (
   SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
 ), g AS (
@@ -1388,11 +1391,16 @@ LIMIT 20
     "docs_bm25_postings_rank",
     _BM25_ORACLE,
     tags=("llm", "text", "search"),
+    bench=True,
 )
 def docs_bm25_postings_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents"))
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    toks = tokens(F.col("text"))
+    # per-doc length WITHOUT a second tokenize+explode+shuffle pass:
+    # size() is per-row narrow work; docs with zero tokens drop out of
+    # dl on both engines (the oracle's tok CTE filters '' terms)
+    dl = docs.select("doc_id", F.size(toks).alias("dl")).where(F.col("dl") > 0)
+    tok = docs.select("doc_id", F.explode(toks).alias("term"))
     g = dl.agg(
         F.sum("dl").cast("bigint").alias("big_l"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -1474,6 +1482,7 @@ ORDER BY doc_id
     "graph_bfs_blast_radius",
     _bfs_oracle(),
     tags=("graph", "iterative", "llm", "dedup"),
+    bench=True,
 )
 def graph_bfs_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_spark.operators.graph import bfs_layers
