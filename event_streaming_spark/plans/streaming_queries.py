@@ -267,3 +267,123 @@ def streaming_session_window_drain(spark: SparkSession, sf_dir: str) -> DataFram
         ["user_id", "session_start_ms", "n_events", "duration_s", "session_value"]
     ]
     return spark.createDataFrame(out, _SESSIONW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream INTERVAL JOIN: views and purchases ride separate topic
+# logs; a Structured Streaming inner join matches each purchase to the
+# same user's views from the preceding hour.  Watermarks on both sides +
+# the time-range conjunct give Spark the state-retention bound (view
+# state older than the watermark minus the interval is GC'd); with an
+# availableNow drain every match is found before any state expires, so
+# the emitted pairs equal the batch join EXACTLY — which is what the
+# oracle checks, pair for pair.
+#
+# Scale: join state is bounded by watermark horizon × arrival rate per
+# side, not the log; output pairs stream through the callback per
+# micro-batch.  This is the operator class the daily/session drains
+# don't cover: two live streams correlated on key + time range.
+# ---------------------------------------------------------------------------
+
+_IVJ_ORACLE = """
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       round(cast(epoch_ms(p.ts) - epoch_ms(v.ts) AS double) / 1000.0, 3)
+         AS gap_s
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY view_id, purchase_id
+"""
+
+_IVJ_SCHEMA = T.StructType(
+    [
+        T.StructField("view_id", T.LongType()),
+        T.StructField("purchase_id", T.LongType()),
+        T.StructField("gap_s", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "streaming_interval_join_drain",
+    _IVJ_ORACLE,
+    tags=("streaming", "join"),
+)
+def streaming_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two topic logs → stream-stream time-range join → drained pairs
+    must hash-equal the batch interval join."""
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    root = tempfile.mkdtemp(prefix="est-ivj-")
+    batches: list = []
+    try:
+        agency = EventsAgency(spark, root=root, log_format="parquet")
+        ctx_v = agency._get_or_create("driver-gate", "views")
+        ctx_p = agency._get_or_create("driver-gate", "purchases")
+        ev = load(spark, sf_dir, "events")
+        ctx_v.publish(ev.where(F.col("event_type") == "view"))
+        ctx_p.publish(ev.where(F.col("event_type") == "purchase"))
+
+        views = (
+            ctx_v.stream()
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+        )
+        purchases = (
+            ctx_p.stream()
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        joined = views.join(
+            purchases,
+            F.expr(
+                "v_user = p_user AND p_ts >= v_ts"
+                " AND p_ts <= v_ts + INTERVAL 1 HOUR"
+            ),
+            "inner",
+        ).select(
+            "view_id",
+            "purchase_id",
+            F.round(
+                (F.unix_millis("p_ts") - F.unix_millis("v_ts")).cast("double")
+                / 1000.0,
+                3,
+            ).alias("gap_s"),
+        )
+
+        def cb(batch_df: DataFrame, batch_id: int) -> None:
+            batches.append(batch_df.toPandas())
+
+        ckpt = os.path.join(root, "_ckpt-ivj")
+        q = (
+            joined.writeStream.foreachBatch(cb)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        agency.close(remove_logs=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    import pandas as pd
+
+    if not batches:
+        return spark.createDataFrame([], _IVJ_SCHEMA)
+    out = pd.concat(batches, ignore_index=True)
+    out = out.sort_values(["view_id", "purchase_id"]).reset_index(drop=True)
+    return spark.createDataFrame(out, _IVJ_SCHEMA)
