@@ -47,9 +47,11 @@ _PRIORITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     "q18_large_volume_orders",
     "q21_suppliers_kept_waiting",
+    # r4 session-2: the stream-stream interval join (displacing q6,
+    # driver-green r3) — the two-live-streams operator class.
+    "streaming_interval_join_drain",
     # Round-4 session-2 additions in the graded window, displacing
     # q8/q9/q10/q15 (all driver-green in CORRECTNESS_r03.json and still
     # judge-verified by the full-catalog oracle run): the streaming
@@ -144,6 +146,7 @@ _PRIORITY = [
     "ngram_jaccard_same_source_pairs",
     "dedup_clusters_star_variant",
     "q2_min_cost_supplier_per_part",
+    "q6_forecast_revenue",
     "q8_national_market_share",
     "q9_product_type_profit",
     "q10_returned_item_customers",
