@@ -1398,17 +1398,25 @@ def docs_bm25_postings_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     # per-doc length WITHOUT a second tokenize+explode+shuffle pass:
     # size() is per-row narrow work; docs with zero tokens drop out of
-    # dl on both engines (the oracle's tok CTE filters '' terms)
-    dl = docs.select("doc_id", F.size(toks).alias("dl")).where(F.col("dl") > 0)
+    # dl on both engines (the oracle's tok CTE filters '' terms).
+    # dl and tf each feed MULTIPLE consumers (g / the score join; df /
+    # the score join) — materialize both so the corpus is tokenized
+    # ONCE per table, not once per consumer (the unmaterialized plan
+    # scanned the corpus five times).
+    dl = materialize(
+        docs.select("doc_id", F.size(toks).alias("dl")).where(F.col("dl") > 0),
+        "bm25-doclen",
+    )
     tok = docs.select("doc_id", F.explode(toks).alias("term"))
     g = dl.agg(
         F.sum("dl").cast("bigint").alias("big_l"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    tf = (
+    tf = materialize(
         tok.where(F.col("term").isin(*_SEARCH_TERMS))
         .groupBy("doc_id", "term")
-        .agg(F.least(F.count(F.lit(1)), F.lit(63).cast("bigint")).alias("tf"))
+        .agg(F.least(F.count(F.lit(1)), F.lit(63).cast("bigint")).alias("tf")),
+        "bm25-postings",
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # fixed-cardinality sides (|terms| rows / 1 row): broadcast hints are
