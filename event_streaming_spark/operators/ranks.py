@@ -41,6 +41,13 @@ _BYTES_PER_BUCKET = 128 << 20
 #: Absolute bucket ceiling: offsets stay an O(#buckets) driver list
 #: (driver-trivial at this bound) and range-sampling cost stays sane.
 _MAX_BUCKETS = 1 << 18
+#: How far the (unreliable) optimizer size estimate may raise the bucket
+#: count above the configured parallelism.
+_SIZE_HEADROOM = 4
+#: Estimates beyond this are Catalyst selectivity-multiplication garbage
+#: (measured 4.9e24 bytes for a 100k-row frame), not information —
+#: ignored entirely rather than clamped.
+_SANE_SIZE = 1 << 50  # 1 PiB
 
 
 def _n_buckets(df: DataFrame) -> int:
@@ -51,22 +58,31 @@ def _n_buckets(df: DataFrame) -> int:
     task should hold.  Instead take the max of (a) defaultParallelism
     (never fewer buckets than cores), (b) the session's shuffle
     partitions (the knob operators already size to the deployment), and
-    (c) the optimizer's size estimate at ~128 MiB per bucket, capped —
-    estimates can wildly overestimate on post-join plans, and an
-    overestimate only means smaller buckets, never wrong answers."""
+    (c) the optimizer's size estimate at ~128 MiB per bucket.
+
+    The estimate is TRUSTED ONLY UP TO ``_SIZE_HEADROOM`` × the
+    configured parallelism: Catalyst's post-join estimates multiply
+    selectivities and can be off by many orders of magnitude (measured
+    4.9e24 bytes for a 100k-row frame inside events_mad_outliers, which
+    turned one range shuffle into a 36k-task stage).  The estimate's
+    only legitimate job is rescuing an under-set conf, so a bounded
+    multiple keeps that rescue while capping the damage of a garbage
+    estimate at task-overhead, not orders of magnitude."""
     sess = df.sparkSession
     floor = sess.sparkContext.defaultParallelism
     try:
         conf = int(sess.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         conf = floor
+    base = max(floor, conf)
     by_size = 0
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        by_size = -(-size // _BYTES_PER_BUCKET)
+        if size < _SANE_SIZE:
+            by_size = -(-size // _BYTES_PER_BUCKET)
     except Exception:  # pragma: no cover - stats unavailable on some plans
         pass
-    return max(floor, conf, min(by_size, _MAX_BUCKETS))
+    return min(max(base, min(by_size, _SIZE_HEADROOM * base)), _MAX_BUCKETS)
 
 
 def _bucketize(df: DataFrame, order_cols: list[Column], name: str) -> DataFrame:

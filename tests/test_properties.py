@@ -442,7 +442,11 @@ def test_global_rank_invariant_to_bucket_count(spark):
 
 
 def test_n_buckets_scales_with_conf_and_caps(spark):
-    from event_streaming_spark.operators.ranks import _MAX_BUCKETS, _n_buckets
+    from event_streaming_spark.operators.ranks import (
+        _MAX_BUCKETS,
+        _SIZE_HEADROOM,
+        _n_buckets,
+    )
 
     df = spark.range(100)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -452,6 +456,26 @@ def test_n_buckets_scales_with_conf_and_caps(spark):
         assert 555 <= n <= _MAX_BUCKETS
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_n_buckets_distrusts_garbage_size_estimates(spark):
+    """r4: Catalyst's post-join size estimates can be off by many orders
+    of magnitude (4.9e24 bytes measured inside events_mad_outliers); the
+    estimate may raise the bucket count only a bounded multiple above
+    the configured parallelism."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_spark.operators.ranks import _SIZE_HEADROOM, _n_buckets
+
+    a = spark.range(3000).withColumn("k", F.col("id") % 7)
+    b = spark.range(3000).withColumn("k", F.col("id") % 7)
+    # joins multiply estimates; chain two to make it explode
+    big = a.join(b, "k").join(b.withColumnRenamed("id", "id2"), "k")
+    base = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    assert _n_buckets(big) <= _SIZE_HEADROOM * base
 
 
 def test_bfs_layers_matches_bruteforce(spark):
