@@ -387,3 +387,209 @@ def streaming_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame
     out = pd.concat(batches, ignore_index=True)
     out = out.sort_values(["view_id", "purchase_id"]).reset_index(drop=True)
     return spark.createDataFrame(out, _IVJ_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment: the topic stream joined per micro-batch to a
+# STATIC dimension (customer), then a watermarked daily aggregate per
+# nation.  The stream-static join is the standard enrichment shape — the
+# dim side is a bounded broadcast each micro-batch, no state beyond the
+# windowed agg (days × nations).  Same drain/update-mode discipline as
+# streaming_drain_equals_batch; oracle is the batch join+rollup.
+# ---------------------------------------------------------------------------
+
+_ENRICH_ORACLE = f"""
+SELECT CAST(e.ts AS DATE) AS event_date,
+       n.n_name AS nation,
+       count(*) AS n_events,
+       {sql_exact_sum('e.value')} AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY CAST(e.ts AS DATE), n.n_name
+"""
+
+_ENRICH_SCHEMA = T.StructType(
+    [
+        T.StructField("event_date", T.DateType()),
+        T.StructField("nation", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "streaming_static_enrich_drain",
+    _ENRICH_ORACLE,
+    tags=("streaming", "join", "agg"),
+)
+def streaming_static_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic stream ⋈ static dims per micro-batch → watermarked daily
+    nation rollup; final per-key updates hash-equal the batch rollup."""
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    root = tempfile.mkdtemp(prefix="est-enrich-")
+    batches: list = []
+    try:
+        agency = EventsAgency(spark, root=root, log_format="parquet")
+        ctx = agency._get_or_create("driver-gate", "events-enrich")
+        ev = load(spark, sf_dir, "events")
+        ctx.publish(ev)
+        dim = (
+            load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey")
+            .join(
+                load(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+        )
+
+        def enriched(df: DataFrame) -> DataFrame:
+            return (
+                df.join(dim, "user_id")  # stream-static inner join
+                .withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 day"), "nation")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sv"),
+                )
+            )
+
+        def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
+            pdf = batch_df.select(
+                F.to_date(F.col("window.start")).alias("event_date"),
+                "nation",
+                "n_events",
+                "sv",
+            ).toPandas()
+            pdf["batch_id"] = batch_id
+            batches.append(pdf)
+
+        ctx.consume(
+            on_notify,
+            once=True,
+            transform=enriched,
+            output_mode="update",
+            state_partitions=8,
+        )
+        agency.close(remove_logs=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    import pandas as pd
+
+    if not batches:
+        return spark.createDataFrame([], _ENRICH_SCHEMA)
+    all_updates = pd.concat(batches, ignore_index=True)
+    last = (
+        all_updates.sort_values("batch_id", kind="stable")
+        .groupby(["event_date", "nation"], as_index=False)
+        .last()
+    )
+    last["total_value"] = (last["sv"] / 1e6).round(2)
+    out = last[["event_date", "nation", "n_events", "total_value"]]
+    return spark.createDataFrame(out, _ENRICH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# HOPPING (sliding) windows: 1-day windows every 6 hours — each event
+# lands in exactly 4 overlapping windows.  Same drain discipline as the
+# tumbling query; the oracle EXPLODES each event to its 4 covering
+# window starts with integer epoch-ms arithmetic (no window function
+# needed — the window set of an event is pure arithmetic on its
+# timestamp, which is also how Spark's WindowExec generates them).
+# ---------------------------------------------------------------------------
+
+_HOP_MS = 6 * 3600 * 1000
+_HOPW_ORACLE = f"""
+WITH hopped AS (
+  SELECT (epoch_ms(ts) // {_HOP_MS} - k) * {_HOP_MS} AS window_start_ms,
+         event_type, value
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+)
+SELECT window_start_ms, event_type,
+       count(*) AS n_events,
+       {sql_exact_sum('value')} AS total_value
+FROM hopped
+GROUP BY window_start_ms, event_type
+"""
+
+
+@register(
+    "streaming_hopping_window_drain",
+    _HOPW_ORACLE,
+    tags=("streaming", "window", "agg"),
+)
+def streaming_hopping_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow drain through a 1-day/6-hour sliding window; final
+    per-key updates hash-equal the arithmetic window explosion."""
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    root = tempfile.mkdtemp(prefix="est-hopw-")
+    batches: list = []
+    try:
+        agency = EventsAgency(spark, root=root, log_format="parquet")
+        ctx = agency._get_or_create("driver-gate", "events-hopping")
+        ev = load(spark, sf_dir, "events")
+        ctx.publish(ev)
+
+        def hopped(df: DataFrame) -> DataFrame:
+            return (
+                df.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 day", "6 hours"), "event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sv"),
+                )
+            )
+
+        def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
+            pdf = batch_df.select(
+                F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+                "event_type",
+                "n_events",
+                "sv",
+            ).toPandas()
+            pdf["batch_id"] = batch_id
+            batches.append(pdf)
+
+        ctx.consume(
+            on_notify,
+            once=True,
+            transform=hopped,
+            output_mode="update",
+            # state = 4× the tumbling cardinality (overlap factor), still
+            # windows × types — store count tracks it
+            state_partitions=8,
+        )
+        agency.close(remove_logs=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    import pandas as pd
+
+    if not batches:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("window_start_ms", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("n_events", T.LongType()),
+                    T.StructField("total_value", T.DoubleType()),
+                ]
+            ),
+        )
+    all_updates = pd.concat(batches, ignore_index=True)
+    last = (
+        all_updates.sort_values("batch_id", kind="stable")
+        .groupby(["window_start_ms", "event_type"], as_index=False)
+        .last()
+    )
+    last["total_value"] = (last["sv"] / 1e6).round(2)
+    return spark.createDataFrame(
+        last[["window_start_ms", "event_type", "n_events", "total_value"]],
+        "window_start_ms long, event_type string, n_events long, total_value double",
+    )
