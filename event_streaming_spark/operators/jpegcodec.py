@@ -632,13 +632,13 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 def _quantize_planes(px, subsampling: str):
     """Shared front half of both encoders: RGB → YCbCr → (optional 4:2:0
-    chroma box-average) → pad to the MCU grid → FDCT → Annex-K quantize.
-    Returns ``(h, w, sampling, quantized, mcux, mcuy)`` where
+    / 4:2:2 chroma box-average) → pad to the MCU grid → FDCT → Annex-K
+    quantize.  Returns ``(h, w, sampling, quantized, mcux, mcuy)`` where
     ``quantized[ci]`` is an int64 (n_blocks, 8, 8) natural-order grid."""
     import numpy as np
 
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
     px = np.asarray(px, dtype=np.float64)
     h, w = px.shape[:2]
     r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
@@ -655,6 +655,15 @@ def _quantize_planes(px, subsampling: str):
             return (pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
 
         planes = [y, half(cb), half(cr)]
+    elif subsampling == "422":
+        sampling = [(2, 1), (1, 1), (1, 1)]
+        # horizontal-only pair average: chroma at half width, full height
+        def half_h(p):
+            ww = (p.shape[1] + 1) & ~1
+            pp = _pad_edge(p, p.shape[0], ww)
+            return (pp[:, 0::2] + pp[:, 1::2]) / 2.0
+
+        planes = [y, half_h(cb), half_h(cr)]
     else:
         sampling = [(1, 1), (1, 1), (1, 1)]
         planes = [y, cb, cr]

@@ -35,7 +35,7 @@ def _psnr(a, b):
 
 
 @pytest.mark.parametrize("shape", [(16, 24), (14, 20), (9, 9), (33, 41)])
-@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
 def test_roundtrip_shapes_and_subsampling(shape, sub):
     h, w = shape
     img = _smooth(h, w)
@@ -131,7 +131,7 @@ def test_extract_image_meta_decodes_jpeg_in_spark(spark, tmp_path):
     assert rows["jpeg"]["checksum64"] > 0  # real pixel sum, not a byte checksum
 
 
-@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
 def test_uniform_even_blocks_dc_exact(sub):
     """The arithmetic-oracle hook multimodal_jpeg_decode_stats relies on:
     gray images of uniform EVEN-valued 8x8 blocks aligned to the DCT grid
@@ -151,7 +151,7 @@ def test_uniform_even_blocks_dc_exact(sub):
                 assert (out == img).all(), (sub, seed, wb, hb)
 
 
-@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
 def test_progressive_matches_baseline(sub):
     """SOF2 differential contract: the progressive encoder shares the
     baseline's quantization front half, so decoding its stream must give
