@@ -240,3 +240,50 @@ def bfs_layers(
         visited = materialize(visited.union(nxt), f"bfs-visited{depth}")
         frontier = nxt.select("node")
     return visited
+
+
+# ---------------------------------------------------------------------------
+# k-core: iterative degree peeling.
+# ---------------------------------------------------------------------------
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree ≥ k (undirected, self-loops ignored).
+
+    Use case: the DENSE heart of a near-dup cluster — boilerplate rings
+    and template farms survive k-core peeling while incidental pairwise
+    matches fall away, so the core is what deserves aggressive collapse.
+
+    Scale shape: each peeling round is one degree aggregate over the
+    surviving edge set plus two semi-joins to drop edges touching peeled
+    nodes — all key-partitioned shuffles, no windows.  Rounds end when a
+    round peels nothing (O(1) driver count check on the pinned degree
+    frame); ``max_rounds`` bounds pathological chains.  Deterministic:
+    peeling is order-independent (the k-core is unique), so any
+    partitioning/engine yields the same node set.
+    """
+    s, d = edges.columns[0], edges.columns[1]
+    und = edges.select(F.col(s).alias("src"), F.col(d).alias("dst")).where(
+        F.col(s) != F.col(d)
+    )
+    e = materialize(
+        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct(),
+        "kcore-edges",
+    )
+    for rnd in range(max_rounds):
+        deg = materialize(
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), f"kcore-deg{rnd}"
+        )
+        keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("node"))
+        n_all = deg.count()  # O(#nodes) pinned frame, driver scalar
+        n_keep = keep.count()
+        if n_keep == n_all or n_keep == 0:
+            return keep.orderBy("node") if n_keep else keep
+        e = materialize(
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi"),
+            f"kcore-e{rnd}",
+        )
+    return e.select(F.col("src").alias("node")).distinct().orderBy("node")

@@ -1558,3 +1558,27 @@ def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core of the near-dup graph: the DENSE heart of duplicate clusters —
+# template farms and boilerplate rings survive degree peeling while
+# incidental pairwise matches fall away (the set that deserves the most
+# aggressive collapse).  Iterative global deletion is not expressible as
+# one (monotone-recursive) SQL statement, so this registers rows-only;
+# the REAL gate is the brute-force differential property test
+# (tests/test_properties.py::test_k_core_matches_bruteforce) — k-cores
+# are unique, so peeling order/partitioning cannot change the answer.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_kcore_dense_near_dup",
+    None,  # iterative peeling — rows-only (see header comment)
+    tags=("graph", "iterative", "llm", "dedup"),
+)
+def graph_kcore_dense_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.graph import k_core
+
+    edges = minhash_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return k_core(edges, k=2).select(F.col("node").alias("doc_id")).orderBy("doc_id")

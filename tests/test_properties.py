@@ -514,3 +514,36 @@ def test_bfs_layers_matches_bruteforce(spark):
             for r in bfs_layers(sdf, edf, max_depth=depth).collect()
         }
         assert got == set(dist.items()), depth
+
+
+def test_k_core_matches_bruteforce(spark):
+    """r4: distributed peeling equals single-machine k-core on random
+    graphs for several k, including empty cores and full-graph cores."""
+    import collections
+    import random
+
+    from event_streaming_spark.operators.graph import k_core
+
+    rnd = random.Random(23)
+    edges = sorted({(rnd.randrange(40), rnd.randrange(40)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+
+    def ref_core(k):
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return {n for n, nb in adj.items() if nb}
+
+    edf = spark.createDataFrame(edges, "a INT, b INT")
+    for k in (1, 2, 3, 5, 40):
+        got = {r["node"] for r in k_core(edf, k).collect()}
+        assert got == ref_core(k), k
