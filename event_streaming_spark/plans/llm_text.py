@@ -261,3 +261,85 @@ def text_heavy_hitters_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
     return topk_per_group(
         counts, "source", [F.col("n").desc(), F.col("term")], 5, rn_col="rnk"
     ).select("source", "term", "n", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality GATE: a linear scorer with SHIPPED integer weights
+# over exact-integer features — the "quality classifier filter" stage of
+# a training-data pipeline (fasttext-style), reduced to arithmetic both
+# engines compute bit-identically: every feature is an integer
+# numerator/denominator pair and every ratio a ppm floor division, so
+# the score (and the keep decision) cannot drift across engines the way
+# a float dot product + sigmoid would.  Weights favor alphabetic prose
+# with English stopword density and moderate token length; the
+# threshold keeps roughly the top half of the synthetic corpus.
+# ---------------------------------------------------------------------------
+
+_QGATE_THRESHOLD = 3_900_000
+
+_QGATE_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS a,
+         len(text) AS c,
+         list_filter(string_split({T.sql_normalize_text('text')}, ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+  WHERE len(text) > 0
+), g AS (
+  SELECT doc_id, a, c,
+         len(toks) AS t,
+         len(list_filter(toks, t -> list_contains([{', '.join(f"'{w}'" for w in T.ENGLISH_STOPWORDS)}], t))) AS s,
+         list_sum(list_transform(toks, t -> len(t))) AS big_l
+  FROM f
+)
+SELECT doc_id,
+       cast(3 * ((a * 1000000) // c)
+          + 5 * ((s * 1000000) // t)
+          + 2 * ((big_l * 1000000) // (t * 8)) AS BIGINT) AS score_fp,
+       CASE WHEN 3 * ((a * 1000000) // c)
+               + 5 * ((s * 1000000) // t)
+               + 2 * ((big_l * 1000000) // (t * 8)) >= {_QGATE_THRESHOLD}
+            THEN 1 ELSE 0 END AS kept
+FROM g
+WHERE t > 0
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_quality_model_gate",
+    _QGATE_ORACLE,
+    tags=("llm", "text", "quality"),
+)
+def text_quality_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.functions.hashing import tokens
+
+    docs = spread(load(spark, sf_dir, "documents")).where(F.length("text") > 0)
+    toks = tokens(F.col("text"))
+    g = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("a"),
+        F.length("text").alias("c"),
+        F.size(toks).alias("t"),
+        F.size(F.filter(toks, lambda x: x.isin(*T.ENGLISH_STOPWORDS))).alias("s"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias(
+            "big_l"
+        ),
+    ).where(F.col("t") > 0)
+    score = F.expr(
+        "3 * ((a * 1000000) div c)"
+        " + 5 * ((s * 1000000) div t)"
+        " + 2 * ((big_l * 1000000) div (t * 8))"
+    ).cast("bigint")
+    return (
+        g.withColumn("score_fp", score)
+        .withColumn(
+            "kept",
+            F.when(F.col("score_fp") >= _QGATE_THRESHOLD, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .select("doc_id", "score_fp", "kept")
+        .orderBy("doc_id")
+    )
