@@ -235,3 +235,67 @@ def test_progressive_restart_intervals_roundtrip():
             n_rst = sum(data.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
             assert n_rst > 0, (sub, dri)
             assert np.array_equal(base, decode_jpeg(data)), (sub, dri)
+
+
+def test_ac_first_and_refine_coefficient_fuzz():
+    """Coefficient-level differential of the two trickiest progressive
+    procedures, bypassing images: random coefficient tables (EOB-run
+    heavy, ZRL-in-refine, history/newly-nonzero interleavings, optional
+    restart intervals) go through encode → optimized-table Huffman →
+    byte-stuffed stream → de-stuff/split (_split_intervals, the
+    production path) → decode; after the Al=1 first pass plus the Al=0
+    refinement the reconstruction must be exact."""
+    import random
+
+    import numpy as np
+
+    from event_streaming_spark.operators.jpegcodec import (
+        _ac_first,
+        _ac_refine,
+        _BitReader,
+        _BitWriter,
+        _canonical_codes,
+        _encode_ac_first,
+        _encode_ac_refine,
+        _HuffDecoder,
+        _optimal_huffman,
+        _ScanOps,
+        _split_intervals,
+    )
+
+    rnd = random.Random(42)
+    for _trial in range(40):
+        n = rnd.randrange(1, 30)
+        zz = np.zeros((n, 64), dtype=np.int64)
+        for b in range(n):
+            if rnd.random() >= 0.25:  # leave ~1/4 blocks all-zero (EOB runs)
+                for _ in range(rnd.randrange(0, 20)):
+                    zz[b, rnd.randrange(1, 64)] = rnd.choice(
+                        [1, -1, 2, -2, 3, -3, 5, -9, 17, -33, 100, -255]
+                    )
+        idx = list(range(n))
+        blk = np.zeros((n, 64), dtype=np.int32)
+        for enc, dec, al in [
+            (_encode_ac_first, _ac_first, 1),
+            (_encode_ac_refine, _ac_refine, 0),
+        ]:
+            dri = rnd.randrange(1, n + 2) if rnd.random() < 0.5 else 0
+            ops = _ScanOps()
+            enc(ops, zz, idx, 1, 63, al, dri=dri)
+            bits, vals = _optimal_huffman(ops.freq or {0x00: 1})
+            writer = _BitWriter()
+            ops.replay(writer, _canonical_codes(bits, vals))
+            writer.flush()
+            # production path: de-stuff + split on the RST markers
+            intervals = _split_intervals(bytes(writer.out))
+            dec_tab = _HuffDecoder(bits, vals)
+            per = dri if dri else n
+            u = 0
+            for data in intervals:
+                reader = _BitReader(data)
+                eob = 0
+                for _ in range(min(per, n - u)):
+                    eob = dec(reader, dec_tab, blk[u], 1, 63, al, eob)
+                    u += 1
+            assert u == n
+        assert np.array_equal(blk[:, 1:], zz[:, 1:])
