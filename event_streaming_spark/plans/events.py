@@ -467,3 +467,130 @@ def events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_ms", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: strictly-ordered stage progression (view → click →
+# purchase) per user, earliest-completion semantics — the canonical
+# event-analytics query over a pub/sub event stream.  One shuffle on
+# user_id; each stage is a conditional min over the previous stage's
+# timestamp, all inside a single aggregate pass (no self-joins, no
+# window cascade).  Deterministic: stage times are min() over exact
+# timestamps.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT cast(count(s1.user_id) AS BIGINT) AS n_view,
+       cast(count(s2.user_id) AS BIGINT) AS n_click,
+       cast(count(s3.user_id) AS BIGINT) AS n_purchase,
+       round(cast(count(s3.user_id) AS DOUBLE) / count(s1.user_id), 6)
+         AS conversion
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id
+"""
+
+
+@register(
+    "events_funnel_conversion",
+    _FUNNEL_ORACLE,
+    tags=("events", "analytics", "funnel"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # single aggregate pass per stage chain: conditional mins over the
+    # previous stage's time, all partitioned on user_id
+    t1 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    funnel = t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
+    return funnel.agg(
+        F.count("t1").cast("bigint").alias("n_view"),
+        F.count("t2").cast("bigint").alias("n_click"),
+        F.count("t3").cast("bigint").alias("n_purchase"),
+        F.round(
+            F.count("t3").cast("double") / F.count("t1").cast("double"), 6
+        ).alias("conversion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-seen WEEK, activity counted
+# per week offset — the cohort-retention matrix every product-analytics
+# stack computes.  Two shuffles (first-seen per user; cohort × offset
+# rollup), both on bounded keys; distinct-user counts are exact.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(min(ts) AS DATE)) // 7
+           AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT e.user_id, f.cohort_week,
+         date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7
+           - f.cohort_week AS week_offset
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+)
+SELECT cast(cohort_week AS INT) AS cohort_week,
+       cast(week_offset AS INT) AS week_offset,
+       cast(count(DISTINCT user_id) AS BIGINT) AS n_active,
+       cast(count(*) AS BIGINT) AS n_events
+FROM activity
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register(
+    "events_retention_cohorts",
+    _RETENTION_ORACLE,
+    tags=("events", "analytics", "cohort"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    epoch = F.lit("2024-01-01").cast("date")
+    week = lambda c: (F.datediff(F.to_date(c), epoch) / 7).cast("int")  # noqa: E731
+    first_seen = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    activity = ev.join(first_seen, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (week(F.col("ts")) - F.col("cohort_week")).cast("int").alias("week_offset"),
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_active"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
