@@ -594,3 +594,115 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration: how few top users carry 50% / 80% / 95% of total
+# event value.  Users aggregate first (bounded key), then the
+# scale-safe global cumsum (operators/ranks.py — range buckets +
+# offsets, no single-task window) ranks them by value descending;
+# thresholds read off the cumulative share.  Exact integers end-to-end:
+# value in cents, thresholds via integer comparison.
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH u AS (
+  SELECT user_id, cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT user_id, cents,
+         sum(cents) OVER (ORDER BY cents DESC, user_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cents) OVER () AS total
+  FROM u
+)
+SELECT
+  cast(min(CASE WHEN cum * 100 >= total * 50 THEN rn END) AS BIGINT) AS users_to_50pct,
+  cast(min(CASE WHEN cum * 100 >= total * 80 THEN rn END) AS BIGINT) AS users_to_80pct,
+  cast(min(CASE WHEN cum * 100 >= total * 95 THEN rn END) AS BIGINT) AS users_to_95pct,
+  cast(count(*) AS BIGINT) AS n_users
+FROM (SELECT *, row_number() OVER (ORDER BY cents DESC, user_id) AS rn FROM ranked)
+"""
+
+
+@register(
+    "events_pareto_user_value",
+    _PARETO_ORACLE,
+    tags=("events", "analytics", "rank"),
+)
+def events_pareto_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.ranks import (
+        with_global_cumsum,
+        with_global_row_number,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    order = [F.desc("cents"), F.asc("user_id")]
+    cum, total = with_global_cumsum(u, order, "cents", "cum")
+    ranked, n_users = with_global_row_number(cum, order, "rn")
+    hit = lambda pct: F.min(  # noqa: E731
+        F.when(F.col("cum") * 100 >= F.lit(int(total)) * pct, F.col("rn"))
+    ).cast("bigint")
+    return ranked.agg(
+        hit(50).alias("users_to_50pct"),
+        hit(80).alias("users_to_80pct"),
+        hit(95).alias("users_to_95pct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed variance: per-type mean/variance derived from
+# EXACT integer moments (count, sum of cents, sum of squared cents) —
+# the float-free version of the textbook two-pass-free variance.  The
+# moments are order-independent int64 sums (max |cents| ~1e5, squares
+# ~1e10, 1e9 rows before overflow at 100 TB — document the DECIMAL(38)
+# escalation there), so mean and variance are bit-identical across
+# engines: the same IEEE divisions of the same exact integers.
+# ---------------------------------------------------------------------------
+
+_VARSTATS_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+         cast(sum(cast(round(value * 100) AS BIGINT)
+                  * cast(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, s1, s2,
+       round(cast(s1 AS DOUBLE) / n / 100.0, 6) AS mean_value,
+       round((cast(s2 AS DOUBLE) / n
+              - (cast(s1 AS DOUBLE) / n) * (cast(s1 AS DOUBLE) / n))
+             / 10000.0, 6) AS variance_value
+FROM m
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_exact_variance_by_type",
+    _VARSTATS_ORACLE,
+    tags=("events", "agg", "exact"),
+)
+def events_exact_variance_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).cast("bigint").alias("s1"),
+        F.sum(cents * cents).cast("bigint").alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    nd = F.col("n").cast("double")
+    return m.select(
+        "event_type", "n", "s1", "s2",
+        F.round(s1d / nd / 100.0, 6).alias("mean_value"),
+        F.round((s2d / nd - (s1d / nd) * (s1d / nd)) / 10000.0, 6).alias(
+            "variance_value"
+        ),
+    ).orderBy("event_type")
