@@ -643,8 +643,14 @@ def events_pareto_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = [F.desc("cents"), F.asc("user_id")]
     cum, total = with_global_cumsum(u, order, "cents", "cum")
     ranked, n_users = with_global_row_number(cum, order, "rn")
+    # bigint literals: an int32 `total` times pct overflows 32-bit ANSI
+    # arithmetic (Spark types small literals as INTEGER)
     hit = lambda pct: F.min(  # noqa: E731
-        F.when(F.col("cum") * 100 >= F.lit(int(total)) * pct, F.col("rn"))
+        F.when(
+            F.col("cum") * F.lit(100).cast("bigint")
+            >= F.lit(int(total)).cast("bigint") * F.lit(pct).cast("bigint"),
+            F.col("rn"),
+        )
     ).cast("bigint")
     return ranked.agg(
         hit(50).alias("users_to_50pct"),
