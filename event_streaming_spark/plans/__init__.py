@@ -28,6 +28,8 @@ from event_streaming_spark.plans import scale_ops2  # noqa: F401,E402
 from event_streaming_spark.plans import storage_queries  # noqa: F401,E402
 from event_streaming_spark.plans import scale_ops3  # noqa: F401,E402
 from event_streaming_spark.plans import streaming_queries  # noqa: F401,E402
+from event_streaming_spark.plans import stats_queries  # noqa: F401,E402
+from event_streaming_spark.plans import embeddings_pca  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness

@@ -390,6 +390,160 @@ def streaming_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join: the outer complement of
+# streaming_interval_join_drain.  Views with NO purchase in the following
+# hour must still emit — null-padded — once the watermark proves no match
+# can arrive.  This is the one streaming-join class the catalog didn't
+# cover: state EVICTION is part of the answer, not just an optimization
+# (a null row emits exactly when the view's join window closes under the
+# watermark).
+#
+# Drain mechanics — TWO availableNow drains over ONE checkpoint:
+#   1. data + a sentinel 3 h past the max real timestamp drain in a
+#      single micro-batch.  The watermark is 0 DURING that batch, so
+#      both sides are fully buffered and every inner match emits; the
+#      batch COMMITS a watermark of max+2h (sentinel − 1h delay).
+#   2. a second flush file is published and the query RESUMES from the
+#      same checkpoint (join state + watermark persist — the standard
+#      restart path).  Its batch runs under the committed max+2h
+#      watermark, which closes every view's [v_ts, v_ts+1h] window:
+#      all never-matched views evict and emit null-padded exactly once.
+# Naive alternatives fail: a single drain never runs a batch after the
+# watermark advances (nulls never emit), and per-file micro-batches race
+# the watermark ahead of unordered files (late rows get dropped).
+# Sentinel rows are filtered from the output.  Oracle: the batch LEFT
+# JOIN, null rows and all.
+#
+# Scale: join state is watermark-horizon-bounded per side exactly as in
+# the inner variant; the null-emission pass touches only evicted state.
+# ---------------------------------------------------------------------------
+
+_LOJ_ORACLE = """
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       round(cast(epoch_ms(p.ts) - epoch_ms(v.ts) AS double) / 1000.0, 3)
+         AS gap_s
+FROM events v
+LEFT JOIN events p
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view'
+ORDER BY view_id, purchase_id
+"""
+
+
+@register(
+    "streaming_left_outer_interval_join",
+    _LOJ_ORACLE,
+    tags=("streaming", "join", "outer"),
+)
+def streaming_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two topic logs → stream-stream LEFT OUTER time-range join; matched
+    pairs AND watermark-finalized null rows hash-equal the batch join."""
+    import datetime
+
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    root = tempfile.mkdtemp(prefix="est-loj-")
+    batches: list = []
+    try:
+        agency = EventsAgency(spark, root=root, log_format="parquet")
+        ctx_v = agency._get_or_create("driver-gate", "views-lo")
+        ctx_p = agency._get_or_create("driver-gate", "purchases-lo")
+        ev = load(spark, sf_dir, "events")
+        ctx_v.publish(ev.where(F.col("event_type") == "view"))
+        ctx_p.publish(ev.where(F.col("event_type") == "purchase"))
+        max_ts = ev.agg(F.max("ts")).first()[0]  # 1-row scalar probe
+        sentinel = [
+            {
+                "event_id": -1,
+                "ts": (max_ts + datetime.timedelta(hours=3)).isoformat(sep="T"),
+                "user_id": -1,
+                "event_type": "__flush__",
+                "value": 0.0,
+                "props": "{}",
+            }
+        ]
+        ctx_v.publish(sentinel)
+        ctx_p.publish(sentinel)
+
+        def build_join() -> DataFrame:
+            views = (
+                ctx_v.stream()
+                .withWatermark("ts", "1 hour")
+                .select(
+                    F.col("event_id").alias("view_id"),
+                    F.col("user_id").alias("v_user"),
+                    F.col("ts").alias("v_ts"),
+                )
+            )
+            purchases = (
+                ctx_p.stream()
+                .withWatermark("ts", "1 hour")
+                .select(
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("p_user"),
+                    F.col("ts").alias("p_ts"),
+                )
+            )
+            return views.join(
+                purchases,
+                F.expr(
+                    "v_user = p_user AND p_ts >= v_ts"
+                    " AND p_ts <= v_ts + INTERVAL 1 HOUR"
+                ),
+                "leftOuter",
+            ).select(
+                "view_id",
+                "purchase_id",
+                F.round(
+                    (F.unix_millis("p_ts") - F.unix_millis("v_ts")).cast("double")
+                    / 1000.0,
+                    3,
+                ).alias("gap_s"),
+            )
+
+        def cb(batch_df: DataFrame, batch_id: int) -> None:
+            batches.append(batch_df.toPandas())
+
+        ckpt = os.path.join(root, "_ckpt-loj")
+
+        def drain() -> None:
+            q = (
+                build_join()
+                .writeStream.foreachBatch(cb)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()  # all matches, single batch, watermark 0 -> commits max+2h
+        sentinel2 = [dict(sentinel[0], event_id=-2)]
+        ctx_v.publish(sentinel2)
+        ctx_p.publish(sentinel2)
+        drain()  # resumed state + committed watermark -> null-emission batch
+        agency.close(remove_logs=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    import pandas as pd
+
+    if not batches:
+        return spark.createDataFrame([], _IVJ_SCHEMA)
+    out = pd.concat(batches, ignore_index=True)
+    out = out[out["view_id"] >= 0].copy()  # drop the watermark sentinels
+    out = out.sort_values(["view_id", "purchase_id"]).reset_index(drop=True)
+    # Outer-padded cells arrive as pandas NaN/NA — map them to real NULLs
+    # (NaN would hash-mismatch the oracle's NULL).
+    out = out.astype(object).where(pd.notna(out), None)
+    return spark.createDataFrame(out, _IVJ_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Stream-static enrichment: the topic stream joined per micro-batch to a
 # STATIC dimension (customer), then a watermarked daily aggregate per
 # nation.  The stream-static join is the standard enrichment shape — the

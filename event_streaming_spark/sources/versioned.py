@@ -235,7 +235,72 @@ class VersionedStore:
             lambda prev: prev + new, "append", txn=txn, compute_schema=compute_schema
         )
 
-    def read(self, version: int | None = None) -> DataFrame:
+    # -- tags (named immutable refs, Iceberg-style) ---------------------------
+    @property
+    def _refs_dir(self) -> str:
+        d = os.path.join(self.path, "_refs")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        if not name or not all(c.isalnum() or c in "-_." for c in name):
+            raise ValueError(f"invalid ref name: {name!r}")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``name`` to a snapshot (default: the current head).  Tags
+        are IMMUTABLE refs (Iceberg `tag` semantics): creating an
+        existing name raises — delete_tag first to move it.  The tagged
+        version is vacuum-protected until the tag is deleted, so
+        ``read(tag=...)`` keeps working regardless of retention.
+
+        Publication is atomic create-if-absent (O_EXCL), the same
+        discipline as manifest commits — two racing taggers get one
+        winner and one error, never a half-written ref."""
+        self._check_ref_name(name)
+        v = self.latest_version() if version is None else version
+        if v < 0 or not os.path.exists(os.path.join(self.manifest_dir, f"v{v}.json")):
+            raise ValueError(f"no snapshot at version {v!r}")
+        tmp = os.path.join(self._refs_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "version": v}, fh)
+        try:
+            os.link(tmp, os.path.join(self._refs_dir, f"{name}.json"))
+        except FileExistsError:
+            raise ValueError(f"tag exists: {name!r}") from None
+        finally:
+            os.unlink(tmp)
+        return v
+
+    def resolve_tag(self, name: str) -> int:
+        self._check_ref_name(name)
+        p = os.path.join(self._refs_dir, f"{name}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"no such tag: {name!r}")
+        with open(p) as fh:
+            return json.load(fh)["version"]
+
+    def delete_tag(self, name: str) -> None:
+        self._check_ref_name(name)
+        try:
+            os.unlink(os.path.join(self._refs_dir, f"{name}.json"))
+        except FileNotFoundError:
+            raise ValueError(f"no such tag: {name!r}") from None
+
+    def tags(self) -> dict[str, int]:
+        out = {}
+        for f in sorted(os.listdir(self._refs_dir)):
+            if f.endswith(".json") and not f.startswith("."):
+                with open(os.path.join(self._refs_dir, f)) as fh:
+                    r = json.load(fh)
+                out[r["name"]] = r["version"]
+        return out
+
+    def read(self, version: int | None = None, tag: str | None = None) -> DataFrame:
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self.resolve_tag(tag)
         files = self.files(version)
         if not files:
             raise ValueError(f"no snapshot at version {version!r}")
@@ -614,6 +679,10 @@ class VersionedStore:
             if f.startswith("v") and f.endswith(".json")
         }
         keep = {v for v in range(max(0, head - keep_last + 1), head + 1)} & existing
+        # Tagged snapshots are retention-exempt: a tag is a promise that
+        # read(tag=...) keeps working, so its manifest AND files survive
+        # any keep_last window until the tag is deleted.
+        keep |= set(self.tags().values()) & existing
         referenced: set[str] = set()
         for v in keep:
             m = self._manifest(v)

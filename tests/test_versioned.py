@@ -802,3 +802,50 @@ def test_compact_rejects_sort_and_zorder_together(spark, tmp_path):
     store.append(spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("x")))
     with pytest.raises(ValueError, match="not both"):
         store.compact(sort_by="id", zorder_by=["x"])
+
+
+# -- tags (named immutable refs) ---------------------------------------------
+
+
+def test_tag_create_read_and_immutability(spark, store):
+    store.append(spark.range(10).select(F.col("id")))
+    store.append(spark.range(10, 30).select(F.col("id")))
+    v = store.create_tag("release-1")  # defaults to head
+    assert v == 1 and store.tags() == {"release-1": 1}
+    store.create_tag("bootstrap", version=0)
+    assert store.read(tag="bootstrap").count() == 10
+    assert store.read(tag="release-1").count() == 30
+    # immutable: re-creating raises; delete then recreate moves it
+    with pytest.raises(ValueError, match="tag exists"):
+        store.create_tag("release-1", version=0)
+    store.delete_tag("release-1")
+    store.create_tag("release-1", version=0)
+    assert store.resolve_tag("release-1") == 0
+    with pytest.raises(ValueError, match="no such tag"):
+        store.read(tag="nope")
+    with pytest.raises(ValueError, match="version OR tag"):
+        store.read(version=0, tag="bootstrap")
+    with pytest.raises(ValueError, match="invalid ref name"):
+        store.create_tag("../escape")
+    with pytest.raises(ValueError, match="no snapshot"):
+        store.create_tag("future", version=99)
+
+
+def test_tagged_snapshot_survives_vacuum(spark, store):
+    store.append(spark.range(5).select(F.col("id")))
+    store.create_tag("pinned", version=0)
+    for k in range(1, 5):
+        store.append(spark.range(5 * k, 5 * (k + 1)).select(F.col("id")))
+    removed = store.vacuum(keep_last=1, min_age_s=0.0)
+    # v0's manifest and files survive because the tag references them...
+    assert store.read(tag="pinned").count() == 5
+    assert {r["id"] for r in store.read(tag="pinned").collect()} == set(range(5))
+    # ...but untagged middle versions were vacuumed away
+    with pytest.raises(Exception):
+        store.read(1)
+    # delete the tag -> the snapshot becomes vacuum-eligible
+    store.delete_tag("pinned")
+    store.vacuum(keep_last=1, min_age_s=0.0)
+    with pytest.raises(Exception):
+        store.read(0)
+    assert removed is not None
