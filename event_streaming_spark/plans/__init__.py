@@ -30,6 +30,7 @@ from event_streaming_spark.plans import scale_ops3  # noqa: F401,E402
 from event_streaming_spark.plans import streaming_queries  # noqa: F401,E402
 from event_streaming_spark.plans import stats_queries  # noqa: F401,E402
 from event_streaming_spark.plans import embeddings_pca  # noqa: F401,E402
+from event_streaming_spark.plans import multimodal_video  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
