@@ -613,3 +613,97 @@ def dedup_incremental_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("est_jaccard").alias("best_est"),
         F.min("index_doc").alias("first_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (truncated-dimension) retrieval audit: rank by cosine over
+# only the FIRST 32 of 64 dimensions and measure recall@3 against the
+# full-dimension exact top-3 — the adaptive-retrieval question MRL-style
+# embeddings pose ("how much ranking quality do the cheap prefix dims
+# keep?").  Same plan shape as the brute-force baseline: query side
+# broadcasts, corpus streams once, two-stage top-k; the only change is
+# the slice, which HALVES the per-candidate dot-product cost — exactly
+# the economics truncated retrieval buys at 100 TB.
+#
+# Determinism: both engines compute the same IEEE chain (sequential
+# fold dot products on identical doubles, one sqrt/div/round), the same
+# contract every cosine query here relies on.
+# ---------------------------------------------------------------------------
+
+_MAT_DIMS = 32
+
+_MATRYOSHKA_ORACLE = f"""
+WITH fullk AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+    )
+  ) WHERE rn <= 3
+), pre AS (
+  SELECT vec_id, embedding[1:{_MAT_DIMS}]::DOUBLE[] AS p FROM embeddings
+), prek AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.p, b.p) /
+                   (sqrt(list_dot_product(a.p, a.p)) *
+                    sqrt(list_dot_product(b.p, b.p))), 6) AS cos_sim
+      FROM pre a JOIN pre b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+    )
+  ) WHERE rn <= 3
+)
+SELECT f.qid,
+       count(p.neighbor_id) AS n_hit,
+       round(count(p.neighbor_id) / 3.0, 6) AS recall_at_3
+FROM fullk f
+LEFT JOIN prek p ON p.qid = f.qid AND p.neighbor_id = f.neighbor_id
+GROUP BY f.qid
+ORDER BY f.qid
+"""
+
+
+@register(
+    "emb_matryoshka_recall",
+    _MATRYOSHKA_ORACLE,
+    tags=("llm", "ann", "audit"),
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of 32-dim prefix-cosine ranking vs the full 64-dim
+    exact top-3, per query vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    pre = emb.select("vec_id", F.slice("embedding", 1, _MAT_DIMS).alias("p"))
+    q = pre.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("p").alias("qv")
+    )
+    pairs = pre.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("p")), 6).alias("cos_sim"),
+    )
+    prek = topk_per_group(
+        pairs, "qid", [F.desc("cos_sim"), F.asc("neighbor_id")], 3, rn_col="rn"
+    ).select(F.col("qid").alias("p_qid"), F.col("neighbor_id").alias("p_nid"))
+    fullk = emb_cosine_topk_bruteforce(spark, sf_dir).filter(F.col("rn") <= 3).select(
+        "qid", "neighbor_id"
+    )
+    return (
+        fullk.join(
+            prek,
+            (fullk.qid == F.col("p_qid")) & (fullk.neighbor_id == F.col("p_nid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("p_nid").alias("n_hit"),
+            F.round(F.count("p_nid") / 3.0, 6).alias("recall_at_3"),
+        )
+        .orderBy("qid")
+    )

@@ -174,3 +174,74 @@ def tpch_refresh_streams_versioned(spark: SparkSession, sf_dir: str) -> DataFram
     return snap(v0, 0).unionByName(snap(v1, 1)).unionByName(snap(v2, 2)).orderBy(
         "version"
     )
+
+
+# ---------------------------------------------------------------------------
+# Tags under the oracle: a named immutable ref pins a snapshot through
+# RETENTION.  v0 (even event_ids) is tagged `baseline`; two more commits
+# land (odd-id append, then a copy-on-write delete of clicks); vacuum
+# with keep_last=1 then drops every untagged old snapshot — the tagged
+# v0 manifest AND its files survive ONLY because the tag references
+# them.  The query reads the tag and the head and returns both rollups;
+# the oracle reconstructs the two states from the raw table, so the
+# driver's hash pins tag resolution, vacuum protection, and snapshot
+# stability in one row set.
+#
+# Scale: tag publication is one O(1) atomic ref write; vacuum scans
+# manifests + the data-dir listing (metadata-sized, never data).
+# ---------------------------------------------------------------------------
+
+_TAG_ORACLE = """
+WITH tagged AS (
+  SELECT event_type, value FROM events WHERE event_id % 2 = 0
+), head AS (
+  SELECT event_type, value FROM events WHERE event_type <> 'click'
+), a AS (
+  SELECT event_type, count(*) AS n_tag,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents_tag
+  FROM tagged GROUP BY event_type
+), b AS (
+  SELECT event_type, count(*) AS n_head
+  FROM head GROUP BY event_type
+)
+SELECT a.event_type, a.n_tag, a.sum_cents_tag,
+       cast(coalesce(b.n_head, 0) AS BIGINT) AS n_head
+FROM a LEFT JOIN b ON a.event_type = b.event_type
+ORDER BY a.event_type
+"""
+
+
+@register(
+    "versioned_tag_pinned_read",
+    _TAG_ORACLE,
+    tags=("storage", "versioned", "tags", "retention"),
+)
+def versioned_tag_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="est-tag-q-")
+    store = VersionedStore(spark, root)
+    store.append(ev.filter(F.col("event_id") % 2 == 0))  # v0
+    store.create_tag("baseline")  # pins v0
+    store.append(ev.filter(F.col("event_id") % 2 == 1))  # v1
+    store.delete_where(F.col("event_type") == "click")  # v2 (COW)
+    # keep_last=1 would normally drop v0/v1; the tag exempts v0
+    store.vacuum(keep_last=1, min_age_s=0.0)
+    tag = (
+        store.read(tag="baseline")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_tag"),
+            _cents("value").alias("sum_cents_tag"),
+        )
+    )
+    head = store.read().groupBy("event_type").agg(F.count(F.lit(1)).alias("n_head"))
+    return (
+        tag.join(head, "event_type", "left")
+        .select(
+            "event_type",
+            "n_tag",
+            "sum_cents_tag",
+            F.coalesce(F.col("n_head"), F.lit(0)).cast("bigint").alias("n_head"),
+        )
+        .orderBy("event_type")
+    )
