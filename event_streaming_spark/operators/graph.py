@@ -287,3 +287,72 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
             f"kcore-e{rnd}",
         )
     return e.select(F.col("src").alias("node")).distinct().orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Bounded Bellman-Ford: weighted single-source (set) shortest paths.
+# ---------------------------------------------------------------------------
+
+
+def sssp_bounded(
+    seeds: DataFrame, weighted_edges: DataFrame, rounds: int, directed: bool = False
+) -> DataFrame:
+    """``(node, dist)``: minimum path WEIGHT from the seed set over
+    paths of at most ``rounds`` edges (non-negative integer weights).
+
+    Use case: similarity-weighted blast radius on the near-dup graph —
+    hops through STRONG matches cost little, so the sweep ranks
+    "contamination proximity" instead of raw hop count (the weighted
+    upgrade of ``bfs_layers``).
+
+    Semantics: full-table Bellman-Ford relaxation — after k rounds,
+    ``dist`` is EXACTLY the minimum weight over paths using ≤ k edges
+    (the oracle-matchable contract; a hop-bounded recursive CTE computes
+    the same thing).  Early exit when a round changes nothing is safe:
+    relaxation is monotone, so a fixpoint IS the ≤-k-hop minimum for
+    every larger k.
+
+    Scale shape: each round is one equi-join (dist ⋈ edges on src) and
+    one min-aggregate on node — key-partitioned shuffles bounded by the
+    edge list, no windows; every round pins through the fault-tolerant
+    materializer; the convergence probe is an O(1) count of improved
+    nodes.  Integer weights ⇒ bit-identical on any partitioning/engine.
+    """
+    s, d, w = weighted_edges.columns[:3]
+    fwd = weighted_edges.select(
+        F.col(s).alias("src"), F.col(d).alias("dst"), F.col(w).alias("w")
+    )
+    if not directed:
+        fwd = fwd.union(
+            weighted_edges.select(
+                F.col(d).alias("src"), F.col(s).alias("dst"), F.col(w).alias("w")
+            )
+        )
+    e = materialize(fwd.distinct(), "sssp-edges")
+    n_col = seeds.columns[0]
+    dist = materialize(
+        seeds.select(F.col(n_col).alias("node")).distinct().withColumn(
+            "dist", F.lit(0).cast("long")
+        ),
+        "sssp-d0",
+    )
+    for t in range(1, rounds + 1):
+        relax = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        nxt = materialize(
+            dist.union(relax).groupBy("node").agg(F.min("dist").alias("dist")),
+            f"sssp-d{t}",
+        )
+        # O(1) convergence probe: any node improved or newly reached?
+        changed = (
+            nxt.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+            .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .limit(1)
+            .count()
+        )
+        dist = nxt
+        if changed == 0:
+            break
+    return dist

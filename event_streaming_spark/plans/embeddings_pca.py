@@ -144,6 +144,7 @@ def _moment_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "emb_pca_power_iteration",
     _pca_oracle(),
     tags=("llm", "ann", "stats", "linalg"),
+    bench=True,  # the linalg covariance pass joins the tracked set
 )
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding covariance by 10 rounds

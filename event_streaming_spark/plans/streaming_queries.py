@@ -438,6 +438,7 @@ ORDER BY view_id, purchase_id
     "streaming_left_outer_interval_join",
     _LOJ_ORACLE,
     tags=("streaming", "join", "outer"),
+    bench=True,  # top-10 expensive (two full drains) -> regression-tracked
 )
 def streaming_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two topic logs → stream-stream LEFT OUTER time-range join; matched

@@ -547,3 +547,36 @@ def test_k_core_matches_bruteforce(spark):
     for k in (1, 2, 3, 5, 40):
         got = {r["node"] for r in k_core(edf, k).collect()}
         assert got == ref_core(k), k
+
+
+def test_sssp_bounded_matches_bruteforce(spark):
+    """r4s3: full-relaxation Bellman-Ford equals single-machine
+    hop-bounded shortest paths on random weighted graphs — including
+    the early-exit path (converged before the round budget) and
+    zero-weight edges."""
+    import random
+
+    from event_streaming_spark.operators.graph import sssp_bounded
+
+    rnd = random.Random(23)
+    n = 40
+    edges = sorted({(rnd.randrange(n), rnd.randrange(n)) for _ in range(70)})
+    edges = [(a, b, rnd.choice([0, 1, 3, 10])) for a, b in edges if a != b]
+    seeds = [0, 11]
+    for rounds in (1, 3, 8):
+        # brute force: R rounds of full relaxation over both directions
+        und = edges + [(b, a, w) for a, b, w in edges]
+        dist = {s: 0 for s in seeds}
+        for _ in range(rounds):
+            new = dict(dist)
+            for a, b, w in und:
+                if a in dist and dist[a] + w < new.get(b, float("inf")):
+                    new[b] = dist[a] + w
+            dist = new
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node INT")
+        edf = spark.createDataFrame(edges, "a INT, b INT, w INT")
+        got = {
+            (r["node"], r["dist"])
+            for r in sssp_bounded(sdf, edf, rounds=rounds).collect()
+        }
+        assert got == set(dist.items()), rounds

@@ -849,3 +849,49 @@ def test_tagged_snapshot_survives_vacuum(spark, store):
     with pytest.raises(Exception):
         store.read(0)
     assert removed is not None
+
+
+# -- incremental small-file OPTIMIZE ------------------------------------------
+
+
+def test_optimize_small_files_packs_only_small(spark, store):
+    import os as _os
+
+    for k in range(4):  # four tiny appends = the small-file debt
+        store.append(spark.range(10 * k, 10 * (k + 1)).coalesce(1))
+    store.append(spark.range(1000, 9000).coalesce(1))  # one big file
+    man = store._manifest(store.latest_version())
+    sizes = {
+        f: _os.path.getsize(_os.path.join(store.data_dir, f)) for f in man["files"]
+    }
+    big = max(sizes, key=sizes.get)
+    threshold = sizes[big]  # strictly-below -> big file exempt
+    before_mtime = _os.path.getmtime(_os.path.join(store.data_dir, big))
+    v = store.optimize_small_files(threshold)
+    after = store._manifest(v)["files"]
+    assert big in after  # untouched, not rewritten
+    assert _os.path.getmtime(_os.path.join(store.data_dir, big)) == before_mtime
+    # 4 small files became 1 packed file
+    assert len(after) == 2
+    assert store.read().count() == 40 + 8000
+    assert {r["id"] for r in store.read(v - 1).collect()} == {
+        r["id"] for r in store.read(v).collect()
+    }
+    # no-op when nothing qualifies: same head returned, no new commit
+    assert store.optimize_small_files(1) == v
+
+
+def test_optimize_inherits_tombstones(spark, store):
+    for k in range(3):
+        store.append(
+            spark.range(100 * k, 100 * (k + 1)).select(
+                F.col("id"), (F.col("id") % 7).alias("k")
+            ).coalesce(1)
+        )
+    store.delete_keys_where(F.col("k") == 3, key="id")
+    expect = {r["id"] for r in store.read().collect()}
+    v = store.optimize_small_files(1 << 30)  # everything is "small"
+    assert {r["id"] for r in store.read(v).collect()} == expect
+    # tombstones survive the commit (they still guard nothing-here, but
+    # optimize must not clear state it didn't fully materialize table-wide)
+    assert store._manifest(v).get("delete_files")
