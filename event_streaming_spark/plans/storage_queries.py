@@ -245,3 +245,58 @@ def versioned_tag_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental OPTIMIZE under the oracle: four small appends + one big
+# append build a table with small-file debt; a merge-on-read delete
+# commits tombstones; optimize_small_files packs ONLY the small files
+# (the big file is untouched — maintenance proportional to debt).  The
+# read after all that must equal the plain reconstruction from the raw
+# table: packing, tombstone inheritance, and subset-materialized deletes
+# all have to be semantically invisible.  Scale: the rewrite reads only
+# the packed subset; commit conflict surface excludes concurrent appends.
+# ---------------------------------------------------------------------------
+
+_OPT_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE event_type <> 'click'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "versioned_optimize_packed_scan",
+    _OPT_ORACLE,
+    tags=("storage", "versioned", "optimize", "maintenance"),
+)
+def versioned_optimize_packed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="est-opt-q-")
+    store = VersionedStore(spark, root)
+    # small-file debt: four slivers, then one big file
+    for k in range(4):
+        store.append(ev.filter(F.col("event_id") % 20 == k).coalesce(1))
+    store.append(ev.filter(F.col("event_id") % 20 >= 4).coalesce(1))
+    # merge-on-read delete BEFORE the pack: tombstones must be inherited
+    store.delete_keys_where(F.col("event_type") == "click", key="event_id")
+    import os as _os
+
+    sizes = sorted(
+        _os.path.getsize(_os.path.join(store.data_dir, f))
+        for f in store._manifest(store.latest_version())["files"]
+    )
+    store.optimize_small_files(min_bytes=sizes[-1])  # big file exempt
+    return (
+        store.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _cents("value").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
