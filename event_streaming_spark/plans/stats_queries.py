@@ -179,39 +179,43 @@ def events_chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long") + 3) % 7
         ).alias("dow"),
     ).agg(F.count(F.lit(1)).alias("o"))
-    # The margin windows run over the BOUNDED cell table (types × dows,
-    # ≤ 35 rows at any SF) — the data-sized work ended at the `obs` agg.
-    from pyspark.sql import Window
-
-    w_r = Window.partitionBy("event_type")
-    w_c = Window.partitionBy("dow")
-    w_all = Window.partitionBy()
-    margins = obs.select(
-        "event_type",
-        "dow",
-        "o",
-        F.sum("o").over(w_r).alias("r"),
-        F.sum("o").over(w_c).alias("c"),
-        F.sum("o").over(w_all).alias("n"),
+    # Margins as TINY aggregates of the ≤35-row cell table re-joined by
+    # broadcast — no unpartitioned windows anywhere in the plan (the
+    # data-sized work ended at the `obs` agg; everything below is
+    # margin-cardinality math).
+    rows = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    margins = obs.join(F.broadcast(rows), "event_type").join(
+        F.broadcast(cols), "dow"
     )
-    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    tot = margins.agg(
+        F.sum("o").alias("n"),
+        (F.countDistinct("event_type") - 1).cast("long")
+        * (F.countDistinct("dow") - 1).cast("long"),
+    )
+    n_val, dof_val = tot.first()  # 1-row scalar probe (bounded margins)
+    num = (F.col("o") * F.lit(n_val) - F.col("r") * F.col("c")).cast("double")
     cells = margins.select(
         "event_type",
         "dow",
         "o",
         F.round(
-            (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double"), 6
+            (F.col("r") * F.col("c")).cast("double") / F.lit(float(n_val)), 6
         ).alias("expected"),
         F.round(
             num
             * num
             / (
-                F.col("n").cast("double")
+                F.lit(float(n_val))
                 * F.col("r").cast("double")
                 * F.col("c").cast("double")
             ),
             6,
         ).alias("contrib"),
+    )
+    chi2 = (
+        cells.agg(F.sum(F.round(F.col("contrib") * 1e6).cast("long")).alias("s"))
+        .first()["s"]
     )
     return cells.select(
         F.col("event_type"),
@@ -219,15 +223,6 @@ def events_chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o").alias("observed"),
         "expected",
         "contrib",
-        F.round(
-            F.sum(F.round(F.col("contrib") * 1e6).cast("long"))
-            .over(w_all)
-            .cast("double")
-            / 1e6,
-            6,
-        ).alias("chi2_total"),
-        (
-            (F.size(F.collect_set("event_type").over(w_all)) - 1).cast("long")
-            * (F.size(F.collect_set("dow").over(w_all)) - 1).cast("long")
-        ).alias("dof"),
+        F.round(F.lit(chi2).cast("double") / 1e6, 6).alias("chi2_total"),
+        F.lit(dof_val).cast("long").alias("dof"),
     ).orderBy("event_type", "dow")
