@@ -286,7 +286,14 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
             .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi"),
             f"kcore-e{rnd}",
         )
-    return e.select(F.col("src").alias("node")).distinct().orderBy("node")
+    # max_rounds exhausted without a fixpoint: the surviving edge set may
+    # still contain nodes of degree < k, so returning its node set verbatim
+    # would be a silently wrong "k-core" (ADVICE r4).  Apply one final
+    # degree filter — the result is then a sound UNDER-approximation (every
+    # returned node has degree ≥ k in the surviving subgraph), and callers
+    # that need the exact fixpoint can raise max_rounds.
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.where(F.col("deg") >= k).select(F.col("src").alias("node")).orderBy("node")
 
 
 # ---------------------------------------------------------------------------

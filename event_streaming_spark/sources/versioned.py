@@ -569,11 +569,21 @@ class VersionedStore:
         if base < 0:
             raise ValueError("empty table")
         manifest = self._manifest(base)
-        small = [
-            f
-            for f in manifest["files"]
-            if os.path.getsize(os.path.join(self.data_dir, f)) < min_bytes
-        ]
+        small = []
+        for f in manifest["files"]:
+            try:
+                sz = os.path.getsize(os.path.join(self.data_dir, f))
+            except FileNotFoundError as e:
+                # A concurrent vacuum/compact removed a file the manifest
+                # we read still lists — the same situation the commit-time
+                # check below handles, so surface it the same way instead
+                # of leaking FileNotFoundError (ADVICE r4): the caller's
+                # contract is "CommitConflict means rerun".
+                raise CommitConflict(
+                    f"manifest file vanished under optimize ({f}); rerun"
+                ) from e
+            if sz < min_bytes:
+                small.append(f)
         if len(small) < 2:
             return base
         small_set = set(small)
@@ -721,23 +731,39 @@ class VersionedStore:
             for f in os.listdir(self.manifest_dir)
             if f.startswith("v") and f.endswith(".json")
         }
-        keep = {v for v in range(max(0, head - keep_last + 1), head + 1)} & existing
+        window = {v for v in range(max(0, head - keep_last + 1), head + 1)} & existing
+
         # Tagged snapshots are retention-exempt: a tag is a promise that
         # read(tag=...) keeps working, so its manifest AND files survive
         # any keep_last window until the tag is deleted.
-        keep |= set(self.tags().values()) & existing
-        referenced: set[str] = set()
-        for v in keep:
-            m = self._manifest(v)
-            referenced |= set(m["files"])
-            referenced |= {d["file"] for d in m.get("delete_files", [])}
+        def _keep_and_refs() -> tuple[set[int], set[str]]:
+            kp = window | (set(self.tags().values()) & existing)
+            refs: set[str] = set()
+            for v in kp:
+                m = self._manifest(v)
+                refs |= set(m["files"])
+                refs |= {d["file"] for d in m.get("delete_files", [])}
+            return kp, refs
+
+        keep, referenced = _keep_and_refs()
         now = time.time()
         removed = []
+        # TOCTOU guard (ADVICE r4): a tag created between the snapshot
+        # above and the unlinks below must still protect its files.
+        # Re-reading the refs dir immediately before each delete pass
+        # shrinks the unprotected window from "the whole vacuum" to the
+        # single listdir→unlink gap; a tag named DURING that sub-ms gap
+        # must target a version inside the keep window (which vacuum never
+        # touches) to be guaranteed safe — the documented residual race.
+        k2, r2 = _keep_and_refs()
+        keep |= k2
+        referenced |= r2
         for f in os.listdir(self.data_dir):
             p = os.path.join(self.data_dir, f)
             if f not in referenced and now - os.path.getmtime(p) >= min_age_s:
                 os.unlink(p)
                 removed.append(f)
+        keep |= _keep_and_refs()[0]
         for f in os.listdir(self.manifest_dir):
             if f.startswith("v") and int(f[1:-5]) not in keep:
                 os.unlink(os.path.join(self.manifest_dir, f))

@@ -271,10 +271,10 @@ class TopicContext:
             # each other's override out of order.  The conf is captured
             # into the query's IncrementalExecution at start() and the
             # state partitioning is pinned by the checkpoint thereafter.
-            from event_streaming_spark.session import tune_session
-
-            session = tune_session(self.agency.spark.newSession())
-            session.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+            # Clones are cached per partition count on the agency
+            # (ADVICE r4: a fresh clone per consume() call accumulated
+            # session state in the shared SparkContext).
+            session = self.agency.tuned_clone(state_partitions)
         df = self.stream(max_files_per_trigger=max_files_per_trigger, session=session)
         if transform is not None:
             df = transform(df)
@@ -341,7 +341,25 @@ class EventsAgency:
         self.root = root or os.path.join("/tmp", f"events-agency-{uuid.uuid4().hex[:8]}")
         os.makedirs(self.root, exist_ok=True)
         self._topics: dict[tuple[str | None, str | None], TopicContext] = {}
+        self._session_clones: dict[int, SparkSession] = {}
         self.load_config(config or {})
+
+    def tuned_clone(self, state_partitions: int) -> SparkSession:
+        """One tuned session clone per shuffle-partition override, cached
+        for the agency's lifetime.  consume() used to mint a fresh
+        ``newSession()`` per call, so a long-lived agency repeatedly
+        starting consumers accumulated session state in the shared
+        SparkContext (ADVICE r4).  Sharing is safe: the clone's SQLConf
+        is written once here and never mutated afterward — consumers only
+        ever plan against it."""
+        s = self._session_clones.get(state_partitions)
+        if s is None:
+            from event_streaming_spark.session import tune_session
+
+            s = tune_session(self.spark.newSession())
+            s.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+            self._session_clones[state_partitions] = s
+        return s
 
     # -- O8 config ------------------------------------------------------------
     def load_config(self, config: dict) -> int:

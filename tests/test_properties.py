@@ -580,3 +580,22 @@ def test_sssp_bounded_matches_bruteforce(spark):
             for r in sssp_bounded(sdf, edf, rounds=rounds).collect()
         }
         assert got == set(dist.items()), rounds
+
+
+def test_k_core_round_exhaustion_filters_under_k_nodes(spark):
+    """r5 ADVICE: when max_rounds runs out before the peeling fixpoint,
+    the fallback must not return nodes whose degree is < k in the
+    surviving subgraph (a silently wrong 'k-core').  Path graph, k=2:
+    the true 2-core is empty; after one round only the endpoints are
+    peeled, and the old fallback returned all eight interior nodes
+    including the two new degree-1 endpoints."""
+    from event_streaming_spark.operators.graph import k_core
+
+    edges = [(i, i + 1) for i in range(9)]  # path 0-1-...-9
+    edf = spark.createDataFrame(edges, "a INT, b INT")
+    got = {r["node"] for r in k_core(edf, 2, max_rounds=1).collect()}
+    # round 0 peeled {0, 9}; nodes 1 and 8 now have degree 1 and must be
+    # filtered by the final degree pass (sound under-approximation)
+    assert got == set(range(2, 8))
+    # and with enough rounds the exact (empty) 2-core comes back
+    assert k_core(edf, 2).count() == 0

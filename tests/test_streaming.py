@@ -600,3 +600,18 @@ def test_parquet_log_windowed_agg_matches_json_log(spark, tmp_path):
 def test_unknown_log_format_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="log_format"):
         EventsAgency(spark, root=str(tmp_path / "x"), log_format="csv")
+
+
+def test_tuned_clone_cached_per_partition_count(spark, tmp_path):
+    """r5 ADVICE: consume(state_partitions=N) must reuse one session
+    clone per N, not mint a fresh newSession() per call (which
+    accumulated session state in the shared SparkContext)."""
+    a = EventsAgency(spark, root=str(tmp_path / "agency"))
+    s8 = a.tuned_clone(8)
+    assert a.tuned_clone(8) is s8
+    assert s8.conf.get("spark.sql.shuffle.partitions") == "8"
+    s4 = a.tuned_clone(4)
+    assert s4 is not s8
+    assert len(a._session_clones) == 2
+    # the clone shares the context but not the shared session's conf
+    assert s8.sparkContext is spark.sparkContext

@@ -895,3 +895,49 @@ def test_optimize_inherits_tombstones(spark, store):
     # tombstones survive the commit (they still guard nothing-here, but
     # optimize must not clear state it didn't fully materialize table-wide)
     assert store._manifest(v).get("delete_files")
+
+
+# ---------------------------------------------------------------------------
+# r5 ADVICE regressions: optimize vs vanished files; vacuum vs concurrent
+# tagging (the TOCTOU window on the retention-exempt guarantee).
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_conflicts_when_manifest_file_vanishes(spark, store):
+    """A concurrent vacuum/compact can remove a file the manifest we read
+    still lists; the size probe must surface CommitConflict (the method's
+    documented rerun contract), not leak FileNotFoundError (ADVICE r4)."""
+    for k in range(3):
+        store.append(spark.range(10 * k, 10 * (k + 1)).select(F.col("id")).coalesce(1))
+    victim = store._manifest(store.latest_version())["files"][0]
+    os.unlink(os.path.join(store.data_dir, victim))
+    with pytest.raises(CommitConflict):
+        store.optimize_small_files(1 << 30)
+
+
+def test_vacuum_rereads_tags_before_deleting(spark, store):
+    """A tag created between vacuum's first tags() snapshot and its delete
+    passes must still protect its manifest and files (ADVICE r4 TOCTOU).
+    Simulated by tagging from inside a patched tags() on its second call."""
+    store.append(spark.range(100).select(F.col("id")))            # v0
+    store.append(spark.range(100, 200).select(F.col("id")))       # v1
+    store.compact()                                               # v2
+
+    orig_tags = store.tags
+    state = {"calls": 0}
+
+    def racy_tags():
+        state["calls"] += 1
+        if state["calls"] == 2:
+            # concurrent tagger lands AFTER the first snapshot, BEFORE
+            # the delete passes re-read
+            store.tags = orig_tags
+            store.create_tag("pin-v0", 0)
+            store.tags = racy_tags
+        return orig_tags()
+
+    store.tags = racy_tags
+    store.vacuum(keep_last=1, min_age_s=0)
+    store.tags = orig_tags
+    # the late tag protected v0: manifest retained, files readable
+    assert store.read(tag="pin-v0").count() == 100
