@@ -32,6 +32,7 @@ from event_streaming_spark.plans import stats_queries  # noqa: F401,E402
 from event_streaming_spark.plans import embeddings_pca  # noqa: F401,E402
 from event_streaming_spark.plans import multimodal_video  # noqa: F401,E402
 from event_streaming_spark.plans import graph_weighted  # noqa: F401,E402
+from event_streaming_spark.plans import gateway_queries  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness

@@ -1,0 +1,160 @@
+"""Oracle-paired GATEWAY query — the HTTP ingest front door under the
+driver's value-hash gate, not just pytest.
+
+Reference parity: the gateway is the reference's ONE external entry
+point (libsoup server, /root/reference/src/main.c:82-120; declared
+intent parse → JWT authn → publish).  ``gateway_ingest_roundtrip``
+exercises that whole deployment story as a batch-callable query:
+
+    events.parquet → HTTP POST (JWT bearer, batched JSON bodies)
+      → ApiGateway → topic log (parquet) → availableNow drain
+      → date-partitioned EventStore → daily rollup over the STORE
+
+The oracle is the same daily rollup in ANSI SQL over the raw parquet —
+so a value-hash match proves no event was lost, duplicated, retyped or
+time-shifted anywhere along the ingest chain (JSON serialization, HTTP
+framing, gateway parse, arrow-typed log append, streaming drain,
+store partitioning).
+
+Scale notes: the HTTP client role is inherently driver-side — in a real
+deployment a fleet of off-cluster producers plays it; here one loop
+POSTs the sf-dir events (10k rows at sf0.01, bounded by the gate's SF
+and documented as the ingest-client boundary, not a data-plane
+collect).  Everything after the gateway is the engine's normal scale
+path: the topic log is parquet (columnar, vectorized scan), the drain
+runs through Structured Streaming on executors, the store append is a
+partitioned distributed write, and the final rollup is a key-partitioned
+aggregate whose output is state-sized (days × event_types).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from event_streaming_spark.functions.numeric import exact_sum, sql_exact_sum
+from event_streaming_spark.plans.catalog import load, register
+
+_ROUNDTRIP_ORACLE = f"""
+SELECT CAST(ts AS DATE) AS event_date,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       {sql_exact_sum('value')} AS total_value
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+ORDER BY event_date, event_type
+"""
+
+_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_date", T.DateType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_users", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+#: Events per POST body.  4 MiB body cap / ~150 B per JSON event leaves
+#: ample headroom; 1000 keeps the request count low (10 at sf0.01).
+_POST_BATCH = 1000
+
+
+def _post(url: str, payload, token: str | None) -> tuple[int, dict]:
+    headers = {"Content-Type": "application/json"}
+    if token is not None:
+        headers["Authorization"] = f"Bearer {token}"
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers=headers, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read() or b"{}")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+@register(
+    "gateway_ingest_roundtrip",
+    _ROUNDTRIP_ORACLE,
+    tags=("gateway", "streaming", "store", "ingest"),
+)
+def gateway_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP POST → gateway → topic log → drain → store → rollup; the
+    rollup must hash-equal the same aggregate over the raw parquet."""
+    from event_streaming_spark.functions.auth import mint_hs256
+    from event_streaming_spark.sources.store import EventStore
+    from event_streaming_spark.streaming.agency import EventsAgency
+    from event_streaming_spark.streaming.gateway import ApiGateway
+
+    # The ingest-client role: serialize the events table to JSON rows.
+    # Driver-side by design (the producer is off-cluster in deployment);
+    # bounded by the gate's SF — 10k rows at sf0.01.
+    ev = load(spark, sf_dir, "events")
+    pdf = ev.select("event_id", "ts", "user_id", "event_type", "value", "props").toPandas()
+    pdf["ts"] = pdf["ts"].map(lambda t: None if t is None else t.isoformat())
+    rows = [
+        {k: (None if v != v else v) if isinstance(v, float) else v for k, v in rec.items()}
+        for rec in pdf.to_dict("records")
+    ]
+
+    root = tempfile.mkdtemp(prefix="est-gateway-")
+    agency = EventsAgency(spark, root=root, log_format="parquet")
+    gw = ApiGateway(agency, port=0, jwt_secret="driver-gate").start()
+    try:
+        host, port = gw.address
+        url = f"http://{host}:{port}/topics/prod/events"
+
+        # The authn boundary must actually gate: no token → 401, and the
+        # rejected batch must NOT reach the log (the oracle would catch
+        # a duplicate, but assert the status contract here too).
+        code, _ = _post(url, rows[:1], token=None)
+        if code != 401:
+            raise AssertionError(f"gateway accepted unauthenticated POST: {code}")
+
+        token = mint_hs256({"iss": "driver-gate", "sub": "ingester"}, "driver-gate")
+        accepted = 0
+        for i in range(0, len(rows), _POST_BATCH):
+            code, body = _post(url, rows[i : i + _POST_BATCH], token=token)
+            if code != 202:
+                raise AssertionError(f"gateway refused batch at {i}: {code} {body}")
+            accepted += body["accepted"]
+        if accepted != len(rows):
+            raise AssertionError(f"accepted {accepted} != posted {len(rows)}")
+
+        # Drain the topic log to the date-partitioned store (the
+        # reference's consumer → BDB-store leg), then aggregate the STORE.
+        store = EventStore(spark, f"{root}/store")
+        ctx = agency.find_topic("prod", "events")
+
+        def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
+            store.append(batch_df)
+
+        ctx.consume(on_notify, once=True)
+
+        agg = (
+            store.read()
+            .groupBy("event_date", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                exact_sum("value").alias("total_value"),
+            )
+            .orderBy("event_date", "event_type")
+        )
+        # The aggregate is state-sized (days × event_types, ~150 rows at
+        # any SF); localize it before the tmpdir backing the store goes
+        # away, then re-enter a DataFrame for the gate.
+        out = agg.toPandas()
+    finally:
+        gw.stop()
+        agency.close()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, _RESULT_SCHEMA)

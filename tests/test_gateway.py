@@ -101,3 +101,25 @@ def test_gateway_body_cap_and_topic_restrictions(spark, tmp_path, monkeypatch):
     finally:
         g.stop()
         agency.close()
+
+
+def test_gateway_ingest_roundtrip_query(spark, duck):
+    """The registered driver-gate query: HTTP ingest of the sf0.001
+    events table must reproduce the raw-parquet daily rollup exactly
+    (differential vs DuckDB, mirroring tools/check_oracle.py)."""
+    from event_streaming_spark.plans.catalog import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    q = REGISTRY["gateway_ingest_roundtrip"]
+    got = q.fn(spark, SF_SMALL).collect()
+    want = duck.sql(q.oracle).fetchall()
+    assert len(got) == len(want)
+    got_rows = sorted(
+        (str(r["event_date"]), r["event_type"], r["n_events"], r["n_users"],
+         round(r["total_value"], 2))
+        for r in got
+    )
+    want_rows = sorted(
+        (str(d), et, n, nu, round(tv, 2)) for d, et, n, nu, tv in want
+    )
+    assert got_rows == want_rows
