@@ -35,6 +35,14 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # Streaming-segment entries: timed ONCE (cold), excluded from the warm
+    # headline.  Their wall cost is fixed micro-batch floors (checkpoint
+    # creation, state-store open/commit, multi-drain restarts) that are
+    # ~flat in data volume — 2 warm reps would triple a floor, and a
+    # 12 s fixed floor inside a ~40 s warm total masks real regressions
+    # elsewhere (VERDICT r4).  They keep their oracle rows unchanged.
+    stream_segment = {"streaming_left_outer_interval_join"}
+
     names = [n for n, q in REGISTRY.items() if q.bench]
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -45,6 +53,10 @@ def main() -> None:
         # noop sink: full execution + column materialization, no driver collect
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+        if name in stream_segment:
+            print(f"# {name}: {timings[name]:.3f}s (streaming segment, timed once)",
+                  file=sys.stderr)
+            continue
         # steady-state per-query cost: min of two warm runs — this box's
         # run-to-run noise is ±30-50% on sub-second entries (BASELINE.md),
         # and min-of-k is the standard low-variance steady-state estimator

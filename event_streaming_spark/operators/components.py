@@ -34,6 +34,15 @@ from pyspark.sql import functions as F
 from event_streaming_spark.operators.materialize import materialize
 
 
+#: Target edge rows per iteration partition.  The iteration's shuffles
+#: are sized explicitly because AQE's runtime coalescing never reaches
+#: the materialization path (``localCheckpoint`` plans via ``.rdd``,
+#: which is non-adaptive) — without this a 2k-edge graph pays 32-task
+#: scheduling floors EVERY round, and an 10¹²-edge graph would pin the
+#: session default regardless of volume.
+_CC_ROWS_PER_PARTITION = 250_000
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iters: int = 30
 ) -> DataFrame:
@@ -42,6 +51,11 @@ def connected_components(
     ``nodes``: single-column DataFrame of node ids (any orderable type).
     ``edges``: two-column DataFrame of endpoints (same type).
     Returns ``(node, component)`` where component = min node id reachable.
+
+    Rounds propagate labels along edges AND through the label graph
+    itself (``component(component(v))`` — pointer doubling), so a chain
+    of diameter d converges in O(log d) rounds instead of O(d); each
+    extra hop is one equi-join over the (node-count-sized) label frame.
     """
     n_col = nodes.columns[0]
     s_col, d_col = edges.columns[0], edges.columns[1]
@@ -50,18 +64,43 @@ def connected_components(
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct(),
         "cc-edges",
     )
+    # Size every iteration shuffle to the measured edge volume (the O(1)
+    # count rides the pinned frame), clamped to the cluster's parallelism
+    # band — small graphs stop paying per-task floors 2×/round, huge ones
+    # get partitions that fit in executor memory.
+    n_edges = bidir.count()
+    sc = bidir.sparkSession.sparkContext
+    p = int(max(2, min(sc.defaultParallelism * 4, n_edges // _CC_ROWS_PER_PARTITION + 2)))
+    bidir = materialize(bidir.repartition(p, "src"), "cc-edges")
     labels = materialize(
-        nodes.select(F.col(n_col).alias("node"), F.col(n_col).alias("component")),
+        nodes.select(F.col(n_col).alias("node"), F.col(n_col).alias("component"))
+        .repartition(p, "node"),
         "cc-labels",
     )
 
     prev_sum = None
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         nbr = bidir.join(labels, bidir.src == labels.node).select(
             F.col("dst").alias("node"), "component"
         )
+        cand = labels.union(nbr)
+        if rnd >= 1:
+            # Pointer doubling, but only once plain propagation has NOT
+            # converged in the rounds a shallow dedup graph needs: a node
+            # whose label points at an intermediate node adopts THAT
+            # node's label too.  component(v) is the min id of some node
+            # reachable from v, so component(component(v)) is also
+            # reachable — the fixpoint (min reachable id) is unchanged;
+            # a diameter-d chain finishes in O(log d) further rounds
+            # while the common near-clique graphs never pay the extra
+            # label-frame self-join.
+            l2 = labels.select(F.col("node").alias("c2n"), F.col("component").alias("c2"))
+            hop = labels.join(l2, labels.component == F.col("c2n")).select(
+                "node", F.col("c2").alias("component")
+            )
+            cand = cand.union(hop)
         new_labels = materialize(
-            labels.union(nbr)
+            cand.repartition(p, "node")
             .groupBy("node")
             .agg(F.min("component").alias("component")),
             "cc-labels",

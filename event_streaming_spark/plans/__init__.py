@@ -49,14 +49,30 @@ _PRIORITY = [
     # CORRECTNESS_r03.json and still judge-verified by the full-catalog
     # oracle run each round) rotate just past the window to make room for
     # the r3 tranche-2 flagships that have never had a driver row.
+    # r5 rotation (VERDICT r4 "Next round" #1): the six never-graded r4
+    # flagships plus the three r5 additions (gateway roundtrip, SemDeDup,
+    # oracle-paired BPE encode) enter the graded 50-prefix.  Displaced to
+    # just past the window — ALL driver-green in CORRECTNESS_r04.json and
+    # still judge-verified by the full-catalog oracle run each round:
+    # q18 (TPC-H keeps q1/q3/q5/q21 in-window), streaming_interval_join_
+    # drain (the family keeps session/hopping/static-enrich/left-outer/
+    # tumbling drains), events_chi_square_type_dow (stats keeps OLS),
+    # emb_matryoshka_recall (ANN keeps bruteforce/IVF/IVF-PQ/PCA/hard-
+    # negatives), versioned_tag_pinned_read (versioned keeps time-travel
+    # MERGE/refresh-streams/Z-order/OPTIMIZE), events_rate_limit_admission
+    # (events keeps SCD2/weighted-median/OLS/zone-map rows),
+    # docs_pack_into_contexts (curation keeps end-to-end + both samplers),
+    # multimodal_jpeg_decode_stats (multimodal keeps phash + video dedup),
+    # text_dup_span_fraction (text keeps quality/PII/model-gate/BPE).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q18_large_volume_orders",
     "q21_suppliers_kept_waiting",
-    # r4 session-2: the stream-stream interval join (displacing q6,
-    # driver-green r3) — the two-live-streams operator class.
-    "streaming_interval_join_drain",
+    # r5: the hopping-window and stream-static-enrichment drains take the
+    # streaming slots (never driver-graded; the interval join rotates out
+    # driver-green).
+    "streaming_hopping_window_drain",
+    "streaming_static_enrich_drain",
     # Round-4 session-2 additions in the graded window, displacing
     # q8/q9/q10/q15 (all driver-green in CORRECTNESS_r03.json and still
     # judge-verified by the full-catalog oracle run): the streaming
@@ -108,20 +124,20 @@ _PRIORITY = [
     "multimodal_video_frame_dedup",
     "streaming_left_outer_interval_join",
     "events_trend_ols_daily",
-    "events_chi_square_type_dow",
-    "versioned_tag_pinned_read",
-    "emb_matryoshka_recall",
+    "graph_weighted_blast_radius",
+    "versioned_optimize_packed_scan",
+    "text_quality_model_gate",
     "emb_ivf_pq_search",
-    "events_rate_limit_admission",
+    "graph_kcore_dense_near_dup",
     "text_pii_scan",
-    "docs_pack_into_contexts",
+    "text_bpe_encode_corpus",
     # Round-4 addition (VERDICT r3 "Next round" #8): the JPEG codec
     # kernel under the driver gate — real encode→dimension-probe→decode
     # with an arithmetic oracle (DC-exact uniform blocks).  It displaces
     # events_time_weighted_avg_daily (driver-green r3; the events family
     # keeps 5 other in-window rows).
-    "multimodal_jpeg_decode_stats",
-    "text_dup_span_fraction",
+    "gateway_ingest_roundtrip",
+    "dedup_semantic_clusters",
     # Round-3 additions in the graded window: the scale-safe edit-distance
     # composition (LSH candidates → thresholded levenshtein verify,
     # VERDICT r2 #4) and the VersionedStore time-travel/MERGE query
@@ -162,6 +178,15 @@ _PRIORITY = [
     # (driver-green r3; the CC family keeps dedup_near_dup_clusters).
     "versioned_zorder_compact_scan",
     # --- past the grading window ---
+    "q18_large_volume_orders",
+    "streaming_interval_join_drain",
+    "events_chi_square_type_dow",
+    "emb_matryoshka_recall",
+    "versioned_tag_pinned_read",
+    "events_rate_limit_admission",
+    "docs_pack_into_contexts",
+    "multimodal_jpeg_decode_stats",
+    "text_dup_span_fraction",
     "emb_lsh_recall_audit",
     "sketch_count_min_hot_users",
     "sketch_bottomk_value_quantiles",

@@ -478,3 +478,153 @@ def text_unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("surprisal").cast("long").alias("sum_surprisal"),
         F.round(F.sum("surprisal").cast("double") / F.count(F.lit(1)), 6).alias("avg_surprisal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# embedding-space near-duplicates that *textual* dedup (MinHash/SimHash)
+# cannot see — paraphrases, translations-of-boilerplate, templated
+# rewrites.  The published recipe, composed from this engine's verified
+# pieces:
+#
+#   1. k-means CELLS (the exact fixed-schedule Lloyd's pass that backs
+#      emb_kmeans_clusters) — the coarse partition that makes step 2
+#      sub-quadratic: pairs are only scored WITHIN a cell, so candidate
+#      count is sum(|cell|²), not N².  At 100 TB, k grows with the corpus
+#      (k ≈ N/10⁴) keeping cells bounded; the cell id is also the shuffle
+#      key, so one repartition co-locates every pair computation.
+#   2. int8-style quantization (scale 127, the production trick) and an
+#      EXACT integer cosine gate: keep (a,b) iff dot>0 and
+#      dot²·10⁶ ≥ τ²ppm·‖a‖²·‖b‖² — all int64 (dot ≤ 64·127² ⇒
+#      dot²·10⁶ < 2⁶³), so the edge set is bit-identical on any engine.
+#      τ = 0.35, calibrated to the synthetic corpus: its embeddings are
+#      near-isotropic (pairwise cos p99 ≈ 0.29, max ≈ 0.51), so 0.35
+#      selects the genuine top tail (~0.2% of pairs).  On a real
+#      embedding model SemDeDup runs the same shape at τ ≈ 0.95 —
+#      the threshold is the knob, the plan is unchanged.
+#   3. connected components over the edge set (operators/components.py
+#      min-label propagation) — semantic cluster id = min vec_id.
+#   4. canonical keep: the min vec_id survives, everything else is the
+#      dedup candidate set.
+#
+# Oracle: the k-means CTE chain (shared with emb_kmeans_clusters), the
+# same integer pair gate, and the min-reachable-id RECURSIVE closure —
+# DuckDB pins every cluster id and keep flag exactly.
+# ---------------------------------------------------------------------------
+
+_SEM_SCALE = 127  # int8-style quantization: |dot| ≤ 64·127², dot²·10⁶ < 2⁶³
+_SEM_TAU_SQ_PPM = 122500  # τ = 0.35 → τ²·10⁶ (see threshold note above)
+
+
+def _semdedup_oracle() -> str:
+    sel = f"""
+, q8 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> cast(floor(cast(x as double)*{_SEM_SCALE} + 0.5) as bigint)) AS q
+  FROM embeddings
+),
+e8 AS (
+  SELECT a2.cluster, q8.vec_id, unnest(range(1, {_KM_DIM + 1})) AS pos, unnest(q) AS v
+  FROM q8 JOIN a2 ON q8.vec_id = a2.vec_id
+),
+nn AS (SELECT vec_id, sum(v*v) AS n2 FROM e8 GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v * b.v) AS dot
+  FROM e8 a JOIN e8 b ON a.cluster = b.cluster AND a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+sem_edges AS (
+  SELECT d.va, d.vb
+  FROM dots d JOIN nn na ON d.va = na.vec_id JOIN nn nb ON d.vb = nb.vec_id
+  WHERE d.dot > 0 AND d.dot * d.dot * 1000000 >= {_SEM_TAU_SQ_PPM} * na.n2 * nb.n2
+),
+bidir AS (
+  SELECT va AS src, vb AS dst FROM sem_edges
+  UNION
+  SELECT vb AS src, va AS dst FROM sem_edges
+),
+reach(node, origin) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT b.dst AS node, r.origin FROM reach r JOIN bidir b ON b.src = r.node
+)
+SELECT r.node AS vec_id,
+       any_value(a2.cluster) AS cell,
+       min(r.origin) AS sem_cluster_id,
+       CAST(CASE WHEN r.node = min(r.origin) THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM reach r JOIN a2 ON r.node = a2.vec_id
+GROUP BY r.node
+ORDER BY vec_id
+"""
+    # The recursive closure rides the shared k-means CTE chain; RECURSIVE
+    # must head the WITH list (non-recursive members are fine under it).
+    return _kmeans_oracle(sel).replace("WITH q AS", "WITH RECURSIVE q AS", 1)
+
+
+@register(
+    "dedup_semantic_clusters",
+    _semdedup_oracle(),
+    tags=("llm", "dedup", "ann", "clustering", "iterative"),
+    bench=True,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means cells → exact-integer cosine gate (τ=0.35,
+    corpus-calibrated) within cells → connected components → keep flag."""
+    from event_streaming_spark.operators.components import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells = _kmeans_final_assignment(spark, sf_dir).select("vec_id", "cluster")
+    q8 = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _SEM_SCALE + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+
+    from event_streaming_spark.operators.materialize import materialize
+
+    # Cells are consumed twice (edge generation + final labeling); pin the
+    # fixed-schedule Lloyd\'s pass once.
+    cells = materialize(cells, "semdedup-cells")
+
+    # (vec_id, cell, q): vectors shuffle ONCE, keyed by cell.  The pair
+    # gate runs as a per-cell gram matrix (applyInPandas → one int64
+    # numpy matmul per cell) instead of a self-join — a join would copy
+    # BOTH 64-long arrays into every candidate pair row (|cell|² array
+    # materializations); the gram shape moves each vector once and emits
+    # only the surviving (va, vb) pairs.  Exact by bounds: dot ≤ 64·127²
+    # ⇒ dot²·10⁶ < 2⁶³ and τ²ppm·‖a‖²·‖b‖² < 2⁶³, so int64 never wraps.
+    vecs = q8.join(cells, "vec_id").select(
+        "vec_id", F.col("cluster").alias("cell"), "q"
+    )
+
+    def cell_edges(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        m = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]], dtype=np.int64)
+        g = m @ m.T  # exact int64 gram
+        n2 = np.diag(g)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        dot = g[iu, ju]
+        ok = (dot > 0) & (dot * dot * 1000000 >= _SEM_TAU_SQ_PPM * n2[iu] * n2[ju])
+        va, vb = ids[iu[ok]], ids[ju[ok]]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"va": lo, "vb": hi})
+
+    edges = vecs.groupBy("cell").applyInPandas(cell_edges, "va long, vb long")
+    labels = connected_components(emb.select("vec_id"), edges)
+    return (
+        labels.select(F.col("node").alias("vec_id"), F.col("component").alias("sem_cluster_id"))
+        .join(cells, "vec_id")
+        .select(
+            "vec_id",
+            F.col("cluster").alias("cell"),
+            "sem_cluster_id",
+            (F.col("vec_id") == F.col("sem_cluster_id")).cast("long").alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
