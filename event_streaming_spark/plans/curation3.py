@@ -606,13 +606,26 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         ids = pdf["vec_id"].to_numpy()
         m = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]], dtype=np.int64)
-        g = m @ m.T  # exact int64 gram
-        n2 = np.diag(g)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        dot = g[iu, ju]
-        ok = (dot > 0) & (dot * dot * 1000000 >= _SEM_TAU_SQ_PPM * n2[iu] * n2[ju])
-        va, vb = ids[iu[ok]], ids[ju[ok]]
-        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        n = len(ids)
+        n2 = np.einsum("ij,ij->i", m, m)
+        # Block-wise gram: memory stays O(B²) per block pair however big
+        # the cell grows (a whole-cell |cell|² int64 gram would be the
+        # OOM at production cell sizes); CPU is the same exact matmuls.
+        B = 4096
+        los, his = [], []
+        for i0 in range(0, n, B):
+            mi, ni, idi = m[i0 : i0 + B], n2[i0 : i0 + B], ids[i0 : i0 + B]
+            for j0 in range(i0, n, B):
+                g = mi @ m[j0 : j0 + B].T  # exact int64 block gram
+                ok = (g > 0) & (g * g * 1000000 >= _SEM_TAU_SQ_PPM * np.outer(ni, n2[j0 : j0 + B]))
+                if i0 == j0:
+                    ok &= np.tri(*ok.shape, k=-1, dtype=bool).T  # strict upper
+                ii, jj = np.nonzero(ok)
+                va, vb = idi[ii], ids[j0 + jj]
+                los.append(np.minimum(va, vb))
+                his.append(np.maximum(va, vb))
+        lo = np.concatenate(los) if los else np.array([], dtype=np.int64)
+        hi = np.concatenate(his) if his else np.array([], dtype=np.int64)
         return pd.DataFrame({"va": lo, "vb": hi})
 
     edges = vecs.groupBy("cell").applyInPandas(cell_edges, "va long, vb long")
