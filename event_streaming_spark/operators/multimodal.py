@@ -304,6 +304,75 @@ def decode_png(content: bytes) -> tuple[str, int, int, int]:
     return "png", int(w), int(h), int(px.astype(np.int64).sum())
 
 
+def encode_png(img, filters: tuple[int, ...] = (0, 1, 2, 3, 4)) -> bytes:
+    """Minimal PNG encoder (stdlib zlib): 8-bit grayscale ``(H, W)`` or
+    RGB ``(H, W, 3)``, no interlace.  ``filters`` cycles per scanline
+    (default: all five types) so an encode→``decode_png`` roundtrip
+    exercises every defilter path, including the sequential Sub/Average/
+    Paeth recurrences.  Forward filtering per the PNG spec operates on
+    the ORIGINAL bytes of the current and prior scanlines — independent
+    arithmetic from the decoder's inversion, so the roundtrip is a real
+    differential check, not the same code run twice."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(img, dtype=np.uint8)
+    if px.ndim == 2:
+        color, ch = 0, 1
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color, ch = 2, 3
+    else:
+        raise NotImplementedError("encode_png: gray (H,W) or RGB (H,W,3) only")
+    h, w = int(px.shape[0]), int(px.shape[1])
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    zeros = np.zeros(ch, dtype=np.int32)
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = int(filters[y % len(filters)])
+        a = np.concatenate([zeros, cur[:-ch]]) if w * ch > ch else np.zeros_like(cur)
+        b = prev
+        c = np.concatenate([zeros, prev[:-ch]]) if w * ch > ch else np.zeros_like(cur)
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - a
+        elif f == 2:
+            out = cur - b
+        elif f == 3:
+            out = cur - (a + b) // 2
+        elif f == 4:
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            out = cur - pred
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {f}")
+        raw.append(f)
+        raw.extend((out & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_stdlib(content: bytes) -> tuple[str, int, int, int]:
     """Best no-dependency kernel: REAL raster decode for PPM/BMP/PNG and
     baseline JPEG (operators/jpegcodec.py) and GIF (LZW,
@@ -559,6 +628,95 @@ def _walk_riff_chunks(content: bytes) -> dict[str, tuple[int, int]]:
     return chunks
 
 
+def _g711_table(audio_fmt: int):
+    """256-entry G.711 expansion table (code byte → int16 PCM).
+
+    ITU-T G.711 closed forms: µ-law (fmt 7) mag = ((mant·8+0x84)<<exp)−0x84
+    over the complemented byte; A-law (fmt 6) after the 0x55 toggle with
+    the exp=0 special case.  Shared by the float feature decode below and
+    the exact-integer decode used for differential verification."""
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.uint8)
+    if audio_fmt == 7:  # µ-law
+        u = ~codes
+        sign = np.where(u & 0x80, -1, 1)
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = (((mant.astype(np.int32) << 3) + 0x84) << exp) - 0x84
+        return (sign * mag).astype(np.int16)
+    # A-law (sign bit SET means positive after the 0x55 toggle)
+    a = codes ^ 0x55
+    sign = np.where(a & 0x80, 1, -1)
+    exp = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return (sign * mag).astype(np.int16)
+
+
+def encode_wav(payload: bytes, audio_fmt: int = 7, sample_rate: int = 8000,
+               n_channels: int = 1, bits: int = 8) -> bytes:
+    """Minimal RIFF/WAVE container writer for 8-bit payloads (linear PCM
+    u8 fmt=1, G.711 A-law fmt=6 / µ-law fmt=7) — the container
+    counterpart of ``decode_audio_pcm``, used to put the RIFF walk and
+    G.711 expansion under the differential oracle with bytes the engine
+    itself produced."""
+    block = n_channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", audio_fmt, n_channels, sample_rate, sample_rate * block, block, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio_g711_integers(
+    content: bytes, frame_len: int = 160, active_threshold: int | None = None
+) -> tuple[int, int, int, int, int]:
+    """Exact-integer face of the G.711 WAV decode: (sample_rate,
+    n_samples, sum_abs, peak_abs, n_active_frames) over the expanded
+    int16 PCM.  Same RIFF chunk walk and expansion table as
+    ``decode_audio_pcm``; integer outputs so a SQL oracle can reproduce
+    them bit-for-bit.  ``n_active_frames`` is an integer
+    energy-gate VAD: complete frames of ``frame_len`` samples whose
+    Σ|pcm| exceeds ``active_threshold`` (-1 when no threshold given)."""
+    import numpy as np
+
+    if not (content[:4] == b"RIFF" and content[8:12] == b"WAVE"):
+        raise NotImplementedError("not a RIFF/WAVE container")
+    chunks = _walk_riff_chunks(content)
+    if "fmt " not in chunks or "data" not in chunks:
+        raise NotImplementedError("missing fmt/data chunk")
+    off, _size = chunks["fmt "]
+    audio_fmt, _n_channels, sample_rate = struct.unpack_from("<HHI", content, off)
+    if audio_fmt not in (6, 7):
+        raise NotImplementedError(f"not G.711 (fmt={audio_fmt})")
+    doff, dsize = chunks["data"]
+    pcm = _g711_table(audio_fmt)[
+        np.frombuffer(content[doff : doff + dsize], dtype=np.uint8)
+    ].astype(np.int64)
+    mag = np.abs(pcm)
+    n_active = -1
+    if active_threshold is not None:
+        n_frames = pcm.size // frame_len
+        if n_frames:
+            fs = mag[: n_frames * frame_len].reshape(n_frames, frame_len).sum(axis=1)
+            n_active = int((fs > active_threshold).sum())
+        else:
+            n_active = 0
+    return (
+        int(sample_rate),
+        int(pcm.size),
+        int(mag.sum()),
+        int(mag.max()) if pcm.size else 0,
+        n_active,
+    )
+
+
 def decode_audio_pcm(content: bytes) -> tuple[str, int, int, int, int, float, float, float]:
     """Decode a PCM WAV to (format, sample_rate, n_channels, n_samples,
     duration_ms, rms, peak, zero_crossing_rate).
@@ -590,21 +748,7 @@ def decode_audio_pcm(content: bytes) -> tuple[str, int, int, int, int, float, fl
         # G.711 companded telephony audio: expansion is a pure closed
         # form (ITU-T G.711), so "compressed" WAV still needs no codec
         # library.  Expand via a 256-entry table to int16 PCM.
-        codes = np.arange(256, dtype=np.uint8)
-        if audio_fmt == 7:  # µ-law
-            u = ~codes
-            sign = np.where(u & 0x80, -1, 1)
-            exp = (u >> 4) & 0x07
-            mant = u & 0x0F
-            mag = (((mant.astype(np.int32) << 3) + 0x84) << exp) - 0x84
-            table = (sign * mag).astype(np.int16)
-        else:  # A-law (sign bit SET means positive after the 0x55 toggle)
-            a = codes ^ 0x55
-            sign = np.where(a & 0x80, 1, -1)
-            exp = (a >> 4) & 0x07
-            mant = (a & 0x0F).astype(np.int32)
-            mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
-            table = (sign * mag).astype(np.int16)
+        table = _g711_table(audio_fmt)
         x = table[np.frombuffer(raw, dtype=np.uint8)].astype(np.float64) / 32768.0
     elif bits == 8:  # unsigned
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0

@@ -300,3 +300,76 @@ def versioned_optimize_packed_scan(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC change feed + incremental view maintenance under the oracle gate.
+# The store takes an append (v1), a keyed MERGE (updates double the value
+# of every 5th event), and a MoR tombstone delete (every 7th event drops
+# out) — then the maintained per-type (count, sum) view is produced by
+# applying ONLY the v1→v3 change feed to the v1 aggregate
+# (operators/ivm.py::apply_group_delta): the base table is never
+# re-aggregated.  DuckDB recomputes the head state directly; equality
+# proves feed completeness (MERGE's copy-on-write rewrite surfaces as
+# delete+insert pairs, the tombstone delete through the logical-diff
+# path) AND the group-delta algebra.
+#
+# Reference parity: the event store's keyed upsert/delete surface
+# (SURVEY O11/O16/O27); the feed/IVM pair is how a 100 TB deployment
+# keeps derived aggregates fresh at delta cost, not base cost.
+# Scale: the feed reads only added/removed files (file-level diff);
+# apply_group_delta is one aggregate over the DELTA plus an outer join
+# on the view's own keys.
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, cast(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_id % 3 <> 0
+), head AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 5 = 0 THEN cents * 2 ELSE cents END AS cents
+  FROM base WHERE event_id % 7 <> 0
+)
+SELECT event_type,
+       count(*) AS n,
+       cast(sum(cents) AS BIGINT) AS sum_cents
+FROM head GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "versioned_cdc_ivm_rollup",
+    _CDC_ORACLE,
+    tags=("storage", "versioned", "cdc", "ivm"),
+)
+def versioned_cdc_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.ivm import apply_group_delta, count_sum_view
+
+    base = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 != 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="est-cdc-ivm-q-")
+    store = VersionedStore(spark, root)
+    v1 = store.append(base)
+    # the view as of v1 — the ONLY base-table aggregation in this plan
+    view1 = count_sum_view(store.read(version=v1), ["event_type"], "cents")
+    updates = base.filter(F.col("event_id") % 5 == 0).withColumn(
+        "cents", F.col("cents") * 2
+    )
+    store.merge(updates, key="event_id")
+    store.delete_keys_where(F.col("event_id") % 7 == 0, key="event_id")
+    v3 = store.latest_version()
+    feed = store.table_changes(v1, v3)
+    view = apply_group_delta(view1, feed, ["event_type"], "cents")
+    return view.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("bigint").alias("sum_cents"),
+    ).orderBy("event_type")

@@ -1,0 +1,221 @@
+"""Streaming incremental MinHash-LSH dedup: a continuously-maintained
+band index that dedups each arriving micro-batch against ALL history at
+delta cost — the production shape for deduplicating a continuous crawl
+feed without ever recomputing the full pair join.
+
+Three "arrival waves" of the documents table (wave = doc_id % 3) are
+published to a topic log and drained with availableNow micro-batches.
+Per micro-batch, inside the subscriber callback (the O3 contract):
+
+1. band the batch's docs (same k=16 minhash / LSH_BANDS machinery as
+   ``minhash_lsh_near_dup_pairs``);
+2. PROBE the pre-update index store for cross-batch candidates — an
+   equi-join on (band_idx, band_hash) against only the new docs' bands;
+3. self-join within the batch for same-batch candidates;
+4. verify candidates by estimated Jaccard and emit pairs ≥ 0.3;
+5. append the batch's bands to the index (``VersionedStore`` — the
+   index itself never leaves the cluster).
+
+The graded invariant: the union of incrementally-found pairs equals the
+FULL batch LSH pair set, with each pair labeled canonically by arrival
+order (earlier = smaller (wave, doc_id)) — and this holds for ANY
+micro-batch partitioning of the log, which is exactly what makes the
+incremental index trustworthy in production: Spark's file-source
+batching is an execution detail, not a semantic one.
+
+Reference parity: topic publish/consume + subscriber callback
+(include/events-agency.h:52, src/events-agency.c) carrying the LLM-dedup
+workload end to end.
+
+Scale: per batch the probe is bands(batch) ⋈ index — candidate-bounded,
+never all-pairs; the index append is a distributed parquet write.  At
+100 TB the index would be bucketed by band hash so the probe co-locates;
+the per-batch cost tracks the DELTA (new docs × bands), not history.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from event_streaming_spark.operators import similarity as S
+from event_streaming_spark.plans.catalog import load, register
+
+_EQ_SUM = " + ".join(
+    f"(CASE WHEN sa.mh{i:02d} = sb.mh{i:02d} THEN 1 ELSE 0 END)" for i in range(S.MINHASH_K)
+)
+
+# Same pair set as the batch LSH oracle — only the labeling differs:
+# each unordered candidate pair maps to (earlier, later) by the arrival
+# key (wave = doc_id % 3, doc_id).
+_SDEDUP_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id, {S.sql_shingle_hashes('text')} AS hs FROM documents
+), sig AS (
+  SELECT doc_id, {', '.join(S.sql_minhash_exprs('hs'))} FROM hs
+), banded AS (
+  SELECT doc_id, {', '.join(S.sql_band_hash_exprs())} FROM sig
+), bands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {j} AS band_idx, band{j} AS bh FROM banded" for j in range(S.LSH_BANDS))}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS earlier_doc, b.doc_id AS later_doc
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+   AND ((a.doc_id % 3 < b.doc_id % 3)
+        OR (a.doc_id % 3 = b.doc_id % 3 AND a.doc_id < b.doc_id))
+)
+SELECT earlier_doc, later_doc, est_jaccard FROM (
+  SELECT earlier_doc, later_doc,
+         round(cast({_EQ_SUM} as double) / {S.MINHASH_K}, 6) AS est_jaccard
+  FROM cand JOIN sig sa ON sa.doc_id = earlier_doc JOIN sig sb ON sb.doc_id = later_doc
+) WHERE est_jaccard >= 0.3
+ORDER BY earlier_doc, later_doc
+"""
+
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("earlier_doc", T.LongType()),
+        T.StructField("later_doc", T.LongType()),
+        T.StructField("est_jaccard", T.DoubleType()),
+    ]
+)
+
+
+def _banded(df: DataFrame) -> DataFrame:
+    """(doc_id, wave, text) → exploded band rows carrying the signature."""
+    hs = df.select(
+        "doc_id", "wave", S.shingle_hashes(F.col("text")).alias("hs")
+    )
+    sig = hs.select(
+        "doc_id", "wave", F.array(*S.minhash_cols(F.col("hs"))).alias("sig")
+    )
+    return sig.select(
+        "doc_id",
+        "wave",
+        "sig",
+        F.posexplode(F.array(*S.band_hashes_over(F.col("sig")))).alias("band_idx", "bh"),
+    )
+
+
+def _arrival_lt(a_wave, a_doc, b_wave, b_doc):
+    return (a_wave < b_wave) | ((a_wave == b_wave) & (a_doc < b_doc))
+
+
+@register(
+    "streaming_minhash_index_drain",
+    _SDEDUP_ORACLE,
+    tags=("streaming", "llm", "dedup", "join"),
+)
+def streaming_minhash_index_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.sources.versioned import VersionedStore
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 3).cast("int").alias("wave"), "text"
+    )
+
+    root = tempfile.mkdtemp(prefix="est-sdedup-")
+    idx_root = tempfile.mkdtemp(prefix="est-sdedup-idx-")
+    found: list = []  # bounded: the final near-dup PAIR set, not the corpus
+    try:
+        agency = EventsAgency(spark, root=root, log_format="parquet")
+        ctx = agency._get_or_create("driver-gate", "docs")
+        # topic payload is documents, not the default event envelope
+        ctx.schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("wave", T.IntegerType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        # one publish per arrival wave, in arrival order
+        for w in range(3):
+            ctx.publish(docs.filter(F.col("wave") == w))
+        index = VersionedStore(spark, idx_root)
+
+        def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
+            bands = _banded(batch_df).localCheckpoint()
+            sig_b = bands.select("doc_id", "wave", "sig").dropDuplicates(["doc_id"])
+            pair_frames = []
+            # cross-batch: probe the PRE-update index (disjoint from batch)
+            if index.latest_version() >= 0:
+                idx = index.read().alias("x")
+                n = bands.alias("n")
+                pair_frames.append(
+                    n.join(
+                        idx,
+                        (F.col("n.band_idx") == F.col("x.band_idx"))
+                        & (F.col("n.bh") == F.col("x.bh")),
+                    ).select(
+                        F.col("n.doc_id").alias("da"), F.col("n.wave").alias("wa"),
+                        F.col("n.sig").alias("sig_a"),
+                        F.col("x.doc_id").alias("db"), F.col("x.wave").alias("wb"),
+                        F.col("x.sig").alias("sig_b"),
+                    )
+                )
+            # same-batch: half self-join by arrival key
+            a, b = bands.alias("a"), bands.alias("b")
+            pair_frames.append(
+                a.join(
+                    b,
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & _arrival_lt(
+                        F.col("a.wave"), F.col("a.doc_id"),
+                        F.col("b.wave"), F.col("b.doc_id"),
+                    ),
+                ).select(
+                    F.col("a.doc_id").alias("da"), F.col("a.wave").alias("wa"),
+                    F.col("a.sig").alias("sig_a"),
+                    F.col("b.doc_id").alias("db"), F.col("b.wave").alias("wb"),
+                    F.col("b.sig").alias("sig_b"),
+                )
+            )
+            cand = pair_frames[0]
+            for extra in pair_frames[1:]:
+                cand = cand.unionByName(extra)
+            # canonical (earlier, later) labels + Jaccard verify
+            flip = _arrival_lt(F.col("wb"), F.col("db"), F.col("wa"), F.col("da"))
+            scored = (
+                cand.select(
+                    F.when(flip, F.col("db")).otherwise(F.col("da")).alias("earlier_doc"),
+                    F.when(flip, F.col("da")).otherwise(F.col("db")).alias("later_doc"),
+                    S.minhash_est_jaccard_arrays(
+                        F.col("sig_a"), F.col("sig_b")
+                    ).alias("est_jaccard"),
+                )
+                .dropDuplicates(["earlier_doc", "later_doc"])
+                .filter(F.col("est_jaccard") >= 0.3)
+            )
+            # result-sized localization (the pair set), same bound as the
+            # other drains' callback collections
+            found.append(scored.toPandas())
+            # index update AFTER the probe: append this batch's bands
+            index.append(bands.select("doc_id", "wave", "band_idx", "bh", "sig"))
+
+        ctx.consume(
+            on_notify,
+            once=True,
+            transform=None,
+            max_files_per_trigger=16,  # force >1 micro-batch: the pair set must not depend on the split
+        )
+        agency.close(remove_logs=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(idx_root, ignore_errors=True)
+
+    import pandas as pd
+
+    if not found:
+        return spark.createDataFrame([], _PAIR_SCHEMA)
+    allp = pd.concat(found, ignore_index=True)
+    if allp.empty:
+        return spark.createDataFrame([], _PAIR_SCHEMA)
+    return (
+        spark.createDataFrame(allp, _PAIR_SCHEMA)
+        .dropDuplicates(["earlier_doc", "later_doc"])
+        .orderBy("earlier_doc", "later_doc")
+    )
