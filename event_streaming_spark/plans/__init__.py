@@ -162,7 +162,6 @@ _PRIORITY = [
     # hard-negative mining) enter the graded window for their first
     # driver row (VERDICT r3 "Next round" #2).
     "tpch_refresh_streams_versioned",
-    "dedup_cross_source_leakage_matrix",
     "sample_exact_k_per_lang",
     "emb_hard_negative_mining",
     # Round-5 session-2 additions in the graded window — three new
@@ -188,6 +187,13 @@ _PRIORITY = [
     # sketch_theta_overlap_daily (driver-green r4; sketches keep
     # sketch_hll_distinct_cross_engine in-window).
     "streaming_minhash_index_drain",
+    # Round-5 session-2: Bloom-filter file skipping for point lookups —
+    # the high-cardinality-equality complement of the zone-map rows
+    # (min/max zones span every file in this layout; only the bitmap
+    # prunes).  Displaces dedup_cross_source_leakage_matrix
+    # (driver-green r4; the dedup family keeps exact/minhash/simhash/
+    # clusters/semantic/streaming-index in-window).
+    "events_bloom_pruned_lookup",
     # Round-4 addition: the streaming publish→log→window→drain pipeline as
     # an oracle-paired query (VERDICT r3 "Next round" #3) — stream ≡ batch
     # under the driver's value-hash, displacing ngram_jaccard (driver-green
@@ -199,6 +205,7 @@ _PRIORITY = [
     # (driver-green r3; the CC family keeps dedup_near_dup_clusters).
     "versioned_zorder_compact_scan",
     # --- past the grading window ---
+    "dedup_cross_source_leakage_matrix",
     "sketch_theta_overlap_daily",
     "graph_triangle_count_near_dup",
     "events_zonemap_incremental_scan",

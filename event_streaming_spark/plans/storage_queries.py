@@ -373,3 +373,60 @@ def versioned_cdc_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("s").cast("bigint").alias("sum_cents"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping under the oracle gate: the events table is
+# laid out hash-partitioned by user_id (so event_id zones span every
+# file — min/max CANNOT prune a point probe), a per-file Bloom manifest
+# is built on event_id, and five deterministic point lookups read only
+# the files whose bitmap contains the probe.  Equality is re-applied as
+# the residual filter, so Bloom false positives cannot affect the
+# answer; tests/test_bloomindex.py asserts the skipping itself.
+#
+# Scale: at 100 TB the manifest is one 16 KiB bitmap per file (what
+# Delta/Iceberg store natively); the probe is O(#files · k) driver bit
+# tests and the data read touches ~1 + fp·#files files per lookup
+# instead of all of them.
+# ---------------------------------------------------------------------------
+
+_BLOOM_ORACLE = """
+WITH m AS (SELECT max(event_id) AS mx FROM events),
+p AS (
+  SELECT DISTINCT (mx * k) // 7 AS pid
+  FROM m, (SELECT unnest(generate_series(1, 5)) AS k)
+)
+SELECT e.event_id, e.event_type,
+       cast(round(e.value * 100) AS BIGINT) AS cents
+FROM events e JOIN p ON e.event_id = p.pid
+ORDER BY e.event_id
+"""
+
+
+@register(
+    "events_bloom_pruned_lookup",
+    _BLOOM_ORACLE,
+    tags=("storage", "layout", "bloom", "lookup"),
+)
+def events_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.bloomindex import bloom_index, pruned_read_eq
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    mx = int(ev.agg(F.max("event_id")).first()[0])
+    probes = sorted({(mx * k) // 7 for k in range(1, 6)})
+    # rows-per-file sized for the Bloom fp budget (~15k keys per file at
+    # m=2^17, k=5 → ~2% fp); event_ids are dense so mx+1 ≈ row count
+    n_files = max(8, min(64, (mx + 1) // 15000))
+    root = tempfile.mkdtemp(prefix="est-bloom-q-")
+    ev.repartition(n_files, "user_id").write.mode("overwrite").parquet(root)
+    manifest = bloom_index(spark, root, "event_id").localCheckpoint()
+    out = None
+    for pid in probes:
+        df, _read, _total = pruned_read_eq(spark, root, manifest, "event_id", pid)
+        out = df if out is None else out.unionByName(df)
+    return out.select("event_id", "event_type", "cents").orderBy("event_id")
