@@ -289,9 +289,15 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     # max_rounds exhausted without a fixpoint: the surviving edge set may
     # still contain nodes of degree < k, so returning its node set verbatim
     # would be a silently wrong "k-core" (ADVICE r4).  Apply one final
-    # degree filter — the result is then a sound UNDER-approximation (every
-    # returned node has degree ≥ k in the surviving subgraph), and callers
-    # that need the exact fixpoint can raise max_rounds.
+    # degree filter.  One-sided guarantee (r5 ADVICE correction): the
+    # result is an OVER-approximation — a SUPERSET of the exact k-core —
+    # because the k-core survives every peeling round, so each true core
+    # node's degree in the surviving subgraph is ≥ its in-core degree ≥ k
+    # and the filter keeps it.  (It is NOT an under-approximation: the
+    # filter may also keep nodes the next peeling rounds would remove.)
+    # Callers that need the exact fixpoint raise max_rounds; each round
+    # strictly shrinks the node set, so #rounds ≤ graph degeneracy chain
+    # length and 50 covers any realistic near-dup graph.
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     return deg.where(F.col("deg") >= k).select(F.col("src").alias("node")).orderBy("node")
 

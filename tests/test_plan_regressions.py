@@ -249,3 +249,33 @@ def test_zorder_key_stays_in_codegen(spark):
     p = _plan(spark, "events_zorder_curve_head")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "TakeOrderedAndProject" in p           # head of curve, no global sort
+
+
+def test_semdedup_cell_count_is_data_driven(spark, duck):
+    """VERDICT r5 #2: a compile-time k makes the SemDeDup gram pass
+    O(N²/k) at scale.  k must derive from the corpus count — and the
+    oracle must derive the SAME k, so the differential gate holds on the
+    path where k > the minimum.  Shrink the per-cell divisor so the tiny
+    fixture corpus (500 vectors) already exercises derived k = 10 > 8 on
+    BOTH engines, and assert the full SemDeDup output still hash-matches."""
+    import event_streaming_spark.plans.curation3 as c3
+    from tools.check_oracle import normalize
+
+    assert c3._km_k(500) == 8                      # floor at tiny corpora
+    assert c3._km_k(25 * c3._KM_PER_CELL) == 25    # grows with N
+    assert c3._km_k(10**10) == 10**10 // c3._KM_PER_CELL  # 100 TB shape
+
+    old = c3._KM_PER_CELL
+    c3._KM_PER_CELL = 50  # 500 vectors -> k = 10 on the Spark side
+    try:
+        q = REGISTRY["dedup_semantic_clusters"]
+        sql = q.oracle.replace(f"// {old}", "// 50")
+        assert sql != q.oracle, "oracle no longer embeds the divisor"
+        sdf = q.fn(spark, SF_SMALL)
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        rel = duck.sql(sql)
+        duck_rows = rel.fetchall()
+        assert {r[1] for r in spark_rows} .__len__() >= 9  # >8 distinct cells used
+        assert normalize(sdf.columns, spark_rows) == normalize(rel.columns, duck_rows)
+    finally:
+        c3._KM_PER_CELL = old
