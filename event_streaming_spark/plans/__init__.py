@@ -68,37 +68,55 @@ _PRIORITY = [
     # text_dup_span_fraction (text keeps quality/PII/model-gate/BPE).
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q21_suppliers_kept_waiting",
-    # r5: the hopping-window and stream-static-enrichment drains take the
-    # streaming slots (never driver-graded; the interval join rotates out
-    # driver-green).
-    "streaming_hopping_window_drain",
+    # r6 rotation (VERDICT r5 "Next round" #3): the ten never-driver-graded
+    # queries — four of them headline-bench members — enter the graded
+    # 50-prefix.  Displaced just past the window, ALL driver-green in
+    # CORRECTNESS_r05.json and still judge-verified by the full-catalog
+    # oracle run each round, every displaced family keeping in-window rows:
+    # q5_local_supplier_volume (TPC-H keeps q1/q3/q21),
+    # streaming_hopping_window_drain (streaming keeps session/static-enrich/
+    # drain-equals-batch/minhash-index/left-outer + the new restart drain),
+    # graph_bfs_blast_radius (graph keeps weighted-SSSP/k-core/PageRank +
+    # the incoming centrality query), simhash_near_dup_histogram (dedup
+    # keeps exact/minhash/clusters/semantic/streaming-index/edit-distance/
+    # prefix-jaccard + incoming passage dedup), emb_ivf_pq_search (ANN
+    # keeps bruteforce/IVF/PCA/hard-negatives; the incoming PQ pair grades
+    # the same codepath end-to-end), text_quality_features (text keeps
+    # model-gate/PII/BPE + incoming surprisal/boilerplate),
+    # multimodal_phash_roundtrip (multimodal keeps video-dedup/PNG/VAD),
+    # events_weighted_median_value_per_type (events keeps SCD2/OLS/zone-map/
+    # bloom + incoming MAD outliers, the order-statistics kin),
+    # sample_stratified_by_lang (curation keeps end-to-end/exact-k +
+    # incoming contamination/chunking/centrality),
+    # versioned_optimize_packed_scan (versioned keeps time-travel-MERGE/
+    # Z-order/CDC-IVM/refresh-streams).
+    "events_mad_outliers",
+    "corpus_canonical_by_centrality",
+    "emb_kmeans_clusters",
+    "text_hot_ngram_boilerplate",
+    "emb_pq_encode",
+    "emb_pq_adc_topk",
+    "text_unigram_surprisal_score",
+    "docs_chunk_sliding_windows",
+    "passage_cross_doc_dedup",
+    "contamination_check_vs_benchmark",
     "streaming_static_enrich_drain",
     # Round-4 session-2 additions in the graded window, displacing
     # q8/q9/q10/q15 (all driver-green in CORRECTNESS_r03.json and still
     # judge-verified by the full-catalog oracle run): the streaming
-    # session-window drain, the exact-integer BM25 ranker, the
-    # recursive-CTE-oracled multi-source BFS, and the SCD2 history build.
+    # session-window drain, the exact-integer BM25 ranker, and the SCD2
+    # history build.
     "streaming_session_window_drain",
     "docs_bm25_postings_rank",
-    "graph_bfs_blast_radius",
     "events_scd2_type_history",
     # LLM-data-pipeline flagships (dedup / similarity / curation / text).
     "dedup_exact_sha256",
     "minhash_lsh_near_dup_pairs",
-    "simhash_near_dup_histogram",
     "dedup_near_dup_clusters",
     "emb_cosine_topk_bruteforce",
     "emb_ivf_two_stage_ann",
     "corpus_curation_end_to_end",
-    "sample_stratified_by_lang",
-    "text_quality_features",
-    # Multimodal flagship upgraded for r3 session 2: the phash
-    # round-trip differentially verifies the REAL encode→decode→resize→
-    # hash chain (binary_column_metadata — driver-green in r2 — rotates
-    # past the window; it only probed length/prefix bytes).
-    "multimodal_phash_roundtrip",
     # Round-2 flagships rotated INTO the r3 graded prefix (slots 36-50):
     # sketches, graph, scale joins, storage-layout and heavy-agg queries
     # that r2's driver window never reached (VERDICT r2 "Next round" #3).
@@ -106,7 +124,6 @@ _PRIORITY = [
     # in CORRECTNESS_r02.json, so they rotate just past the window.
     "sketch_hll_distinct_cross_engine",
     "graph_pagerank_near_dup",
-    "events_weighted_median_value_per_type",
     # Round-4 session-3 additions in the graded window — the seven new
     # capability classes land with driver rows on arrival: integer-PCA
     # power iteration, video frame-level dedup (full codec chain under
@@ -127,9 +144,7 @@ _PRIORITY = [
     "streaming_left_outer_interval_join",
     "events_trend_ols_daily",
     "graph_weighted_blast_radius",
-    "versioned_optimize_packed_scan",
     "text_quality_model_gate",
-    "emb_ivf_pq_search",
     "graph_kcore_dense_near_dup",
     "text_pii_scan",
     "text_bpe_encode_corpus",
@@ -205,6 +220,17 @@ _PRIORITY = [
     # (driver-green r3; the CC family keeps dedup_near_dup_clusters).
     "versioned_zorder_compact_scan",
     # --- past the grading window ---
+    # r6 displacements (all driver-green in CORRECTNESS_r05.json):
+    "q5_local_supplier_volume",
+    "streaming_hopping_window_drain",
+    "graph_bfs_blast_radius",
+    "simhash_near_dup_histogram",
+    "emb_ivf_pq_search",
+    "text_quality_features",
+    "multimodal_phash_roundtrip",
+    "events_weighted_median_value_per_type",
+    "sample_stratified_by_lang",
+    "versioned_optimize_packed_scan",
     "dedup_cross_source_leakage_matrix",
     "sketch_theta_overlap_daily",
     "graph_triangle_count_near_dup",
