@@ -101,7 +101,11 @@ _PRIORITY = [
     "docs_chunk_sliding_windows",
     "passage_cross_doc_dedup",
     "contamination_check_vs_benchmark",
-    "streaming_static_enrich_drain",
+    # r6: the checkpoint KILL+RESUME path lands with a driver row on
+    # arrival (VERDICT r5 #8) — displacing streaming_static_enrich_drain
+    # (driver-green r5; streaming keeps session/drain-equals-batch/
+    # left-outer/minhash-index in-window).
+    "streaming_minhash_index_restart_drain",
     # Round-4 session-2 additions in the graded window, displacing
     # q8/q9/q10/q15 (all driver-green in CORRECTNESS_r03.json and still
     # judge-verified by the full-catalog oracle run): the streaming
@@ -221,6 +225,7 @@ _PRIORITY = [
     "versioned_zorder_compact_scan",
     # --- past the grading window ---
     # r6 displacements (all driver-green in CORRECTNESS_r05.json):
+    "streaming_static_enrich_drain",
     "q5_local_supplier_volume",
     "streaming_hopping_window_drain",
     "graph_bfs_blast_radius",

@@ -21,14 +21,24 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    key: str | list[str],
     n_buckets: int = 16,
     sort: bool = True,
+    mode: str = "overwrite",
 ) -> None:
-    """Persist df as a bucketed (and bucket-sorted) managed table."""
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    """Persist df as a bucketed (and bucket-sorted) managed table.
+
+    ``mode="append"`` adds new files into the SAME bucket layout (the
+    bucket hash is deterministic), which is how an incremental index
+    grows: each delta pays its own bucket shuffle at write time and the
+    accumulated history never reshuffles at probe time.  Note Spark only
+    honors the within-bucket sort when a bucket has a single file, so
+    appended tables keep the shuffle-free property but re-sort per probe.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.mode(mode).bucketBy(n_buckets, *keys)
     if sort:
-        writer = writer.sortBy(key)
+        writer = writer.sortBy(*keys)
     writer.format("parquet").saveAsTable(table)
 
 

@@ -123,3 +123,50 @@ def test_event_store_sink_idempotent_on_replay(agency, spark, tmp_path):
     q2 = store.sink(ctx.stream(), checkpoint=ckpt)
     q2.awaitTermination()
     assert store.read().count() == 2  # unchanged
+
+
+def test_band_index_probe_never_reshuffles_history(spark):
+    """r6 (VERDICT r5 #6): the streaming MinHash index is bucketed by the
+    probe's join key (band_idx, bh).  The per-batch probe join must plan
+    with NO Exchange above the index scan — only the delta (batch) side
+    shuffles into the bucket layout — and appends must grow the SAME
+    layout, so history is never rewritten or reshuffled."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    table = "t_band_index_probe"
+    try:
+        mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("int").alias("band_idx"),
+            F.xxhash64(F.col("id") % 50).alias("bh"),
+        )
+        write_bucketed(mk(0, 2000), table, ["band_idx", "bh"], 8, sort=False)
+        write_bucketed(
+            mk(2000, 4000), table, ["band_idx", "bh"], 8, sort=False, mode="append"
+        )
+        idx = spark.table(table)
+        assert idx.count() == 4000  # append grew the table
+
+        batch = mk(4000, 4100).alias("n")
+        probe = batch.join(
+            idx.alias("x"),
+            (F.col("n.band_idx") == F.col("x.band_idx"))
+            & (F.col("n.bh") == F.col("x.bh")),
+        )
+        probe.count()  # finalize AQE plan
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # exactly the delta-side Exchange; the bucketed index side has none
+        n_exchange = plan.count("Exchange hashpartitioning")
+        assert n_exchange == 1, f"index side must reuse bucketing:\n{plan[:800]}"
+        # sanity: same join against an UNBUCKETED copy shuffles both sides
+        flat = idx.select("*").localCheckpoint()
+        plain = batch.join(
+            flat.alias("x"),
+            (F.col("n.band_idx") == F.col("x.band_idx"))
+            & (F.col("n.bh") == F.col("x.bh")),
+        )
+        plain.count()
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert plain_plan.count("Exchange hashpartitioning") >= 2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
