@@ -68,11 +68,14 @@ _POST_BATCH = 1000
 
 
 def _post(url: str, payload, token: str | None) -> tuple[int, dict]:
+    """POST a JSON body; ``payload`` is either a Python list (dumped here)
+    or an already-encoded JSON string (the batch fast path)."""
     headers = {"Content-Type": "application/json"}
     if token is not None:
         headers["Authorization"] = f"Bearer {token}"
+    body = payload if isinstance(payload, str) else json.dumps(payload)
     req = urllib.request.Request(
-        url, data=json.dumps(payload).encode(), headers=headers, method="POST"
+        url, data=body.encode(), headers=headers, method="POST"
     )
     try:
         with urllib.request.urlopen(req) as r:
@@ -99,10 +102,20 @@ def gateway_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded by the gate's SF — 10k rows at sf0.01.
     ev = load(spark, sf_dir, "events")
     pdf = ev.select("event_id", "ts", "user_id", "event_type", "value", "props").toPandas()
-    pdf["ts"] = pdf["ts"].map(lambda t: None if t is None else t.isoformat())
-    rows = [
-        {k: (None if v != v else v) if isinstance(v, float) else v for k, v in rec.items()}
-        for rec in pdf.to_dict("records")
+    # Vectorized batch encoding (VERDICT r5 #9): one pandas to_json call
+    # per POST body — NaN→null and ISO-8601 timestamps handled natively —
+    # instead of a per-record dict comprehension + per-batch json.dumps.
+    # µs date_unit: Spark timestamps are µs and the gateway's publish
+    # parses ≤6 fractional digits; the events table is µs-aligned
+    # (asserted below), so nothing truncates.
+    n_rows = len(pdf)
+    if int((pdf["ts"].astype("int64") % 1000 != 0).sum()) != 0:
+        raise AssertionError("events.ts carries sub-µs precision; µs JSON would truncate")
+    bodies = [
+        pdf.iloc[i : i + _POST_BATCH].to_json(
+            orient="records", date_format="iso", date_unit="us"
+        )
+        for i in range(0, n_rows, _POST_BATCH)
     ]
 
     root = tempfile.mkdtemp(prefix="est-gateway-")
@@ -115,19 +128,19 @@ def gateway_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The authn boundary must actually gate: no token → 401, and the
         # rejected batch must NOT reach the log (the oracle would catch
         # a duplicate, but assert the status contract here too).
-        code, _ = _post(url, rows[:1], token=None)
+        code, _ = _post(url, bodies[0], token=None)
         if code != 401:
             raise AssertionError(f"gateway accepted unauthenticated POST: {code}")
 
         token = mint_hs256({"iss": "driver-gate", "sub": "ingester"}, "driver-gate")
         accepted = 0
-        for i in range(0, len(rows), _POST_BATCH):
-            code, body = _post(url, rows[i : i + _POST_BATCH], token=token)
+        for i, body_json in enumerate(bodies):
+            code, body = _post(url, body_json, token=token)
             if code != 202:
-                raise AssertionError(f"gateway refused batch at {i}: {code} {body}")
+                raise AssertionError(f"gateway refused batch {i}: {code} {body}")
             accepted += body["accepted"]
-        if accepted != len(rows):
-            raise AssertionError(f"accepted {accepted} != posted {len(rows)}")
+        if accepted != n_rows:
+            raise AssertionError(f"accepted {accepted} != posted {n_rows}")
 
         # Drain the topic log to the date-partitioned store (the
         # reference's consumer → BDB-store leg), then aggregate the STORE.
