@@ -517,6 +517,121 @@ def text_unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+# select raw-corpus documents whose hashed n-gram feature distribution
+# looks like a TARGET domain.  The published recipe, made exact-integer:
+#
+#   * features = hashed unigram buckets (stable_hash32(tok) % 1024) —
+#     the hashing trick bounds BOTH distribution tables at 1024 rows,
+#     so they broadcast at ANY corpus size (the whole point of DSIR:
+#     the model is O(buckets), the data is the only big thing);
+#   * per-feature log importance weight
+#       w(f) = [ilog2(tc+1) − ilog2(T_t)] − [ilog2(rc+1) − ilog2(T_r)]
+#     with ilog2(x) = len(bin(x))−1 (the exact-integer surprisal trick;
+#     +1 = add-one smoothing) — target here is lang='en' as the stand-in
+#     quality domain;
+#   * per-doc score = Σ w(f) over the doc's token stream (with
+#     multiplicity) — exactly log p̂_target(doc)/p̂_raw(doc) under the
+#     bucketed unigram LM;
+#   * emit the top-100 by (score desc, doc_id): ties are broken totally,
+#     so the selected SET is deterministic on any engine/partitioning.
+#
+# Scale shape: one tokenize pass; two B-bounded feature aggregates with
+# map-side combine (≤1024 rows out per task); the weight table joins
+# back by BROADCAST (B-bounded by construction, unlike a vocabulary);
+# per-doc sum is one doc-keyed shuffle; the final top-k plans as
+# TakeOrderedAndProject — no global sort.  The production sampler keeps
+# docs with score ≥ a Gumbel-perturbed threshold; the deterministic
+# top-k is the oracle-matchable core (the perturbation is a knob on the
+# same scored table).
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024  # feature buckets; both distribution tables are ≤ B rows
+_DSIR_K = 100
+_DSIR_TARGET_LANG = "en"
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split({sql_normalize_text('text')}, ' ')) AS tok
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, {sql_stable_hash32('tok')} % {_DSIR_B} AS f FROM toks
+),
+raw AS (SELECT f, count(*) AS rc FROM feat GROUP BY f),
+tgt AS (SELECT f, count(*) AS tc FROM feat WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY f),
+tot AS (SELECT (SELECT sum(rc) FROM raw) AS tr,
+               (SELECT coalesce(sum(tc), 0) FROM tgt) AS tt),
+w AS (
+  SELECT raw.f,
+         ((length(bin(coalesce(tgt.tc, 0) + 1)) - 1) - (length(bin(tot.tt)) - 1))
+       - ((length(bin(raw.rc + 1)) - 1) - (length(bin(tot.tr)) - 1)) AS wf
+  FROM raw LEFT JOIN tgt ON raw.f = tgt.f CROSS JOIN tot
+),
+scored AS (
+  SELECT feat.doc_id,
+         any_value(feat.lang) AS lang,
+         cast(count(*) AS bigint) AS n_tokens,
+         cast(sum(w.wf) AS bigint) AS log_weight
+  FROM feat JOIN w ON feat.f = w.f
+  GROUP BY feat.doc_id
+)
+SELECT doc_id, lang, n_tokens, log_weight
+FROM scored
+ORDER BY log_weight DESC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+
+@register(
+    "sample_importance_dsir",
+    _DSIR_ORACLE,
+    tags=("llm", "curation", "sampling", "topk"),
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: top-100 raw docs by exact-integer
+    hashed-unigram log importance weight toward the lang='en' target."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        (F.explode(tokens(F.col("text")))).alias("tok"),
+    ).select("doc_id", "lang", (stable_hash32(F.col("tok")) % _DSIR_B).alias("f"))
+    raw = feat.groupBy("f").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = (
+        feat.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tot = raw.agg(F.sum("rc").alias("tr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("tt"))
+    )
+    tc1 = F.coalesce(F.col("tc"), F.lit(0)) + 1
+    w = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            (
+                (_ilog2(tc1) - _ilog2(F.col("tt")))
+                - (_ilog2(F.col("rc") + 1) - _ilog2(F.col("tr")))
+            ).alias("wf"),
+        )
+    )
+    scored = (
+        # w is ≤ _DSIR_B rows by construction — broadcast is safe at any SF
+        feat.join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("wf").cast("long").alias("log_weight"),
+        )
+    )
+    return scored.orderBy(F.desc("log_weight"), "doc_id").limit(_DSIR_K)
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
 # embedding-space near-duplicates that *textual* dedup (MinHash/SimHash)
 # cannot see — paraphrases, translations-of-boilerplate, templated

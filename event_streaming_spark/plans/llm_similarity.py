@@ -707,3 +707,127 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009): the
+# RAG-serving pattern — a lexical BM25 ranking and a dense cosine ranking
+# fused by RRF(d) = Σ_legs 1/(60 + rank_leg(d)), which rewards documents
+# BOTH retrievers surface without comparing incomparable score scales.
+#
+# Exact-integer fusion: contribution = 1_000_000 // (60 + rank) per leg
+# (missing leg = 0), so fused scores are bit-identical on any engine.
+# Doc↔vector linkage is vec_id = doc_id (the embedding row of the
+# document); partial coverage (docs without embeddings, vectors without
+# text hits) is the realistic serving case and the outer fuse handles it.
+#
+# Scale shape: the BM25 leg is the postings plan (work ∝ matched
+# postings); the dense leg broadcasts ONE query vector and streams the
+# corpus once into a TakeOrdered top-k (no global sort, no window over
+# the corpus); the two rank assignments and the fuse run on k-bounded
+# (≤20-row) frames — single-partition windows there are k-bounded by
+# construction, not data-bounded.  At 100 TB the dense leg swaps in the
+# IVF-PQ searcher (emb_ivf_pq_search) — the fusion is rank-based, so the
+# plan above the legs is unchanged.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # the standard RRF damping constant
+_RRF_SCALE = 1_000_000
+_FUSE_TOP = 10
+
+_HYBRID_RRF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, t AS term
+  FROM (
+    SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+    FROM documents
+  ) WHERE t <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), g AS (
+  SELECT cast(sum(dl) AS BIGINT) AS big_l, count(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, term, least(count(*), 63) AS tf
+  FROM tok WHERE term IN ('vector', 'stream', 'hash')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), idf AS (
+  SELECT term, ((n_docs - df + 1) * 1000) // (df + 1) AS idf_fp FROM df, g
+), s AS (
+  SELECT tf.doc_id,
+         (idf_fp * tf * 44 * big_l)
+           // (20 * tf * big_l + 6 * big_l + 18 * dl.dl * n_docs) AS s_fp
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), g
+), lex0 AS (
+  SELECT doc_id, cast(sum(s_fp) AS BIGINT) AS score_fp
+  FROM s GROUP BY doc_id
+  ORDER BY score_fp DESC, doc_id LIMIT 20
+), lex AS (
+  SELECT doc_id, cast(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM lex0
+), qv AS (
+  SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+), sem0 AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_dot_product(q.q::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.q::DOUBLE[], q.q::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos_sim
+  FROM embeddings c, qv q WHERE c.vec_id <> 0
+  ORDER BY cos_sim DESC, doc_id LIMIT 20
+), sem AS (
+  SELECT doc_id, cast(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS sem_rank
+  FROM sem0
+)
+SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       cast(coalesce({_RRF_SCALE} // ({_RRF_K} + lex_rank), 0)
+          + coalesce({_RRF_SCALE} // ({_RRF_K} + sem_rank), 0) AS BIGINT) AS rrf_fp,
+       lex_rank, sem_rank
+FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf_fp DESC, doc_id
+LIMIT {_FUSE_TOP}
+"""
+
+
+@register(
+    "search_hybrid_rrf_fusion",
+    _HYBRID_RRF_ORACLE,
+    tags=("llm", "search", "ann", "topk"),
+)
+def search_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by exact-integer reciprocal-rank fusion of the
+    BM25 postings ranking and the dense cosine ranking (query = vec 0)."""
+    from event_streaming_spark.plans.scale_ops3 import docs_bm25_postings_rank
+
+    lex0 = docs_bm25_postings_rank(spark, sf_dir)  # ≤20 rows by construction
+    # k-bounded single-partition window (20 rows), NOT a corpus window
+    w = Window.orderBy(F.desc("score_fp"), "doc_id")
+    lex = lex0.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("lex_rank")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    sem0 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(20)
+    )
+    ws = Window.orderBy(F.desc("cos_sim"), "doc_id")
+    sem = sem0.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full").select(
+        "doc_id",
+        (
+            F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + sem_rank)"), F.lit(0))
+        ).cast("long").alias("rrf_fp"),
+        "lex_rank",
+        "sem_rank",
+    )
+    return fused.orderBy(F.desc("rrf_fp"), "doc_id").limit(_FUSE_TOP)
