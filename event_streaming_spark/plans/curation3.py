@@ -796,3 +796,69 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-batch shuffle: the LAST step of every
+# training-data pipeline — a global pseudo-random permutation of the
+# curated corpus, cut into fixed-size batches.  The permutation key is a
+# salted stable hash (epoch salt ⇒ a different but reproducible order per
+# epoch), NOT rand(): reproducibility across reruns/engines is the
+# whole point (and what makes it oracle-checkable).
+#
+# Scale shape: the global row number rides operators/ranks.py — range
+# buckets on the hash key (data-driven count), one O(#buckets) offsets
+# aggregate, bucket-local windows.  NO single-partition window over the
+# corpus, no driver-side permutation: at 100 TB this is one range
+# shuffle + metadata.  batch_id/pos_in_batch are pure arithmetic on the
+# row number.  A trainer shards by batch_id % n_readers — co-located
+# with this layout by construction.
+# ---------------------------------------------------------------------------
+
+_SHUF_BATCH = 64
+_SHUF_SALT = "epoch0"
+
+_SHUF_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id,
+         {sql_stable_hash32(f"cast(doc_id AS VARCHAR) || '#{_SHUF_SALT}'")} AS shuffle_pos
+  FROM documents
+),
+rn AS (
+  SELECT doc_id, shuffle_pos,
+         row_number() OVER (ORDER BY shuffle_pos, doc_id) AS rn
+  FROM pos
+)
+SELECT doc_id, shuffle_pos,
+       cast((rn - 1) // {_SHUF_BATCH} AS BIGINT) AS batch_id,
+       cast((rn - 1) % {_SHUF_BATCH} AS BIGINT) AS pos_in_batch
+FROM rn
+"""
+
+
+@register(
+    "docs_training_batches_shuffle",
+    _SHUF_ORACLE,
+    tags=("llm", "curation", "sampling", "rank"),
+)
+def docs_training_batches_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-hash global shuffle of the corpus into fixed 64-doc
+    training batches — reproducible permutation, distributed rank."""
+    from event_streaming_spark.operators.ranks import with_global_row_number
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    pos = docs.select(
+        "doc_id",
+        stable_hash32(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f"#{_SHUF_SALT}"))
+        ).alias("shuffle_pos"),
+    )
+    ranked, _total = with_global_row_number(
+        pos, [F.col("shuffle_pos"), F.col("doc_id")], out_col="rn"
+    )
+    return ranked.select(
+        "doc_id",
+        "shuffle_pos",
+        ((F.col("rn") - 1) / _SHUF_BATCH).cast("long").alias("batch_id"),
+        ((F.col("rn") - 1) % _SHUF_BATCH).cast("long").alias("pos_in_batch"),
+    )
