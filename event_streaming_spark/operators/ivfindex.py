@@ -1,0 +1,48 @@
+"""Persisted IVF index: the ANN index AS a cell-partitioned table.
+
+The catalog's other ANN queries recompute the coarse quantizer inline —
+right for a one-shot query, wrong for a serving corpus that answers
+thousands of queries against the same index.  Production IVF (FAISS,
+Milvus, every vector store) separates BUILD from SEARCH:
+
+* BUILD (once): assign every vector to its coarse cell and write the
+  corpus PARTITIONED BY cell.  On disk that is one directory per cell —
+  Spark's partition-column layout — plus a tiny centroid table.
+* SEARCH (per batch of queries): rank cells against each query vector
+  (broadcast of a K-row centroid table), take the nprobe best, and scan
+  ONLY those cells' partitions.  The probed-cell set is a literal IN
+  filter over the partition column, so Catalyst prunes at the FILE
+  INDEX level — unprobed cells are never opened, never read, never
+  shuffled (PartitionFilters in the scan node; asserted in tests).
+
+At 100 TB with k cells and nprobe probes, a query batch reads
+~nprobe/k of the corpus — that fraction IS the IVF speedup, delivered
+here by the storage layout instead of an in-memory inverted list.  The
+driver-side collect of the probed-cell set is bounded by
+|queries| × nprobe (config-sized, never data-sized).
+
+Reference parity: the reference's Berkeley-DB secondary index intent
+(src/main.c:57-58) — a derived access path that makes selective reads
+cheap — re-expressed as Spark partition pruning over a derived key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_ivf_index(assigned: DataFrame, path: str) -> None:
+    """Write ``assigned`` (must carry a ``cell`` column) partitioned by
+    cell — the one-time index build.  Each cell becomes a directory;
+    appends of new vectors go to their cell's directory without touching
+    the rest (the same delta discipline as the bucketed band index)."""
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def probe_cells(index_path: str, spark: SparkSession, cells: list) -> DataFrame:
+    """Read ONLY the probed cells.  ``cells`` is a literal list (bounded
+    by |queries| × nprobe), so the IN predicate lands in the scan's
+    PartitionFilters and unprobed directories are pruned from the file
+    index — never opened."""
+    return spark.read.parquet(index_path).filter(F.col("cell").isin(cells))

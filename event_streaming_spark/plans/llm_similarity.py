@@ -831,3 +831,89 @@ def search_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sem_rank",
     )
     return fused.orderBy(F.desc("rrf_fp"), "doc_id").limit(_FUSE_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index search: build the index ONCE as a cell-partitioned
+# table (operators/ivfindex.py — module doc has the 100 TB story), then
+# answer the query batch by scanning ONLY the probed cells' partitions.
+# Same semantics as emb_ivf_two_stage_ann (same oracle); the difference
+# is the physical path: partition pruning replaces the full-corpus scan,
+# which is the build/search split every production vector store makes.
+# The probed-cell collect is |queries|×nprobe-bounded (30 here) — a
+# config-sized driver list, the same class as the Bloom manifest.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_ivf_persisted_index_search",
+    _IVF_ORACLE,
+    tags=("llm", "ann", "ivf", "store"),
+)
+def emb_ivf_persisted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from event_streaming_spark.operators.ivfindex import build_ivf_index, probe_cells
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx_dir = tempfile.mkdtemp(prefix="est-ivfidx-")
+    try:
+        # BUILD: cell = coarse quantizer output (the per-label mean is the
+        # exact centroid of cell=label, so label IS the assignment here —
+        # the same quantizer emb_ivf_two_stage_ann uses inline)
+        build_ivf_index(emb.withColumn("cell", F.col("label")), idx_dir)
+
+        # centroids (K rows, broadcast) — identical math to the oracle
+        exploded = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        cent_long = exploded.groupBy("label", "dim").agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c")
+        )
+        cent = cent_long.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s.c
+            ).alias("centroid")
+        )
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        scored_cells = q.crossJoin(F.broadcast(cent)).select(
+            "qid",
+            "label",
+            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("csim"),
+        )
+        wcell = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("label"))
+        probe = (
+            scored_cells.withColumn("cell_rank", F.row_number().over(wcell))
+            .filter(F.col("cell_rank") <= 3)
+            .select("qid", F.col("label").alias("cell"))
+        )
+        # |queries|×nprobe-bounded collect → literal IN → partition pruning
+        cells = sorted({r["cell"] for r in probe.select("cell").distinct().collect()})
+        pruned = probe_cells(idx_dir, spark, cells)
+
+        p = probe.join(F.broadcast(q), "qid").alias("p")
+        e = pruned.alias("e")
+        cand = p.join(
+            e,
+            (F.col("e.cell") == F.col("p.cell"))
+            & (F.col("e.vec_id") != F.col("p.qid")),
+        ).select(
+            F.col("p.qid").alias("qid"),
+            F.col("e.vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("p.qv"), F.col("e.embedding")), 6).alias("cos_sim"),
+        )
+        out = topk_per_group(
+            cand, "qid", [F.desc("cos_sim"), F.asc("neighbor_id")], 5, rn_col="rn"
+        )
+        # result-sized localization before the index tmpdir goes away
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "qid long, neighbor_id long, cos_sim double, rn int"
+    )

@@ -279,3 +279,34 @@ def test_semdedup_cell_count_is_data_driven(spark, duck):
         assert normalize(sdf.columns, spark_rows) == normalize(rel.columns, duck_rows)
     finally:
         c3._KM_PER_CELL = old
+
+
+def test_ivf_persisted_index_prunes_unprobed_cells(spark, tmp_path):
+    """The persisted IVF index must answer a probe by PARTITION PRUNING:
+    the IN filter over the cell partition column lands in the scan's
+    PartitionFilters, and only the probed cells' files are opened."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_spark.operators.ivfindex import build_ivf_index, probe_cells
+    from event_streaming_spark.plans.catalog import load
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.withColumn("cell", F.col("label")), path)
+    n_cells = emb.select("label").distinct().count()
+    assert n_cells >= 4
+
+    probed = [0, 1]
+    pruned = probe_cells(path, spark, probed)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # pruning at read time: every file actually opened is a probed cell's
+    # (inputFiles() lists the pre-filter index, so probe the real read)
+    files = {
+        r["f"]
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    probed_dirs = {f.split("cell=")[1].split("/")[0] for f in files}
+    assert probed_dirs == {"0", "1"}, probed_dirs
+    # and the semantics: exactly the vectors of those cells
+    assert pruned.count() == emb.filter(F.col("label").isin(probed)).count()
