@@ -430,3 +430,90 @@ def events_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, _read, _total = pruned_read_eq(spark, root, manifest, "event_id", pid)
         out = df if out is None else out.unionByName(df)
     return out.select("event_id", "event_type", "cents").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Multi-format source parity: the same events, round-tripped through CSV
+# (schema-on-read, no inference), JSON lines, and ORC, must aggregate
+# bit-identically to the parquet source.  This is the "another source
+# format" contract: an ingest layer that accepts whatever the producer
+# emits may not change a single value.  Lossy-representation traps are
+# closed by construction: the timestamp rides as epoch-µs int64 and the
+# value as integer cents, so text formats (CSV/JSON) round-trip exactly;
+# strings exercise the quoting/escaping path (props carries JSON with
+# quotes and commas).
+#
+# Scale shape: each leg is one distributed write + one scan + one
+# map-side-combining aggregate; formats differ only in the datasource,
+# the plan above the scan is identical (columnar parquet/ORC prune and
+# push down; CSV/JSON are full-row scans — which is exactly the
+# trade-off this query makes visible in its own timings).
+# ---------------------------------------------------------------------------
+
+_FMT_ORACLE = """
+WITH agg AS (
+  SELECT count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+         min(epoch_us(ts)) AS min_ts_us,
+         max(epoch_us(ts)) AS max_ts_us
+  FROM events
+)
+SELECT f.format, agg.n_events, agg.n_users, agg.sum_value_cents,
+       agg.min_ts_us, agg.max_ts_us
+FROM (VALUES ('csv'), ('json'), ('orc')) f(format) CROSS JOIN agg
+ORDER BY f.format
+"""
+
+
+@register(
+    "events_multi_format_source_parity",
+    _FMT_ORACLE,
+    tags=("sources", "formats", "agg"),
+)
+def events_multi_format_source_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        # epoch-µs int64: exact through every text format
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "props",
+    )
+    root = tempfile.mkdtemp(prefix="est-formats-")
+    try:
+        ev.write.mode("overwrite").option("header", "true").csv(f"{root}/csv")
+        ev.write.mode("overwrite").json(f"{root}/json")
+        ev.write.mode("overwrite").orc(f"{root}/orc")
+        schema = ev.schema
+        legs = {
+            "csv": spark.read.schema(schema).option("header", "true").csv(f"{root}/csv"),
+            "json": spark.read.schema(schema).json(f"{root}/json"),
+            "orc": spark.read.orc(f"{root}/orc"),
+        }
+        outs = []
+        for fmt, df in sorted(legs.items()):
+            outs.append(
+                df.agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.countDistinct("user_id").alias("n_users"),
+                    F.sum("cents").cast("long").alias("sum_value_cents"),
+                    F.min("ts_us").alias("min_ts_us"),
+                    F.max("ts_us").alias("max_ts_us"),
+                ).select(F.lit(fmt).alias("format"), "*")
+            )
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionByName(o)
+        # 3-row result; localize before the tempdir goes away
+        pdf = res.orderBy("format").toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf,
+        "format string, n_events long, n_users long, sum_value_cents long, "
+        "min_ts_us long, max_ts_us long",
+    )
