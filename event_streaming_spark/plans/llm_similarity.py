@@ -847,7 +847,11 @@ def search_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_ivf_persisted_index_search",
-    _IVF_ORACLE,
+    # the SERVING case: one query vector — |probes| = nprobe < k by
+    # construction, so the pruned read is honestly partial at any SF
+    # (a query BATCH can union its probes to every cell; see BASELINE's
+    # r6 pruning measurement for the batch-degeneracy caveat)
+    _IVF_ORACLE.replace("WHERE vec_id < 10", "WHERE vec_id = 0"),
     tags=("llm", "ann", "ivf", "store"),
 )
 def emb_ivf_persisted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,7 +882,7 @@ def emb_ivf_persisted_index_search(spark: SparkSession, sf_dir: str) -> DataFram
                 F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s.c
             ).alias("centroid")
         )
-        q = emb.filter(F.col("vec_id") < 10).select(
+        q = emb.filter(F.col("vec_id") == 0).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
         )
         scored_cells = q.crossJoin(F.broadcast(cent)).select(
