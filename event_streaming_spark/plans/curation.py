@@ -512,3 +512,62 @@ def docs_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("priority", "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val split: the split that makes held-out evaluation
+# honest.  A doc-level random split leaks — a near-duplicate of a val doc
+# lands in train and the model "generalizes" to its own training data.
+# The unit of assignment must be the near-dup CLUSTER: every doc in a
+# cluster goes to the same side, so NO near-dup pair straddles the split
+# (structural: split is a function of cluster_id).  ~10% of CLUSTERS go
+# to val via a salted hash gate on the cluster id — deterministic,
+# engine-independent, and stable under re-runs (adding new docs to a
+# cluster cannot flip its side).
+#
+# Scale: clusters = the existing CC fixpoint; the split is a stateless
+# hash projection on the cluster label — zero additional shuffles beyond
+# the cluster computation itself.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+WITH clu AS ({_CC_ORACLE}),
+assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {sql_stable_hash32("'split|' || cast(cluster_id AS VARCHAR)")} % 10 = 0
+              THEN 'val' ELSE 'train' END AS split
+  FROM clu
+)
+SELECT a.doc_id, a.cluster_id, a.split,
+       {sql_ws_token_count('d.text')} AS n_tokens
+FROM assigned a JOIN documents d ON d.doc_id = a.doc_id
+"""
+
+
+@register(
+    "docs_cluster_safe_split",
+    _SPLIT_ORACLE,
+    tags=("llm", "curation", "dedup", "sampling"),
+)
+def docs_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-granular train/val split (~10% of clusters to
+    val): no near-dup pair can straddle the split by construction."""
+    docs = load(spark, sf_dir, "documents")
+    clu = dedup_near_dup_clusters(spark, sf_dir)
+    assigned = clu.select(
+        "doc_id",
+        "cluster_id",
+        F.when(
+            stable_hash32(
+                F.concat(F.lit("split|"), F.col("cluster_id").cast("string"))
+            )
+            % 10
+            == 0,
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    return assigned.join(docs, "doc_id").select(
+        "doc_id", "cluster_id", "split", ws_token_count(F.col("text")).alias("n_tokens")
+    )
