@@ -571,3 +571,90 @@ def docs_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.join(docs, "doc_id").select(
         "doc_id", "cluster_id", "split", ws_token_count(F.col("text")).alias("n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup yield report — the per-source KPI table a data team reviews after
+# every pipeline run: raw docs/tokens → survivors of EXACT dedup (sha256
+# canonical per digest, corpus-wide) → survivors of NEAR-DUP collapse
+# (CC-canonical per cluster), with token yields at each stage.  A source
+# whose near-dup yield craters is a template farm; one whose exact yield
+# craters is a mirror.  Composes three verified pieces (sha256 dedup, the
+# LSH pair join, the CC fixpoint) into one report — each stage's
+# canonical set is corpus-wide, attributed back to the source of the
+# surviving doc (the reference semantics for "who keeps the copy":
+# smallest doc_id wins, same as both dedup queries).
+#
+# Scale: one sha-groupBy, the banded pair join, the CC fixpoint, then
+# source-keyed sums with map-side combine — nothing here a 100 TB run
+# doesn't already pay for its dedup passes; the report is O(#sources).
+# ---------------------------------------------------------------------------
+
+_YIELD_ORACLE = f"""
+WITH clu AS ({_CC_ORACLE}),
+toks AS (
+  SELECT doc_id, source, {sql_ws_token_count('text')} AS n_tokens,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest
+  FROM documents
+),
+exact_keep AS (
+  SELECT digest, min(doc_id) AS keep_doc FROM toks GROUP BY digest
+),
+near_keep AS (
+  SELECT cluster_id, min(doc_id) AS keep_doc FROM clu GROUP BY cluster_id
+)
+SELECT t.source,
+       cast(count(*) AS BIGINT) AS raw_docs,
+       cast(sum(t.n_tokens) AS BIGINT) AS raw_tokens,
+       cast(sum(CASE WHEN e.keep_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS exact_docs,
+       cast(sum(CASE WHEN e.keep_doc = t.doc_id THEN t.n_tokens ELSE 0 END) AS BIGINT) AS exact_tokens,
+       cast(sum(CASE WHEN n.keep_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS neardup_docs,
+       cast(sum(CASE WHEN n.keep_doc = t.doc_id THEN t.n_tokens ELSE 0 END) AS BIGINT) AS neardup_tokens
+FROM toks t
+JOIN exact_keep e ON e.digest = t.digest
+JOIN clu c ON c.doc_id = t.doc_id
+JOIN near_keep n ON n.cluster_id = c.cluster_id
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
+@register(
+    "corpus_dedup_yield_report",
+    _YIELD_ORACLE,
+    tags=("llm", "dedup", "curation", "agg"),
+)
+def corpus_dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup yield: raw → exact-dedup → near-dup-collapse,
+    docs and tokens at each stage (canonical = min doc_id, corpus-wide)."""
+    from event_streaming_spark.functions.hashing import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        ws_token_count(F.col("text")).alias("n_tokens"),
+        F.sha2(normalize_text(F.col("text")), 256).alias("digest"),
+    )
+    exact_keep = toks.groupBy("digest").agg(F.min("doc_id").alias("e_keep"))
+    clu = dedup_near_dup_clusters(spark, sf_dir)
+    near_keep = clu.groupBy("cluster_id").agg(F.min("doc_id").alias("n_keep"))
+    j = (
+        toks.join(exact_keep, "digest")
+        .join(clu, "doc_id")
+        .join(near_keep, "cluster_id")
+    )
+    keep_e = (F.col("e_keep") == F.col("doc_id")).cast("long")
+    keep_n = (F.col("n_keep") == F.col("doc_id")).cast("long")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("raw_docs"),
+            F.sum("n_tokens").cast("long").alias("raw_tokens"),
+            F.sum(keep_e).alias("exact_docs"),
+            F.sum(keep_e * F.col("n_tokens")).cast("long").alias("exact_tokens"),
+            F.sum(keep_n).alias("neardup_docs"),
+            F.sum(keep_n * F.col("n_tokens")).cast("long").alias("neardup_tokens"),
+        )
+        .orderBy("source")
+    )
