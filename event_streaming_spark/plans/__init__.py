@@ -67,7 +67,6 @@ _PRIORITY = [
     # multimodal_jpeg_decode_stats (multimodal keeps phash + video dedup),
     # text_dup_span_fraction (text keeps quality/PII/model-gate/BPE).
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q21_suppliers_kept_waiting",
     # r6 rotation (VERDICT r5 "Next round" #3): the ten never-driver-graded
     # queries — four of them headline-bench members — enter the graded
@@ -106,28 +105,46 @@ _PRIORITY = [
     # (driver-green r5; streaming keeps session/drain-equals-batch/
     # left-outer/minhash-index in-window).
     "streaming_minhash_index_restart_drain",
+    # r6 session additions — seven new capability classes land with
+    # driver rows on arrival (the r4/r5 convention): DSIR importance
+    # resampling, hybrid BM25+dense RRF retrieval, the deterministic
+    # training-batch shuffle, the persisted partition-pruned IVF index,
+    # CSV/JSON/ORC source parity, the leakage-safe cluster-granular
+    # split, and the per-source dedup yield report.  Displaced (all
+    # driver-green in CORRECTNESS_r05.json; every family keeps in-window
+    # rows): q3_shipping_priority (TPC-H keeps q1/q21),
+    # docs_bm25_postings_rank (hybrid RRF runs the same postings plan as
+    # its lexical leg), dedup_exact_sha256 (the yield report computes the
+    # same sha256-canonical set corpus-wide), emb_cosine_topk_bruteforce
+    # (ANN keeps IVF two-stage + PQ pair + PCA + persisted-IVF),
+    # corpus_curation_end_to_end (curation keeps exact-k/contamination/
+    # chunking + the four incoming), graph_pagerank_near_dup
+    # (corpus_canonical_by_centrality runs the same integer PageRank
+    # in-window), text_pii_scan (text keeps model-gate/surprisal/
+    # boilerplate/BPE).
+    "sample_importance_dsir",
+    "search_hybrid_rrf_fusion",
+    "docs_training_batches_shuffle",
+    "emb_ivf_persisted_index_search",
+    "events_multi_format_source_parity",
+    "docs_cluster_safe_split",
+    "corpus_dedup_yield_report",
     # Round-4 session-2 additions in the graded window, displacing
     # q8/q9/q10/q15 (all driver-green in CORRECTNESS_r03.json and still
     # judge-verified by the full-catalog oracle run): the streaming
-    # session-window drain, the exact-integer BM25 ranker, and the SCD2
-    # history build.
+    # session-window drain and the SCD2 history build.
     "streaming_session_window_drain",
-    "docs_bm25_postings_rank",
     "events_scd2_type_history",
     # LLM-data-pipeline flagships (dedup / similarity / curation / text).
-    "dedup_exact_sha256",
     "minhash_lsh_near_dup_pairs",
     "dedup_near_dup_clusters",
-    "emb_cosine_topk_bruteforce",
     "emb_ivf_two_stage_ann",
-    "corpus_curation_end_to_end",
     # Round-2 flagships rotated INTO the r3 graded prefix (slots 36-50):
     # sketches, graph, scale joins, storage-layout and heavy-agg queries
     # that r2's driver window never reached (VERDICT r2 "Next round" #3).
     # The displaced §2.2/§2.3 scalar flagships were driver-verified green
     # in CORRECTNESS_r02.json, so they rotate just past the window.
     "sketch_hll_distinct_cross_engine",
-    "graph_pagerank_near_dup",
     # Round-4 session-3 additions in the graded window — the seven new
     # capability classes land with driver rows on arrival: integer-PCA
     # power iteration, video frame-level dedup (full codec chain under
@@ -150,7 +167,6 @@ _PRIORITY = [
     "graph_weighted_blast_radius",
     "text_quality_model_gate",
     "graph_kcore_dense_near_dup",
-    "text_pii_scan",
     "text_bpe_encode_corpus",
     # Round-4 addition (VERDICT r3 "Next round" #8): the JPEG codec
     # kernel under the driver gate — real encode→dimension-probe→decode
@@ -226,6 +242,13 @@ _PRIORITY = [
     # --- past the grading window ---
     # r6 displacements (all driver-green in CORRECTNESS_r05.json):
     "streaming_static_enrich_drain",
+    "q3_shipping_priority",
+    "docs_bm25_postings_rank",
+    "dedup_exact_sha256",
+    "emb_cosine_topk_bruteforce",
+    "corpus_curation_end_to_end",
+    "graph_pagerank_near_dup",
+    "text_pii_scan",
     "q5_local_supplier_volume",
     "streaming_hopping_window_drain",
     "graph_bfs_blast_radius",
