@@ -310,3 +310,30 @@ def test_ivf_persisted_index_prunes_unprobed_cells(spark, tmp_path):
     assert probed_dirs == {"0", "1"}, probed_dirs
     # and the semantics: exactly the vectors of those cells
     assert pruned.count() == emb.filter(F.col("label").isin(probed)).count()
+
+
+def test_no_antipatterns_in_any_bench_plan(spark):
+    """Sweep every (non-streaming) bench-tagged query's physical plan for
+    the three anti-patterns the engine bans in hot paths: row-at-a-time
+    Python UDFs, cartesian products, and corpus-sized single-partition
+    windows (Exchange SinglePartition feeding a Window).  Per-query tests
+    above pin specifics; this guards every FUTURE bench entry too."""
+    offenders = {}
+    for name, q in REGISTRY.items():
+        if not q.bench or "streaming" in q.tags:
+            continue
+        p = _plan(spark, name, "extended")
+        flags = []
+        if "BatchEvalPython" in p:
+            flags.append("row-at-a-time Python UDF")
+        if "CartesianProduct" in p:
+            flags.append("cartesian product")
+        if "Exchange SinglePartition" in p and "Window" in p:
+            # allow k-bounded frames: only flag when the single partition
+            # feeds a Window (corpus-sized rank), not a scalar aggregate
+            seg = p[p.find("Exchange SinglePartition"):]
+            if "Window" in seg[:2000]:
+                flags.append("single-partition window")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
