@@ -32,12 +32,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def build_ivf_index(assigned: DataFrame, path: str) -> None:
+def build_ivf_index(
+    assigned: DataFrame, path: str, centroids: DataFrame | None = None
+) -> None:
     """Write ``assigned`` (must carry a ``cell`` column) partitioned by
     cell — the one-time index build.  Each cell becomes a directory;
     appends of new vectors go to their cell's directory without touching
-    the rest (the same delta discipline as the bucketed band index)."""
+    the rest (the same delta discipline as the bucketed band index).
+
+    ``centroids`` (K rows) persists alongside under ``_centroids`` — the
+    underscore prefix makes it invisible to the partitioned corpus read,
+    and SEARCH loads it instead of re-deriving centroids with a full
+    corpus scan (which would defeat the build/search split)."""
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    if centroids is not None:
+        centroids.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def read_centroids(index_path: str, spark: SparkSession) -> DataFrame:
+    """The K-row centroid table persisted at build time."""
+    return spark.read.parquet(f"{index_path}/_centroids")
 
 
 def probe_cells(index_path: str, spark: SparkSession, cells: list) -> DataFrame:

@@ -109,14 +109,18 @@ def gateway_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parses ≤6 fractional digits; the events table is µs-aligned
     # (asserted below), so nothing truncates.
     n_rows = len(pdf)
-    if int((pdf["ts"].astype("int64") % 1000 != 0).sum()) != 0:
+    # NaT-safe alignment guard (a NULL ts converts to the int64 min
+    # sentinel, which is NOT a precision violation — it rides through
+    # to_json as null exactly like the old per-record path)
+    ts_ns = pdf["ts"].dropna().astype("int64")
+    if int((ts_ns % 1000 != 0).sum()) != 0:
         raise AssertionError("events.ts carries sub-µs precision; µs JSON would truncate")
     bodies = [
         pdf.iloc[i : i + _POST_BATCH].to_json(
             orient="records", date_format="iso", date_unit="us"
         )
         for i in range(0, n_rows, _POST_BATCH)
-    ]
+    ] or ["[]"]  # empty table: still exercise the 401 contract below
 
     root = tempfile.mkdtemp(prefix="est-gateway-")
     agency = EventsAgency(spark, root=root, log_format="parquet")

@@ -317,22 +317,30 @@ SELECT qid, neighbor_id, cos_sim, rn FROM (
 """
 
 
-@register("emb_ivf_two_stage_ann", _IVF_ORACLE, tags=("llm", "ann", "ivf"), bench=True)
-def emb_ivf_two_stage_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    # stage 0: exact per-cell centroids (order-independent decimal means),
-    # reassembled into arrays; centroid set is tiny → broadcast
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Exact per-cell centroids (order-independent decimal means),
+    reassembled into arrays — (label, centroid), K rows, broadcastable.
+    Shared by the inline two-stage query and the persisted-index BUILD
+    (one definition keeps the decimal/round-6 oracle parity in one
+    place)."""
     exploded = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
     cent_long = exploded.groupBy("label", "dim").agg(
         F.round(
             F.sum(F.col("x").cast("decimal(30,10)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("c")
     )
-    cent = cent_long.groupBy("label").agg(
+    return cent_long.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s.c
         ).alias("centroid")
     )
+
+
+@register("emb_ivf_two_stage_ann", _IVF_ORACLE, tags=("llm", "ann", "ivf"), bench=True)
+def emb_ivf_two_stage_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    # stage 0: centroid table — tiny → broadcast
+    cent = _ivf_centroids(emb)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
@@ -858,30 +866,28 @@ def emb_ivf_persisted_index_search(spark: SparkSession, sf_dir: str) -> DataFram
     import shutil
     import tempfile
 
-    from event_streaming_spark.operators.ivfindex import build_ivf_index, probe_cells
+    from event_streaming_spark.operators.ivfindex import (
+        build_ivf_index,
+        probe_cells,
+        read_centroids,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     idx_dir = tempfile.mkdtemp(prefix="est-ivfidx-")
     try:
         # BUILD: cell = coarse quantizer output (the per-label mean is the
         # exact centroid of cell=label, so label IS the assignment here —
-        # the same quantizer emb_ivf_two_stage_ann uses inline)
-        build_ivf_index(emb.withColumn("cell", F.col("label")), idx_dir)
+        # the same quantizer emb_ivf_two_stage_ann uses inline).  The
+        # K-row centroid table persists WITH the index: search reads it
+        # back instead of re-deriving it with a full corpus scan (which
+        # would defeat the build/search split).
+        build_ivf_index(
+            emb.withColumn("cell", F.col("label")), idx_dir, centroids=_ivf_centroids(emb)
+        )
 
-        # centroids (K rows, broadcast) — identical math to the oracle
-        exploded = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
-        cent_long = exploded.groupBy("label", "dim").agg(
-            F.round(
-                F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("c")
-        )
-        cent = cent_long.groupBy("label").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s.c
-            ).alias("centroid")
-        )
+        # SEARCH from here on: only the persisted index is touched —
+        # the K-row centroid table plus the probed cells' partitions.
+        cent = read_centroids(idx_dir, spark)
         q = emb.filter(F.col("vec_id") == 0).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
         )

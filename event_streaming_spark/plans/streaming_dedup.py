@@ -13,8 +13,9 @@ Per micro-batch, inside the subscriber callback (the O3 contract):
    equi-join on (band_idx, band_hash) against only the new docs' bands;
 3. self-join within the batch for same-batch candidates;
 4. verify candidates by estimated Jaccard and emit pairs ≥ 0.3;
-5. append the batch's bands to the index (``VersionedStore`` — the
-   index itself never leaves the cluster).
+5. append the batch's bands to the index — a BUCKETED managed table
+   keyed by (band_idx, band_hash) (``sources/bucketed.py``); the index
+   itself never leaves the cluster.
 
 The graded invariant: the union of incrementally-found pairs equals the
 FULL batch LSH pair set, with each pair labeled canonically by arrival
@@ -150,7 +151,8 @@ def _run_minhash_index(spark: SparkSession, sf_dir: str, restart: bool) -> DataF
                 # were lost (the final dropDuplicates would mask it, so
                 # assert it in-plan like the gateway's 401 check).
                 early = batch_df.filter(F.col("wave") < 2).count()
-                assert early == 0, f"restart re-delivered {early} pre-kill docs"
+                if early != 0:  # -O-safe, like the gateway's 401 check
+                    raise AssertionError(f"restart re-delivered {early} pre-kill docs")
             bands = _banded(batch_df).localCheckpoint()
             sig_b = bands.select("doc_id", "wave", "sig").dropDuplicates(["doc_id"])
             pair_frames = []
@@ -241,7 +243,8 @@ def _run_minhash_index(spark: SparkSession, sf_dir: str, restart: bool) -> DataF
             phase[0] = 2
             ctx.publish(docs.filter(F.col("wave") == 2))
             ctx.consume(on_notify, once=True, transform=None, max_files_per_trigger=16)
-            assert len(found) > n_before, "resumed query processed no batches"
+            if len(found) <= n_before:  # -O-safe
+                raise AssertionError("resumed query processed no batches")
         agency.close(remove_logs=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

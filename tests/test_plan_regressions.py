@@ -328,12 +328,13 @@ def test_no_antipatterns_in_any_bench_plan(spark):
             flags.append("row-at-a-time Python UDF")
         if "CartesianProduct" in p:
             flags.append("cartesian product")
-        if "Exchange SinglePartition" in p and "Window" in p:
-            # allow k-bounded frames: only flag when the single partition
-            # feeds a Window (corpus-sized rank), not a scalar aggregate
-            seg = p[p.find("Exchange SinglePartition"):]
-            if "Window" in seg[:2000]:
-                flags.append("single-partition window")
+        # allow k-bounded frames: only flag when a single-partition
+        # exchange FEEDS a Window (corpus-sized rank), not a scalar
+        # aggregate.  In plan text the consuming Window prints ABOVE its
+        # child Exchange, so look in the segment BEFORE the exchange.
+        idx = p.find("Exchange SinglePartition")
+        if idx >= 0 and "Window" in p[max(0, idx - 2000) : idx]:
+            flags.append("single-partition window")
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
