@@ -129,6 +129,12 @@ _PRIORITY = [
     "events_multi_format_source_parity",
     "docs_cluster_safe_split",
     "corpus_dedup_yield_report",
+    # r6 late addition: streaming incremental SEMANTIC dedup (hyperplane-
+    # bucket index + exact-integer cosine gate) — displaces
+    # minhash_lsh_near_dup_pairs (driver-green r5; its band algebra runs
+    # in-window inside streaming_minhash_index_drain AND upstream of
+    # dedup_near_dup_clusters / the yield report).
+    "streaming_semantic_index_drain",
     # Round-4 session-2 additions in the graded window, displacing
     # q8/q9/q10/q15 (all driver-green in CORRECTNESS_r03.json and still
     # judge-verified by the full-catalog oracle run): the streaming
@@ -136,7 +142,6 @@ _PRIORITY = [
     "streaming_session_window_drain",
     "events_scd2_type_history",
     # LLM-data-pipeline flagships (dedup / similarity / curation / text).
-    "minhash_lsh_near_dup_pairs",
     "dedup_near_dup_clusters",
     "emb_ivf_two_stage_ann",
     # Round-2 flagships rotated INTO the r3 graded prefix (slots 36-50):
@@ -241,6 +246,7 @@ _PRIORITY = [
     "versioned_zorder_compact_scan",
     # --- past the grading window ---
     # r6 displacements (all driver-green in CORRECTNESS_r05.json):
+    "minhash_lsh_near_dup_pairs",
     "streaming_static_enrich_drain",
     "q3_shipping_priority",
     "docs_bm25_postings_rank",

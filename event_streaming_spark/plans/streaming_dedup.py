@@ -290,3 +290,201 @@ def streaming_minhash_index_restart_drain(spark: SparkSession, sf_dir: str) -> D
     predecessor built.  Same oracle as the single-drain variant: restart
     is an execution detail, not a semantic one."""
     return _run_minhash_index(spark, sf_dir, restart=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental SEMANTIC dedup — the embedding-space complement
+# of the MinHash index drain above.  Textual LSH can't see paraphrases;
+# this index catches them as they ARRIVE, at delta cost:
+#
+#   * cell key = the stateless hyperplane bucket (operators/similarity
+#     sign-pattern LSH): no centroids to train, so the quantizer is
+#     identical for every batch by construction — the property that
+#     makes semantic dedup incremental (SemDeDup's k-means cells would
+#     drift as history grows);
+#   * pair gate = the exact-integer cosine test SemDeDup uses
+#     (int8-style quantization, dot>0 ∧ dot²·10⁶ ≥ τ²ppm·‖a‖²·‖b‖²,
+#     all int64 — bit-identical on any engine/partitioning);
+#   * per batch: probe the PRE-update bucket index for cross-batch
+#     candidates (equi-join on bucket), self-join within the batch,
+#     gate, emit (earlier, later) by arrival order, append the batch
+#     to the index (bucketed managed table — delta-sized write shuffle,
+#     history never reshuffles).
+#
+# Graded invariant: the union of incrementally-found pairs equals the
+# batch recompute over the full corpus — for ANY micro-batch split.
+# Recall vs exact cosine is a separate, already-audited property
+# (emb_lsh_recall_audit); THIS gate pins the incremental-index algebra.
+# ---------------------------------------------------------------------------
+
+_SEM_SCALE = 127
+_SEM_TAU_SQ_PPM = 122500  # τ = 0.35, the SemDeDup calibration (curation3.py)
+
+_SEM_STREAM_ORACLE = f"""
+WITH q8 AS (
+  SELECT vec_id, vec_id % 3 AS wave,
+         {S.sql_hyperplane_bucket('embedding')} AS bucket,
+         list_transform(embedding,
+             x -> cast(floor(cast(x as double)*{_SEM_SCALE} + 0.5) as bigint)) AS q
+  FROM embeddings
+), nn AS (
+  SELECT vec_id, wave, bucket, q,
+         list_sum(list_transform(q, x -> x*x)) AS n2
+  FROM q8
+), pairs AS (
+  SELECT a.vec_id AS va, a.wave AS wa, b.vec_id AS vb, b.wave AS wb,
+         list_sum(list_transform(list_zip(a.q, b.q),
+                  t -> t[1] * t[2])) AS dot,
+         a.n2 AS n2a, b.n2 AS n2b
+  FROM nn a JOIN nn b ON a.bucket = b.bucket
+   AND ((a.wave < b.wave) OR (a.wave = b.wave AND a.vec_id < b.vec_id))
+)
+SELECT va AS earlier_vec, vb AS later_vec,
+       cast((dot * dot * 1000000) // (n2a * n2b) AS BIGINT) AS cos_sq_ppm
+FROM pairs
+WHERE dot > 0 AND dot * dot * 1000000 >= {_SEM_TAU_SQ_PPM} * n2a * n2b
+ORDER BY earlier_vec, later_vec
+"""
+
+_SEMPAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("earlier_vec", T.LongType()),
+        T.StructField("later_vec", T.LongType()),
+        T.StructField("cos_sq_ppm", T.LongType()),
+    ]
+)
+
+
+@register(
+    "streaming_semantic_index_drain",
+    _SEM_STREAM_ORACLE,
+    tags=("streaming", "llm", "dedup", "ann"),
+)
+def streaming_semantic_index_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from event_streaming_spark.operators.similarity import hyperplane_bucket
+    from event_streaming_spark.sources.bucketed import write_bucketed
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", (F.col("vec_id") % 3).cast("int").alias("wave"), "embedding"
+    )
+
+    root = tempfile.mkdtemp(prefix="est-semidx-")
+    idx_table = f"sem_bucket_index_{uuid.uuid4().hex[:12]}"
+    idx_appended = [False]
+    found: list = []
+    try:
+        agency = EventsAgency(spark, root=root, log_format="parquet")
+        ctx = agency._get_or_create("driver-gate", "vecs")
+        ctx.schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("wave", T.IntegerType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+        for w in range(3):
+            ctx.publish(emb.filter(F.col("wave") == w))
+
+        def _featurize(df: DataFrame) -> DataFrame:
+            q = F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _SEM_SCALE + F.lit(0.5)).cast("long"),
+            )
+            out = df.select(
+                "vec_id",
+                "wave",
+                hyperplane_bucket(F.col("embedding")).alias("bucket"),
+                q.alias("q"),
+            )
+            n2 = F.aggregate(
+                F.transform("q", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            return out.withColumn("n2", n2)
+
+        def _gate_and_label(cand: DataFrame) -> DataFrame:
+            dot = F.aggregate(
+                F.zip_with("qa", "qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            scored = cand.withColumn("dot", dot).filter(
+                (F.col("dot") > 0)
+                & (
+                    F.col("dot") * F.col("dot") * F.lit(1_000_000)
+                    >= F.lit(_SEM_TAU_SQ_PPM) * F.col("n2a") * F.col("n2b")
+                )
+            )
+            flip = _arrival_lt(F.col("wb"), F.col("vb"), F.col("wa"), F.col("va"))
+            return scored.select(
+                F.when(flip, F.col("vb")).otherwise(F.col("va")).alias("earlier_vec"),
+                F.when(flip, F.col("va")).otherwise(F.col("vb")).alias("later_vec"),
+                F.expr("(dot * dot * 1000000) div (n2a * n2b)").alias("cos_sq_ppm"),
+            ).dropDuplicates(["earlier_vec", "later_vec"])
+
+        def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
+            feats = _featurize(batch_df).localCheckpoint()
+            pair_frames = []
+            if idx_appended[0]:
+                idx = batch_df.sparkSession.table(idx_table).alias("x")
+                n = feats.alias("n")
+                pair_frames.append(
+                    n.join(idx, F.col("n.bucket") == F.col("x.bucket")).select(
+                        F.col("n.vec_id").alias("va"), F.col("n.wave").alias("wa"),
+                        F.col("n.q").alias("qa"), F.col("n.n2").alias("n2a"),
+                        F.col("x.vec_id").alias("vb"), F.col("x.wave").alias("wb"),
+                        F.col("x.q").alias("qb"), F.col("x.n2").alias("n2b"),
+                    )
+                )
+            a, b = feats.alias("a"), feats.alias("b")
+            pair_frames.append(
+                a.join(
+                    b,
+                    (F.col("a.bucket") == F.col("b.bucket"))
+                    & _arrival_lt(
+                        F.col("a.wave"), F.col("a.vec_id"),
+                        F.col("b.wave"), F.col("b.vec_id"),
+                    ),
+                ).select(
+                    F.col("a.vec_id").alias("va"), F.col("a.wave").alias("wa"),
+                    F.col("a.q").alias("qa"), F.col("a.n2").alias("n2a"),
+                    F.col("b.vec_id").alias("vb"), F.col("b.wave").alias("wb"),
+                    F.col("b.q").alias("qb"), F.col("b.n2").alias("n2b"),
+                )
+            )
+            cand = pair_frames[0]
+            for extra in pair_frames[1:]:
+                cand = cand.unionByName(extra)
+            found.append(_gate_and_label(cand).toPandas())
+            write_bucketed(
+                feats.select("vec_id", "wave", "bucket", "q", "n2"),
+                idx_table,
+                ["bucket"],
+                n_buckets=8,
+                sort=False,
+                mode="append" if idx_appended[0] else "overwrite",
+            )
+            idx_appended[0] = True
+
+        ctx.consume(on_notify, once=True, transform=None, max_files_per_trigger=16)
+        agency.close(remove_logs=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
+
+    import pandas as pd
+
+    if not found:
+        return spark.createDataFrame([], _SEMPAIR_SCHEMA)
+    allp = pd.concat(found, ignore_index=True)
+    if allp.empty:
+        return spark.createDataFrame([], _SEMPAIR_SCHEMA)
+    return (
+        spark.createDataFrame(allp, _SEMPAIR_SCHEMA)
+        .dropDuplicates(["earlier_vec", "later_vec"])
+        .orderBy("earlier_vec", "later_vec")
+    )
