@@ -58,6 +58,9 @@ class VersionedStore:
         self.manifest_dir = os.path.join(path, "_manifests")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
+        # committed_txns() cache: manifests are immutable, so the token a
+        # version carries never changes — see committed_txns for why.
+        self._txn_by_version: dict[int, str | None] = {}
 
     # -- manifest plumbing ----------------------------------------------------
     def latest_version(self) -> int:
@@ -103,34 +106,37 @@ class VersionedStore:
             if txn is not None and txn in self.committed_txns():
                 return parent  # replay of an already-committed transaction
             parent_manifest = self._manifest(parent) if parent >= 0 else {}
+            # Compute EVERYTHING before the tmp file exists: a raising
+            # compute_* (SchemaConflict, tombstone CommitConflict) must
+            # not leak a .tmp-* manifest that nothing ever sweeps.
             files = compute_files(parent_manifest.get("files", []))
             nxt = parent + 1
+            record = {"version": nxt, "parent": parent, "op": op, "files": files}
+            # Schema rides in the manifest (Delta's metaData action):
+            # schema-changing commits pass compute_schema (re-run per
+            # attempt, so a lost race re-merges against the racing
+            # winner's schema); every other commit inherits.
+            schema_json = (
+                compute_schema(parent_manifest)
+                if compute_schema is not None
+                else parent_manifest.get("schema")
+            )
+            if schema_json is not None:
+                record["schema"] = schema_json
+            # Equality-delete tombstones (merge-on-read): inherited
+            # by every commit unless the commit materializes them
+            # (compact) or adds new ones (delete_keys_where).
+            deletes = (
+                compute_deletes(parent_manifest)
+                if compute_deletes is not None
+                else parent_manifest.get("delete_files", [])
+            )
+            if deletes:
+                record["delete_files"] = deletes
+            if txn is not None:
+                record["txn"] = txn
             tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
-                record = {"version": nxt, "parent": parent, "op": op, "files": files}
-                # Schema rides in the manifest (Delta's metaData action):
-                # schema-changing commits pass compute_schema (re-run per
-                # attempt, so a lost race re-merges against the racing
-                # winner's schema); every other commit inherits.
-                schema_json = (
-                    compute_schema(parent_manifest)
-                    if compute_schema is not None
-                    else parent_manifest.get("schema")
-                )
-                if schema_json is not None:
-                    record["schema"] = schema_json
-                # Equality-delete tombstones (merge-on-read): inherited
-                # by every commit unless the commit materializes them
-                # (compact) or adds new ones (delete_keys_where).
-                deletes = (
-                    compute_deletes(parent_manifest)
-                    if compute_deletes is not None
-                    else parent_manifest.get("delete_files", [])
-                )
-                if deletes:
-                    record["delete_files"] = deletes
-                if txn is not None:
-                    record["txn"] = txn
                 json.dump(record, fh)
             final = os.path.join(self.manifest_dir, f"v{nxt}.json")
             try:
@@ -147,14 +153,23 @@ class VersionedStore:
         caveat (same as Delta's txn retention): vacuum() drops old
         manifests, so a replay arriving AFTER its manifest was vacuumed
         is no longer deduplicated by this check alone — the streaming
-        sinks keep their checkpoint-local ledger as a second line."""
-        out: set[str] = set()
+        sinks keep their checkpoint-local ledger as a second line.
+
+        Manifests are immutable, so tokens are cached per version on the
+        instance: each call reads only versions it hasn't seen (O(new)
+        instead of O(all) JSON parses per commit — a long-running sink
+        was paying O(N²) driver I/O over its life).  Vacuumed versions
+        drop out of the returned set, preserving retention semantics."""
+        present: set[int] = set()
         for f in os.listdir(self.manifest_dir):
             if f.startswith("v") and f.endswith(".json"):
-                t = self._manifest(int(f[1:-5])).get("txn")
-                if t is not None:
-                    out.add(t)
-        return out
+                v = int(f[1:-5])
+                present.add(v)
+                if v not in self._txn_by_version:
+                    self._txn_by_version[v] = self._manifest(v).get("txn")
+        return {
+            t for v, t in self._txn_by_version.items() if v in present and t is not None
+        }
 
     def _stage_files(self, df: DataFrame, tag: str) -> list[str]:
         """Write ``df`` to immutable uniquely-named files in data/."""
@@ -296,29 +311,38 @@ class VersionedStore:
                 out[r["name"]] = r["version"]
         return out
 
+    def _read_projected(self, files: list[str], schema) -> DataFrame:
+        """The one definition of the snapshot read: mergeSchema unions
+        the file schemas; projecting the manifest schema pins column
+        ORDER and surfaces evolved columns as NULL on files written
+        before the evolution (shared by read/read_files so the two can
+        never diverge)."""
+        if schema is None:
+            return self.spark.read.parquet(*files)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        have = set(df.columns)
+        cols = [
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols)
+
     def read(self, version: int | None = None, tag: str | None = None) -> DataFrame:
         if tag is not None:
             if version is not None:
                 raise ValueError("pass version OR tag, not both")
             version = self.resolve_tag(tag)
+        # Pin ONE manifest up front: resolving "latest" separately for
+        # the file list, the schema, and the tombstones would let a
+        # concurrent commit tear the snapshot (e.g. vN's files under
+        # vN+1's cleared tombstones resurrecting deleted rows).
+        if version is None:
+            version = self.latest_version()
         files = self.files(version)
         if not files:
             raise ValueError(f"no snapshot at version {version!r}")
-        schema = self.table_schema(version)
-        if schema is None:
-            df = self.spark.read.parquet(*files)
-        else:
-            # mergeSchema unions the file schemas; projecting the manifest
-            # schema pins column ORDER and surfaces evolved columns as NULL
-            # on files written before the evolution.
-            df = self.spark.read.option("mergeSchema", "true").parquet(*files)
-            have = set(df.columns)
-            cols = [
-                F.col(f.name) if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
-            df = df.select(*cols)
+        df = self._read_projected(files, self.table_schema(version))
         return self._apply_deletes(df, version)
 
     def read_files(self, files: list[str], version: int | None = None) -> DataFrame:
@@ -335,18 +359,7 @@ class VersionedStore:
             raise ValueError(f"files not in snapshot v{v}: {stray[:3]}")
         if not files:
             return self.read(v).where(F.lit(False))
-        schema = self.table_schema(v)
-        if schema is None:
-            df = self.spark.read.parquet(*files)
-        else:
-            df = self.spark.read.option("mergeSchema", "true").parquet(*files)
-            have = set(df.columns)
-            cols = [
-                F.col(f.name) if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
-            df = df.select(*cols)
+        df = self._read_projected(files, self.table_schema(v))
         return self._apply_deletes(df, v)
 
     def _apply_deletes(self, df: DataFrame, version: int | None) -> DataFrame:
@@ -417,8 +430,11 @@ class VersionedStore:
             return base
         survivors = df.filter(fname.isin(*hit_files)).filter(
             ~F.coalesce(pred, F.lit(False))
-        )
-        new = self._stage_files(survivors, "delete") if survivors.count() else []
+        ).persist()  # count + stage share ONE computation of the survivors
+        try:
+            new = self._stage_files(survivors, "delete") if survivors.count() else []
+        finally:
+            survivors.unpersist()
 
         def compute(prev: list[str]) -> list[str]:
             missing = hit_files - set(prev)
@@ -467,9 +483,12 @@ class VersionedStore:
                 with_f.filter(F.col("__f").isin(*hit_files))
                 .join(keys, key, "left_anti")
                 .drop("__f")
-            )
-            if survivors.count():
-                new += self._stage_files(survivors, "merge")
+            ).persist()  # count + stage share ONE computation
+            try:
+                if survivors.count():
+                    new += self._stage_files(survivors, "merge")
+            finally:
+                survivors.unpersist()
         new += self._stage_files(updates.select(*df.columns), "merge")
 
         def compute(prev: list[str]) -> list[str]:
@@ -600,12 +619,29 @@ class VersionedStore:
     def rollback(self, to_version: int) -> int:
         """Restore an earlier snapshot as the NEW head (history preserved
         — this is a forward commit whose file list is the old one, the
-        lakehouse RESTORE).  Fails if the target was vacuumed."""
-        files = self._manifest(to_version)["files"]
+        lakehouse RESTORE).  Fails if the target was vacuumed.
+
+        The restored commit carries the TARGET's schema and equality
+        tombstones, not the current head's: inheriting the head's (the
+        pre-r6 bug) resurrected rows the target had tombstoned — or
+        wrongly hid rows when the head had tombstones the target
+        predated — and read the old files under the new schema."""
+        target = self._manifest(to_version)
+        files = target["files"]
         for f in files:
             if not os.path.exists(os.path.join(self.data_dir, f)):
                 raise ValueError(f"version {to_version} no longer restorable: {f} vacuumed")
-        return self._commit(lambda prev: list(files), f"rollback:{to_version}")
+        for d in target.get("delete_files", []):
+            if not os.path.exists(os.path.join(self.data_dir, d["file"])):
+                raise ValueError(
+                    f"version {to_version} no longer restorable: tombstone {d['file']} vacuumed"
+                )
+        return self._commit(
+            lambda prev: list(files),
+            f"rollback:{to_version}",
+            compute_schema=lambda pm: target.get("schema"),
+            compute_deletes=lambda pm: target.get("delete_files", []),
+        )
 
     def table_changes(self, from_version: int, to_version: int):
         """Change feed between two snapshots: ``(row..., _change)`` with
@@ -630,7 +666,6 @@ class VersionedStore:
         new = set(m_new["files"])
         added = [os.path.join(self.data_dir, f) for f in sorted(new - old)]
         removed = [os.path.join(self.data_dir, f) for f in sorted(old - new)]
-        empty = None
         # Tombstones (identical on both sides here) still gate row
         # VISIBILITY: a tombstoned row inside an added/removed file was
         # never visible in either snapshot, so it must not appear in
@@ -650,25 +685,29 @@ class VersionedStore:
             return gate(self.spark.read.parquet(*removed)).withColumn(
                 "_change", F.lit("delete")
             )
-        return empty  # no structural change
+        # no structural change: an EMPTY feed with the promised schema —
+        # returning None crashed every caller that piped the feed into an
+        # aggregate (IVM's apply_group_delta does changes.groupBy(...))
+        return (
+            self.read(to_version)
+            .where(F.lit(False))
+            .withColumn("_change", F.lit("insert"))
+        )
 
-    def sink(self, stream_df: DataFrame, checkpoint: str):
-        """Streaming append: each micro-batch commits ONE new version
-        (atomic, so readers see batch boundaries, never partial
-        batches).  Idempotent under foreachBatch replay: the batch id is
-        recorded INSIDE the committed manifest (``txn``), so the append
-        and its dedup mark publish atomically — a crash between them is
-        impossible by construction.  The checkpoint-local ledger is only
-        a fast-path cache (and covers replays older than the manifest
-        retention window)."""
-        ledger = os.path.join(checkpoint, "vstore-ledger")
+    def _ledgered_sink(self, stream_df: DataFrame, checkpoint: str, ledger_name: str, commit_batch):
+        """Shared foreachBatch skeleton for the streaming sinks: per
+        micro-batch, skip if the checkpoint-local ledger marks the batch
+        done, else run ``commit_batch(batch_df, batch_id, txn_scope)``
+        (whose in-manifest txn token is the real idempotency record —
+        the ledger is only a fast-path cache) and write the mark."""
+        ledger = os.path.join(checkpoint, ledger_name)
         txn_scope = os.path.abspath(checkpoint)
 
         def _batch(batch_df: DataFrame, batch_id: int) -> None:
             mark = os.path.join(ledger, f"batch-{batch_id}.done")
             if os.path.exists(mark):
                 return
-            v = self.append(batch_df, txn=f"{txn_scope}#append#{batch_id}")
+            v = commit_batch(batch_df, batch_id, txn_scope)
             os.makedirs(ledger, exist_ok=True)
             with open(mark, "w") as fh:
                 fh.write(str(v))
@@ -680,6 +719,22 @@ class VersionedStore:
             .start()
         )
 
+    def sink(self, stream_df: DataFrame, checkpoint: str):
+        """Streaming append: each micro-batch commits ONE new version
+        (atomic, so readers see batch boundaries, never partial
+        batches).  Idempotent under foreachBatch replay: the batch id is
+        recorded INSIDE the committed manifest (``txn``), so the append
+        and its dedup mark publish atomically — a crash between them is
+        impossible by construction.  The checkpoint-local ledger is only
+        a fast-path cache (and covers replays older than the manifest
+        retention window)."""
+        return self._ledgered_sink(
+            stream_df,
+            checkpoint,
+            "vstore-ledger",
+            lambda df, bid, scope: self.append(df, txn=f"{scope}#append#{bid}"),
+        )
+
     def upsert_sink(self, stream_df: DataFrame, key: str, checkpoint: str):
         """Streaming CDC apply: each micro-batch MERGEs by key — the
         versioned table continuously tracks the latest row per key,
@@ -687,24 +742,13 @@ class VersionedStore:
         the in-manifest ``txn`` record (ledger = fast-path cache, as in
         ``sink``).  Within one batch, the last row per key (by batch
         order) wins — dedupe upstream for a different policy."""
-        ledger = os.path.join(checkpoint, "vstore-upsert-ledger")
-        txn_scope = os.path.abspath(checkpoint)
-
-        def _batch(batch_df: DataFrame, batch_id: int) -> None:
-            mark = os.path.join(ledger, f"batch-{batch_id}.done")
-            if os.path.exists(mark):
-                return
-            deduped = batch_df.dropDuplicates([key])
-            v = self.merge(deduped, key, txn=f"{txn_scope}#merge#{batch_id}")
-            os.makedirs(ledger, exist_ok=True)
-            with open(mark, "w") as fh:
-                fh.write(str(v))
-
-        return (
-            stream_df.writeStream.foreachBatch(_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
+        return self._ledgered_sink(
+            stream_df,
+            checkpoint,
+            "vstore-upsert-ledger",
+            lambda df, bid, scope: self.merge(
+                df.dropDuplicates([key]), key, txn=f"{scope}#merge#{bid}"
+            ),
         )
 
     def vacuum(self, keep_last: int = 2, min_age_s: float = 3600.0) -> list[str]:
@@ -765,7 +809,20 @@ class VersionedStore:
                 removed.append(f)
         keep |= _keep_and_refs()[0]
         for f in os.listdir(self.manifest_dir):
-            if f.startswith("v") and int(f[1:-5]) not in keep:
+            if f.startswith("v") and f.endswith(".json"):
+                v = int(f[1:-5])
+                # NEVER touch versions newer than the head this vacuum
+                # read: a writer that committed DURING the vacuum is a
+                # fully-published version, and unlinking its manifest
+                # would silently destroy the commit (the min_age grace
+                # protects its data files but manifests are instant).
+                if v not in keep and v <= head:
+                    os.unlink(os.path.join(self.manifest_dir, f))
+            elif f.startswith(".tmp-") and now - os.path.getmtime(
+                os.path.join(self.manifest_dir, f)
+            ) >= min_age_s:
+                # crashed commit attempts leak .tmp-* manifests; sweep
+                # them past the same grace age as staging dirs
                 os.unlink(os.path.join(self.manifest_dir, f))
         for f in os.listdir(self.path):
             p = os.path.join(self.path, f)

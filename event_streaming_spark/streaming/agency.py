@@ -88,6 +88,8 @@ class TopicContext:
     notify_data: Any = None
     on_free_data: Callable[[Any], None] | None = None
     _query: Any = None  # StreamingQuery
+    #: bumped when subscribe() REPLACES the consumer — see checkpoint_dir
+    _subscriber_gen: int = 0
 
     # -- storage layout -----------------------------------------------------
     @property
@@ -101,7 +103,16 @@ class TopicContext:
 
     @property
     def checkpoint_dir(self) -> str:
-        return os.path.join(os.path.dirname(self.log_dir), "checkpoint")
+        """Namespaced per SUBSCRIBER GENERATION: a replacement subscriber
+        (subscribe() over an existing consumer) gets a fresh checkpoint,
+        because the old one pins the previous query's committed offsets
+        AND its stateful-operator schema — reusing it either skips every
+        already-consumed event for the new subscriber or fails outright
+        on a state-schema mismatch.  Re-invoking consume() on the SAME
+        subscription (the kill+resume restart path) keeps gen and thus
+        the checkpoint — restart semantics are untouched."""
+        base = os.path.join(os.path.dirname(self.log_dir), "checkpoint")
+        return base if self._subscriber_gen == 0 else f"{base}-gen{self._subscriber_gen}"
 
     # -- O1 publish -----------------------------------------------------------
     def publish(self, events: dict | list[dict] | DataFrame) -> int:
@@ -181,9 +192,21 @@ class TopicContext:
             at = to_arrow_type(f.dataType)
             arr = pa.array(vals)
             if pa.types.is_timestamp(at) and pa.types.is_string(arr.type):
-                # ISO strings parse via the naive-timestamp cast first;
-                # the tz (if the Spark type carries one) attaches after.
+                # ISO strings parse via the naive-timestamp cast first.
+                # Naive wall-times are interpreted in the SESSION
+                # timezone — the same rule the JSON log path applies
+                # (Spark's reader) — so the two advertised-equivalent
+                # log formats agree on the absolute instant.  (The old
+                # direct cast pinned naive strings to the Arrow type's
+                # tz, i.e. UTC, skewing non-UTC sessions between paths.)
+                import pyarrow.compute as pc
+
                 arr = arr.cast(pa.timestamp(at.unit))
+                if getattr(at, "tz", None) is not None:
+                    sess_tz = self.agency.spark.conf.get(
+                        "spark.sql.session.timeZone"
+                    )
+                    arr = pc.assume_timezone(arr, sess_tz)
             arrays.append(arr.cast(at))
             names.append(f.name)
         fname = os.path.join(
@@ -413,8 +436,13 @@ class EventsAgency:
         ctx = self.find_topic(broker, topic)
         if ctx is not None:
             # last-write-wins: free the previous subscriber's state
-            # (src/events-agency.c:207-219)
+            # (src/events-agency.c:207-219) and move to a fresh
+            # checkpoint namespace — the NEW subscriber starts from the
+            # log's beginning with its own state, instead of inheriting
+            # the replaced query's offsets/state schema (see
+            # checkpoint_dir)
             ctx.free()
+            ctx._subscriber_gen += 1
         else:
             ctx = self._get_or_create(broker, topic)
         ctx.on_free_data = on_free_data

@@ -134,7 +134,10 @@ def test_table_changes_feed(spark, store):
     # deletes (120..129); rows 100..119 cancel out via exceptAll
     assert sorted(r["id"] for r in chg if r["_change"] == "delete") == list(range(120, 130))
     assert all(r["_change"] == "delete" for r in chg)
-    assert store.table_changes(0, 0) is None
+    # no structural change → an EMPTY feed with the promised schema
+    # (r6 fix: was None, which crashed IVM callers)
+    empty = store.table_changes(0, 0)
+    assert empty.count() == 0 and "_change" in empty.columns
 
 
 def test_streaming_sink_one_version_per_batch_and_replay_safe(spark, store, tmp_path):
@@ -941,3 +944,86 @@ def test_vacuum_rereads_tags_before_deleting(spark, store):
     store.tags = orig_tags
     # the late tag protected v0: manifest retained, files readable
     assert store.read(tag="pin-v0").count() == 100
+
+
+# --- r6 storage-engine review fixes -----------------------------------------
+
+
+def test_vacuum_never_destroys_versions_newer_than_its_head(spark, store):
+    """A writer that commits DURING a vacuum publishes a complete
+    version; the manifest sweep must never unlink versions newer than
+    the head the vacuum read (the pre-r6 sweep destroyed them)."""
+    for i in range(4):
+        store.append(spark.range(i * 10, (i + 1) * 10).select(F.col("id")))
+    # simulate the concurrent commit landing mid-vacuum: v4 exists on
+    # disk but the vacuum's head/window snapshot predates it — reproduce
+    # by monkeypatching latest_version for the duration of the sweep
+    real_latest = store.latest_version
+    store.append(spark.range(40, 50).select(F.col("id")))  # v4
+    store.latest_version = lambda: 3
+    try:
+        # min_age grace ON (the documented live-writer precondition):
+        # it protects the concurrent commit's DATA files; this test pins
+        # that the manifest sweep also spares its MANIFEST
+        store.vacuum(keep_last=2, min_age_s=3600)
+    finally:
+        store.latest_version = real_latest
+    assert os.path.exists(os.path.join(store.manifest_dir, "v4.json"))
+    assert store.read(4).count() == 50
+    # versions inside the head the vacuum read are still swept normally
+    assert not os.path.exists(os.path.join(store.manifest_dir, "v0.json"))
+
+
+def test_rollback_restores_target_tombstones_and_schema(spark, store):
+    """rollback() must restore the TARGET's equality tombstones, not
+    inherit the current head's (which resurrected deleted rows when the
+    head had materialized them)."""
+    store.append(spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("k")))
+    v_del = store.delete_keys_where(F.col("k") == 1, "id")  # hide ids 1,4,7? no: k==1 -> ids with id%3==1
+    hidden = {1, 4, 7}
+    assert {r["id"] for r in store.read(v_del).collect()} == set(range(10)) - hidden
+    v_compact = store.compact()  # materializes tombstones, clears delete_files
+    assert {r["id"] for r in store.read(v_compact).collect()} == set(range(10)) - hidden
+    # restore the tombstoned-but-unmaterialized version: its hidden rows
+    # must STAY hidden even though the current head carries no tombstones
+    v_rb = store.rollback(v_del)
+    assert {r["id"] for r in store.read(v_rb).collect()} == set(range(10)) - hidden
+
+
+def test_table_changes_empty_diff_returns_empty_feed(spark, store):
+    """No structural change between versions -> an EMPTY feed with the
+    promised (row..., _change) schema, not None (None crashed IVM's
+    apply_group_delta)."""
+    store.append(spark.range(5).select(F.col("id")))
+    store.create_tag("pin")  # tag-only activity: no new version at all
+    feed = store.table_changes(0, 0)
+    assert feed is not None
+    assert feed.count() == 0
+    assert "_change" in feed.columns and "id" in feed.columns
+
+
+def test_subscribe_replacement_gets_fresh_checkpoint_and_full_log(spark, tmp_path):
+    """Replacing a subscriber (O4 last-write-wins) must hand the NEW
+    subscriber the whole log, not the replaced query's committed
+    offsets; re-invoking consume() on the same subscription keeps the
+    checkpoint (the restart path)."""
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    agency = EventsAgency(spark, root=str(tmp_path / "agency"), log_format="json")
+    seen_a, seen_b = [], []
+    agency._get_or_create("b", "t").publish(
+        [{"event_id": i, "event_type": "x"} for i in range(3)]
+    )
+    ctx = agency.subscribe("b", "t", lambda c, df, bid: seen_a.append(df.count()))
+    cp_a = ctx.checkpoint_dir
+    assert sum(seen_a) == 3
+    # replacement subscriber: new checkpoint namespace, sees the FULL log
+    ctx2 = agency.subscribe("b", "t", lambda c, df, bid: seen_b.append(df.count()))
+    assert ctx2 is ctx and ctx.checkpoint_dir != cp_a
+    assert sum(seen_b) == 3, "replacement subscriber must re-read the log"
+    # same-subscription restart (consume again) keeps the checkpoint:
+    # nothing new published -> nothing re-delivered
+    before = sum(seen_b)
+    ctx.consume(lambda c, df, bid: seen_b.append(df.count()), once=True)
+    assert sum(seen_b) == before
+    agency.close(remove_logs=True)
