@@ -18,8 +18,10 @@ doubles per iteration and the job dies at scale); the ``table`` strategy
 makes the rounds fault-tolerant on a real cluster.
 
 Convergence detection is O(1) driver-side: labels only ever decrease, so
-the global SUM(label) is strictly decreasing until fixpoint; an unchanged
-sum ⇒ no label moved ⇒ done.  For graphs with pathological diameters
+the label set changes until fixpoint; an unchanged (count,
+bit_xor-of-xxhash64) checksum ⇒ no label moved ⇒ done (type-safe for any
+orderable node id and overflow-free under ANSI mode, unlike a plain
+SUM).  For graphs with pathological diameters
 (long chains — not a dedup shape) the literature fix is the
 large-star/small-star contraction (Kiveris et al., "Connected Components
 in MapReduce and Beyond"), which converges in O(log²n); the loop below
@@ -78,22 +80,23 @@ def connected_components(
         "cc-labels",
     )
 
-    prev_sum = None
+    prev_sig = None
     for rnd in range(max_iters):
         nbr = bidir.join(labels, bidir.src == labels.node).select(
             F.col("dst").alias("node"), "component"
         )
         cand = labels.union(nbr)
         if rnd >= 1:
-            # Pointer doubling, but only once plain propagation has NOT
-            # converged in the rounds a shallow dedup graph needs: a node
-            # whose label points at an intermediate node adopts THAT
-            # node's label too.  component(v) is the min id of some node
-            # reachable from v, so component(component(v)) is also
-            # reachable — the fixpoint (min reachable id) is unchanged;
-            # a diameter-d chain finishes in O(log d) further rounds
-            # while the common near-clique graphs never pay the extra
-            # label-frame self-join.
+            # Pointer doubling from round 1 on: a node whose label points
+            # at an intermediate node adopts THAT node's label too.
+            # component(v) is the min id of some node reachable from v,
+            # so component(component(v)) is also reachable — the fixpoint
+            # (min reachable id) is unchanged; a diameter-d chain
+            # finishes in O(log d) rounds.  Shallow near-clique graphs DO
+            # pay the extra label-frame self-join in each round after the
+            # first — measured net-positive across all CC consumers in r5
+            # (deep components dominate wall time; the shallow-graph
+            # overhead is one node-count-sized equi-join per round).
             l2 = labels.select(F.col("node").alias("c2n"), F.col("component").alias("c2"))
             hop = labels.join(l2, labels.component == F.col("c2n")).select(
                 "node", F.col("c2").alias("component")
@@ -105,11 +108,22 @@ def connected_components(
             .agg(F.min("component").alias("component")),
             "cc-labels",
         )
-        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        # Overflow- and type-safe convergence checksum (the pattern
+        # connected_components_star already uses): COUNT plus bit_xor of
+        # xxhash64(node, component).  A plain SUM(component) silently
+        # broke non-numeric node ids (SUM over strings is NULL → "equal"
+        # after round 0 → wrong clusters) and could overflow int64 under
+        # ANSI mode on full-range hash ids.
+        cur = tuple(
+            new_labels.agg(
+                F.count(F.lit(1)),
+                F.bit_xor(F.xxhash64("node", "component")),
+            ).collect()[0]
+        )
         labels = new_labels
-        if cur_sum == prev_sum:
+        if cur == prev_sig:
             break
-        prev_sum = cur_sum
+        prev_sig = cur
     return labels
 
 
@@ -202,12 +216,23 @@ def connected_components_star(
             break
         prev = sig
 
-    # converged: each component is a star (center = min id = lo side)
-    labels = nodes.select(F.col(n_col).alias("node")).join(
-        cur.select(F.col("hi").alias("node"), F.col("lo").alias("center")),
-        "node",
-        "left",
+    # Converged: each component is a star (center = min id = lo side).
+    # Same contract as connected_components: endpoints that appear only
+    # in EDGES still get labeled (union them into the node frame), and a
+    # node is labeled exactly ONCE — on max_iters exhaustion short of the
+    # star fixpoint a node can still be the hi of several centers, so
+    # take the min center (deterministic best-effort) instead of
+    # emitting conflicting duplicate rows.
+    all_nodes = (
+        nodes.select(F.col(n_col).alias("node"))
+        .union(edges.select(F.col(s_col).alias("node")))
+        .union(edges.select(F.col(d_col).alias("node")))
+        .distinct()
     )
+    centers = cur.groupBy("hi").agg(F.min("lo").alias("center")).withColumnRenamed(
+        "hi", "node"
+    )
+    labels = all_nodes.join(centers, "node", "left")
     return labels.select(
         "node", F.coalesce("center", "node").alias("component")
     )

@@ -190,10 +190,14 @@ def with_group_rank(
     bounds = ranked.groupBy(group_col).agg(
         F.min("__grn").alias("__g0"), F.count(F.lit(1)).alias(n_col)
     )
+    # Null-SAFE equality on the group key: the window form this replaces
+    # keeps NULL as its own partition, but a plain equi-join never
+    # matches NULL = NULL and silently DROPPED every NULL-group row.
+    b = bounds.withColumnRenamed(group_col, "__gk")
     return (
-        ranked.join(bounds, group_col)
+        ranked.join(b, ranked[group_col].eqNullSafe(F.col("__gk")))
         .withColumn(rv_col, F.col("__grn") - F.col("__g0") + 1)
-        .drop("__grn", "__g0")
+        .drop("__grn", "__g0", "__gk")
     )
 
 
@@ -220,12 +224,17 @@ def topk_per_group(
     unique tiebreak) so both stages agree and the result is
     deterministic — the same contract as the single-window form.
     """
-    w1 = Window.partitionBy(group_col, "__pid").orderBy(*order_cols)
+    if _PID in df.columns:
+        raise ValueError(
+            f"topk_per_group: input already carries {_PID!r} "
+            "(drop/rename it — silently clobbering it would corrupt the caller)"
+        )
+    w1 = Window.partitionBy(group_col, _PID).orderBy(*order_cols)
     local = (
-        df.withColumn("__pid", F.spark_partition_id())
+        df.withColumn(_PID, F.spark_partition_id())
         .withColumn("__lrn", F.row_number().over(w1))
         .filter(F.col("__lrn") <= k)
-        .drop("__lrn", "__pid")
+        .drop("__lrn", _PID)
     )
     w2 = Window.partitionBy(group_col).orderBy(*order_cols)
     return local.withColumn(rn_col, F.row_number().over(w2)).filter(

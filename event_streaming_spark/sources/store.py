@@ -53,9 +53,15 @@ class EventStore:
 
         foreachBatch is at-least-once: a batch that fails after a partial
         append is REPLAYED on restart, which would duplicate rows.  A
-        batch-id ledger (committed only after a successful append) makes
-        the append idempotent — the Delta `txn`/streaming-commit pattern
-        without a transactional table format.
+        batch-id ledger (committed only after a successful append)
+        deduplicates replays of every failure mode EXCEPT the narrow
+        window between the append completing and the mark landing — a
+        crash exactly there duplicates that one batch, because plain
+        partitioned parquet has no transaction to make the data and the
+        mark atomic.  That residual window is why exactly-once pipelines
+        use ``VersionedStore.sink`` instead: there the batch id commits
+        INSIDE the data manifest (the Delta ``txn`` action), so the
+        change and its dedup mark publish atomically.
         """
         import os
 
@@ -199,9 +205,13 @@ class EventStore:
                 "event_date", F.lit(d).cast("date")
             )
             hit = F.coalesce(pred, F.lit(False))
-            n_before = day.count()
+            # ONE scan for both totals (the old count/count pair read the
+            # day twice before the rewrite read it a third time)
+            n_before, n_hit = day.agg(
+                F.count(F.lit(1)), F.sum(hit.cast("long"))
+            ).collect()[0]
+            n_keep = n_before - (n_hit or 0)
             keep = day.filter(~hit).drop("event_date")
-            n_keep = keep.count()
             if n_keep == n_before:
                 continue
             deleted += n_before - n_keep
@@ -281,6 +291,23 @@ class KeyIndex:
                 .partitionBy("event_date")
                 .parquet(self.path)
             )
+            # Dynamic overwrite only touches partitions the frame WRITES:
+            # a requested day whose rows are now all gone (delete_where
+            # erased it) writes nothing, so its stale index partition
+            # would survive forever and lookup() would keep probing a
+            # dead day.  Drop those partitions explicitly.
+            import os
+            import shutil as _shutil
+
+            present = {
+                r["event_date"]
+                for r in idx.select("event_date").distinct().collect()
+            }
+            for d in dates:
+                if d not in present:
+                    stale = os.path.join(self.path, f"event_date={d}")
+                    if os.path.isdir(stale):
+                        _shutil.rmtree(stale)
 
     def lookup(self, value) -> DataFrame:
         """Point read via the index: prune to the key's active days, then

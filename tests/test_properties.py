@@ -605,3 +605,54 @@ def test_k_core_round_exhaustion_filters_under_k_nodes(spark):
     assert got >= true_core and got != true_core
     # and with enough rounds the exact (empty) 2-core comes back
     assert k_core(edf, 2).count() == 0
+
+
+def test_connected_components_string_node_ids(spark):
+    """r6 review: the old SUM-based convergence probe returned NULL for
+    non-numeric node ids, so `NULL == NULL` broke the loop after ONE
+    round and a 3-chain got the wrong label.  The checksum probe must
+    label string graphs exactly."""
+    from event_streaming_spark.operators.components import connected_components
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("z",)], "n STRING")
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "x STRING, y STRING")
+    got = {r["node"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+
+def test_components_star_contract_matches_propagation(spark):
+    """r6 review: the star variant dropped endpoints that appear only in
+    EDGES and could emit duplicate conflicting rows on iteration
+    exhaustion.  Contract now: one row per node (nodes ∪ endpoints),
+    same labels as propagation."""
+    from event_streaming_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,)], "n INT")  # 3,4 only in edges
+    edges = spark.createDataFrame([(1, 3), (3, 4)], "x INT, y INT")
+    prop = {(r["node"], r["component"]) for r in connected_components(nodes, edges).collect()}
+    star_rows = connected_components_star(nodes, edges).collect()
+    star = {(r["node"], r["component"]) for r in star_rows}
+    assert len(star_rows) == len({r["node"] for r in star_rows})  # unique per node
+    assert star == prop == {(1, 1), (2, 2), (3, 1), (4, 1)}
+    # exhaustion short of the fixpoint still yields ONE row per node
+    exhausted = connected_components_star(nodes, edges, max_iters=1).collect()
+    assert len(exhausted) == len({r["node"] for r in exhausted})
+
+
+def test_with_group_rank_keeps_null_groups(spark):
+    """r6 review: the bounds equi-join silently dropped NULL-group rows;
+    the window form it replaces keeps NULL as its own partition."""
+    from event_streaming_spark.operators.ranks import with_group_rank
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 5), (None, 3)], "g STRING, v INT"
+    )
+    out = with_group_rank(df, "g", "v").collect()
+    assert len(out) == 4
+    nulls = sorted((r["v"], r["rv"]) for r in out if r["g"] is None)
+    assert nulls == [(3, 1), (5, 2)] and all(
+        r["n"] == 2 for r in out if r["g"] is None
+    )

@@ -1131,3 +1131,31 @@ def test_mp3_and_flac_header_metadata():
     # garbage after an ID3 tag still gates (no frame sync)
     with _pytest.raises(NotImplementedError):
         M.decode_audio_stub(b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 16)
+
+
+def test_key_index_incremental_rebuild_drops_erased_days(spark, tmp_path):
+    """r6 review: dynamic partition overwrite writes nothing for a day
+    whose rows were all deleted, so its stale index partition survived
+    forever and lookup() kept probing a dead day."""
+    import datetime as dt
+
+    from event_streaming_spark.sources.store import EventStore, KeyIndex
+
+    store = EventStore(spark, str(tmp_path / "store"))
+    d0, d1 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12), 7, "a", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 2, 12), 7, "b", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    store.append(df)
+    idx = KeyIndex(store, "user_id")
+    idx.rebuild()
+    assert {r["event_date"] for r in idx.lookup(7).select("event_date").collect()} == {d0, d1}
+    # erase all of day d0, then incrementally rebuild just that day
+    store.delete_where(F.col("event_type") == "a")
+    idx.rebuild(dates=[d0])
+    days = {r["event_date"] for r in idx.lookup(7).select("event_date").collect()}
+    assert days == {d1}, f"stale index day survived: {days}"
