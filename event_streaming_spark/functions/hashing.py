@@ -52,12 +52,21 @@ def shingles(c: Column, k: int = 3) -> Column:
     Built from JVM-side array functions only: tokenize, then for each
     position i emit tokens[i..i+k) joined by a space; drop the ragged
     tail; dedupe.  ``transform`` + ``slice`` keeps this inside codegen.
+
+    Documents with fewer than k tokens yield an EMPTY array — the same
+    semantics as the DuckDB twin's ``generate_series(1, 0) = []``.  (The
+    old ``sequence(1, greatest(n-k+1, 0))`` relied on Spark's implicit
+    step, which is -1 for a descending range: it produced [1, 0] and the
+    ``slice(toks, 0, k)`` call crashed the whole job on the first short
+    document — r6 review.)
     """
     toks = tokens(c)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    return F.array_distinct(sh)
+    idx = F.sequence(F.lit(1), n - (k - 1), F.lit(1))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
 
 
 def stable_hash_bits(c: Column, bits: int) -> Column:

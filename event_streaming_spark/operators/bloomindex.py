@@ -70,9 +70,13 @@ def bloom_index(spark: SparkSession, path: str, col: str) -> DataFrame:
     return positions.groupBy("file").applyInPandas(pack, "file string, bitmap binary")
 
 
-def probe_positions(spark: SparkSession, value, value_type: str = "long") -> list[int]:
+def probe_positions(spark: SparkSession, value, value_type: str) -> list[int]:
     """The k bit positions of a probe value — computed with the SAME
-    Spark hash expression the index build used (one 1-row job)."""
+    Spark hash expression AND the same column type the index build used
+    (one 1-row job).  xxhash64 is type-sensitive (hash(42 as int) ≠
+    hash(42 as long)), so the type must come from the indexed table's
+    schema, never from a caller guess — a mismatch silently skips every
+    file containing the value (a Bloom FALSE NEGATIVE, r6 review)."""
     row = (
         spark.range(1)
         .select(*_position_cols(F.lit(value).cast(value_type)))
@@ -91,14 +95,20 @@ def pruned_read_eq(
     manifest: DataFrame,
     col: str,
     value,
-    value_type: str = "long",
 ) -> tuple[DataFrame, int, int]:
     """Read only the files whose Bloom bitmap contains ALL k positions
     of ``value``, with the equality re-applied as the residual filter.
 
+    The probe type is DERIVED from the table's own schema (a one-file
+    footer read): callers used to pass it, and a wrong guess made every
+    probe hash differ from the build hashes — the query silently
+    returned zero rows (r6 review).
+
     Returns ``(df, files_read, files_total)`` so callers and tests can
     assert the skipping actually happened.  The manifest collect is
     O(#files) driver metadata, same bound as the zone-map manifest."""
+    table_schema = spark.read.parquet(path).schema
+    value_type = table_schema[col].dataType.simpleString()
     entries = manifest.select("file", "bitmap").collect()  # O(#files), metadata-scale
     pos = probe_positions(spark, value, value_type)
     survivors = [
@@ -106,7 +116,9 @@ def pruned_read_eq(
     ]
     total = len(entries)
     base = (
-        spark.read.parquet(*survivors)
+        # basePath keeps hive-partition columns when reading leaf files
+        # (zonemap.pruned_read sets it for the same reason)
+        spark.read.option("basePath", path).parquet(*survivors)
         if survivors
         else spark.read.parquet(path).limit(0)
     )

@@ -66,8 +66,9 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
 
 def sql_shingle_hashes(expr: str, k: int = 3) -> str:
     """DuckDB twin of :func:`shingle_hashes` (1-indexed inclusive slices)."""
-    norm = f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
-    toks = f"string_split({norm}, ' ')"
+    from event_streaming_spark.functions.hashing import sql_normalize_text
+
+    toks = f"string_split({sql_normalize_text(expr)}, ' ')"
     sh = (
         f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - {k - 1}, 0)),"
         f" i -> array_to_string(({toks})[i:i+{k - 1}], ' ')))"
@@ -99,12 +100,23 @@ def sql_minhash_exprs(hs_col: str) -> list[str]:
 
 def band_hashes_over(sig: Column) -> list[Column]:
     """LSH band hashes over a signature ARRAY column (md5 of the band's
-    comma-joined members — same definition as :func:`sql_band_hash_exprs`)."""
+    comma-joined members — same definition as :func:`sql_band_hash_exprs`).
+
+    NULL-STRICT like the SQL twin: a NULL signature component (a doc too
+    short to shingle) makes the band hash NULL, which never equi-joins —
+    so shingle-less docs are never LSH candidates on either engine.  The
+    old ``concat_ws`` SKIPPED NULLs, hashing every short doc into one
+    shared bucket while DuckDB's ``||`` propagated NULL: divergent
+    candidate sets (r6 review)."""
     rows = MINHASH_K // LSH_BANDS
     out = []
     for j in range(LSH_BANDS):
-        members = [sig[i].cast("string") for i in range(j * rows, (j + 1) * rows)]
-        out.append(F.md5(F.concat_ws(",", *members)))
+        parts: list[Column] = []
+        for i in range(j * rows, (j + 1) * rows):
+            if parts:
+                parts.append(F.lit(","))
+            parts.append(sig[i].cast("string"))
+        out.append(F.md5(F.concat(*parts)))  # concat is NULL-strict
     return out
 
 

@@ -37,10 +37,10 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "__salt") -> DataFrame:
-    """Uniform deterministic-per-row salt in [0, n_salts).  Uses a hash of
-    the whole row's key-independent identity via spark_partition_id +
-    monotonically_increasing_id folded — adequate for load spreading (the
-    salt only needs uniformity, not reproducibility across runs)."""
+    """Uniform per-row salt in [0, n_salts): ``monotonically_increasing_id()
+    % n_salts`` — consecutive ids within each partition round-robin the
+    salt values, which is exactly the load-spreading property needed (the
+    salt needs uniformity, not hash-mixing or cross-run reproducibility)."""
     return df.withColumn(
         col_name, (F.monotonically_increasing_id() % n_salts).cast("int")
     )
@@ -88,7 +88,17 @@ def salted_broadcast_left(
 
     (When `small` is broadcastable this is moot — Spark broadcasts and no
     shuffle exists; this operator is for the medium-small side that does
-    not fit the broadcast threshold.)"""
+    not fit the broadcast threshold.)
+
+    Only joins that never EMIT unmatched small-side rows are supported:
+    the small side is replicated once per salt, so a right/full outer
+    join would emit each unmatched small-side key n_salts times (r6
+    review)."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_broadcast_left: how={how!r} would duplicate unmatched "
+            "small-side rows once per salt; use inner/left/semi/anti"
+        )
     big_s = with_salt(big, n_salts)
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     small_r = small.select("*", salts)

@@ -150,10 +150,18 @@ class IncrementalZoneMap:
         # mergeSchema: under schema evolution some files may predate the
         # skip column entirely; they surface as all-NULL → (None, None)
         # zones, which pruned_read treats as prunable (their rows could
-        # never pass the residual filter).
+        # never pass the residual filter).  When EVERY missing file
+        # predates a tracked column the merged schema doesn't contain it
+        # at all and the select would raise UNRESOLVED_COLUMN — inject an
+        # explicit NULL so pre-evolution snapshots keep the documented
+        # (None, None) behavior (r6 review).
+        base = spark.read.option("mergeSchema", "true").parquet(*missing)
+        have = set(base.columns)
+        sel = [
+            F.col(c) if c in have else F.lit(None).alias(c) for c in self.cols
+        ]
         rows = (
-            spark.read.option("mergeSchema", "true").parquet(*missing)
-            .select(F.col("_metadata.file_path").alias("file"), *self.cols)
+            base.select(F.col("_metadata.file_path").alias("file"), *sel)
             .groupBy("file")
             .agg(*aggs)
             .collect()

@@ -73,3 +73,20 @@ def test_saturated_bitmap_degrades_to_full_scan_not_wrong_answer(spark, tmp_path
     df, read, total = pruned_read_eq(spark, root, manifest, "k", 299_999)
     assert (read, total) == (1, 1)
     assert df.collect()[0]["k"] == 299_999
+
+
+def test_bloom_probe_type_derived_from_table_schema(spark, tmp_path):
+    """r6 review: xxhash64 is type-sensitive, so a caller-guessed probe
+    type (e.g. 'long' against an int32 column) made every probe hash
+    differ from the build hashes — a silent Bloom FALSE NEGATIVE.  The
+    probe type now comes from the table's own schema."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_spark.operators.bloomindex import bloom_index, pruned_read_eq
+
+    path = str(tmp_path / "t32")
+    spark.range(1000).select(F.col("id").cast("int").alias("k")).repartition(4).write.parquet(path)
+    manifest = bloom_index(spark, path, "k")
+    df, read, total = pruned_read_eq(spark, path, manifest, "k", 42)
+    assert df.count() == 1, "int32-keyed probe must find its row"
+    assert 0 < read <= total

@@ -656,3 +656,49 @@ def test_with_group_rank_keeps_null_groups(spark):
     assert nulls == [(3, 1), (5, 2)] and all(
         r["n"] == 2 for r in out if r["g"] is None
     )
+
+
+def test_shingles_short_docs_empty_and_lsh_null_strict(spark, duck):
+    """r6 review: docs with <k tokens crashed shingles() (Spark's
+    implicit descending sequence produced slice(toks, 0, k)); and NULL
+    minhash components hashed through concat_ws into ONE shared LSH
+    bucket while DuckDB's || propagated NULL.  Contract now: short docs
+    shingle to [], their band hashes are NULL on BOTH engines, and they
+    are never LSH candidates."""
+    from event_streaming_spark.functions.hashing import shingles
+    from event_streaming_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "three tokens here now"), (4, "")],
+        "doc_id LONG, text STRING",
+    )
+    sh = {r["doc_id"]: r["s"] for r in df.select("doc_id", shingles(F.col("text"), 3).alias("s")).collect()}
+    assert sh[1] == [] and sh[2] == [] and sh[4] == []
+    assert len(sh[3]) == 2
+    # band hashes: NULL for shingle-less docs (null-strict concat)
+    hs = df.select("doc_id", S.shingle_hashes(F.col("text")).alias("hs"))
+    sig = hs.select("doc_id", F.array(*S.minhash_cols(F.col("hs"))).alias("sig"))
+    bands = sig.select("doc_id", *S.band_hashes_over(F.col("sig")))
+    got = {r["doc_id"]: [r[i] for i in range(1, 1 + S.LSH_BANDS)] for r in bands.collect()}
+    assert all(b is None for b in got[1]) and all(b is None for b in got[4])
+    assert all(b is not None for b in got[3])
+    # DuckDB twin agrees: short docs' band hashes are NULL there too
+    rel = duck.sql(
+        "SELECT md5(cast(NULL as varchar) || ',' || '1') IS NULL AS strict"
+    ).fetchone()
+    assert rel[0] is True
+
+
+def test_salted_broadcast_left_rejects_outer_joins(spark):
+    """r6 review: replicating the small side once per salt duplicates
+    unmatched small-side rows under right/full outer joins."""
+    import pytest as _pytest
+
+    from event_streaming_spark.operators.skew import salted_broadcast_left
+
+    big = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k INT, w STRING")
+    with _pytest.raises(ValueError, match="duplicate"):
+        salted_broadcast_left(big, small, "k", how="full")
+    # the safe modes still work and de-duplicate correctly
+    assert salted_broadcast_left(big, small, "k", how="inner").count() == 1
