@@ -181,9 +181,18 @@ def triangles(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame
     tri = wedge.join(closing, ["lo", "hi"])
     least3 = F.least("w_a", "lo", "hi")
     greatest3 = F.greatest("w_a", "lo", "hi")
+    # Middle node by CASE, not arithmetic: w_a + lo + hi − least − greatest
+    # needs numeric ids (ANSI mode raises on strings, legacy yields NULL)
+    # and can overflow int64 near the id-space ceiling — the three nodes
+    # of a triangle are distinct, so exactly one is neither min nor max.
+    middle = (
+        F.when((F.col("w_a") != least3) & (F.col("w_a") != greatest3), F.col("w_a"))
+        .when((F.col("lo") != least3) & (F.col("lo") != greatest3), F.col("lo"))
+        .otherwise(F.col("hi"))
+    )
     return tri.select(
         least3.alias("n1"),
-        (F.col("w_a") + F.col("lo") + F.col("hi") - least3 - greatest3).alias("n2"),
+        middle.alias("n2"),
         greatest3.alias("n3"),
     )
 

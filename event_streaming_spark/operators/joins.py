@@ -61,19 +61,25 @@ def asof_join(
     # side ordering at equal `on`: right first (inclusive) or left first
     right_side, left_side = (0, 1) if not strict else (1, 0)
     lcols = [c for c in left.columns]
+    rv_type = "struct<" + ", ".join(
+        f"{c}: {dict(right.dtypes)[c]}" for c in value_cols
+    ) + ">"
     l_tagged = left.select(
         *by,
         F.col(on).alias("__on"),
         F.lit(left_side).alias("__side"),
         F.struct(*lcols).alias("__left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__rv_{c}") for c in value_cols],
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
-    r_tagged = right.select(
+    # Right rows with a NULL `on` are DROPPED: NULL would sort before
+    # every timestamp and match every left row as if infinitely old
+    # (pd.merge_asof rejects null merge keys outright) — r6 review.
+    r_tagged = right.filter(F.col(on).isNotNull()).select(
         *by,
         F.col(on).alias("__on"),
         F.lit(right_side).alias("__side"),
         F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
-        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -81,21 +87,25 @@ def asof_join(
         .orderBy(
             "__on",
             "__side",
-            *[F.asc_nulls_first(f"__rv_{c}") for c in tie_cols],
+            *[F.asc_nulls_first(F.col(f"__rv.{c}")) for c in tie_cols],
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE struct carry: the matched right row's values travel together,
+    # exactly like pd.merge_asof.  (Per-column last(ignorenulls) carried
+    # each value independently, so a NULL in the latest right row
+    # resurrected a stale value from an OLDER row — a mixed-row result no
+    # single right row ever contained; r6 review.)  Left rows carry a
+    # NULL struct, so ignorenulls skips them while a right row whose
+    # FIELDS are null still registers as the latest match.
     carried = unioned.select(
         "__side",
         "__left",
-        *[
-            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__carried_{c}")
-            for c in value_cols
-        ],
+        F.last("__rv", ignorenulls=True).over(w).alias("__carried"),
     )
     out = carried.filter(F.col("__side") == left_side).select(
         *[F.col(f"__left.{c}").alias(c) for c in lcols],
-        *[F.col(f"__carried_{c}").alias(c) for c in value_cols],
+        *[F.col(f"__carried.{c}").alias(c) for c in value_cols],
     )
     return out
 
@@ -221,8 +231,11 @@ def triangle_self_pair_join(
 
     block_cols = block_cols or []
     bkt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
-    # The small replicated side broadcasts, so there is NO shuffle in the
-    # join — the streamed side's partitioning IS the parallelism.  A
+    # Both replicated sides shuffle into the (block, cell) equi-join —
+    # ~B/2× the input volume through the exchange (the comment used to
+    # claim a broadcast that was never hinted; r6 review).  The cell
+    # split's value is PARALLELISM, not shuffle avoidance: each block's
+    # pair space becomes B(B+1)/2 independently-scheduled cells.  A
     # parallelism-deficient scan (single-file fixture) must be rebalanced
     # here or every cell still executes in the scan's one task; on a
     # real deployment the scan is already parallel and spread() is a

@@ -130,8 +130,7 @@ WITH hashed AS (
   SELECT bucket, max(rank) AS reg FROM br GROUP BY bucket
 ), acc AS (
   SELECT coalesce(cast(sum(1::BIGINT << (32 - reg)) AS BIGINT), 0) AS s_scaled,
-         count(*) AS m_present,
-         sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS never
+         count(*) AS m_present
   FROM regs
 )
 SELECT CASE
@@ -160,7 +159,12 @@ def count_min_table(
     seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
     k = key.cast("string").alias("__k")
     return (
+        # NULL keys dropped (as hll_registers does): hashing NULL yields
+        # NULL positions — up to `depth` junk counter rows no lookup can
+        # reach (NULL never equi-joins), silently breaking the d·width
+        # row bound (r6 review).  count_min_lookup maps NULL to 0.
         df.select(k, seeds)
+        .where(F.col("__k").isNotNull())
         .select(
             "d",
             F.pmod(
@@ -249,11 +253,18 @@ def bottomk_quantile_sample(
     h = stable_hash32(F.concat(F.lit("q|"), ident.cast("string")))
     base = df.select(group.alias("grp"), value.alias("val"), h.alias("h"))
     counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
-    thr = F.expr(f"({4 * k} * 4294967296) div n")
+    # greatest(..., 1): floor() reaches 0 once n > 4k·2³² and the sample
+    # would silently be EMPTY; with 1 the sample degrades to expected
+    # n/2³² rows instead (r6 review — beyond ~10¹² rows per group this
+    # sketch wants a bigger hash, not a bigger k).
+    thr = F.expr(f"greatest(({4 * k} * 4294967296) div n, 1)")
     cand = base.join(F.broadcast(counts.select("grp", thr.alias("thr"))), "grp").where(
         F.col("h") < F.col("thr")
     )
-    w = Window.partitionBy("grp").orderBy("h")
+    # val tiebreak: two idents CAN collide on the 32-bit hash, and a
+    # collision straddling rank k would otherwise pick by physical row
+    # order — breaking the cross-run/cross-engine guarantee (r6 review).
+    w = Window.partitionBy("grp").orderBy("h", "val")
     return (
         cand.withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= k)
@@ -274,9 +285,9 @@ WITH base AS (
 ), cand AS (
   SELECT base.grp, base.val, base.h
   FROM base JOIN counts USING (grp)
-  WHERE base.h < ({4 * k} * 4294967296) // counts.n
+  WHERE base.h < greatest(({4 * k} * 4294967296) // counts.n, 1)
 ), ranked AS (
-  SELECT grp, h, val, row_number() OVER (PARTITION BY grp ORDER BY h) AS r
+  SELECT grp, h, val, row_number() OVER (PARTITION BY grp ORDER BY h, val) AS r
   FROM cand
 )
 SELECT grp, h, val FROM ranked WHERE r <= {k}

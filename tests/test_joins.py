@@ -133,3 +133,32 @@ def test_triangle_self_pair_join_matches_naive(spark):
         pairs = [(r["lo"], r["hi"]) for r in got]
         assert len(pairs) == len(set(pairs)), f"duplicate pairs at B={buckets}"
         assert set(pairs) == naive, f"pair set mismatch at B={buckets}"
+
+
+def test_asof_join_null_on_and_null_value_semantics(spark):
+    """r6 review: (a) right rows with NULL `on` sorted before everything
+    and matched every left row; (b) per-column carry resurrected stale
+    values when the latest right row had a NULL field — a mixed-row
+    result no single right row contained.  Contract now = pd.merge_asof:
+    null-on rows never match; the matched row's values travel together."""
+    import datetime as dt
+
+    from event_streaming_spark.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0, 5.0), (1, t(20), 200.0, None), (2, None, 999.0, 9.0)],
+        "k INT, ts TIMESTAMP, price DOUBLE, qty DOUBLE",
+    )
+    left = spark.createDataFrame(
+        [(1, t(30), "a"), (2, t(5), "b")], "k INT, ts TIMESTAMP, tag STRING"
+    )
+    got = {
+        r["tag"]: (r["price"], r["qty"])
+        for r in asof_join(left, right, on="ts", by=["k"], value_cols=["price", "qty"]).collect()
+    }
+    # latest right row for k=1 is (200, NULL): qty must be NULL, not the
+    # stale 5.0 from the older row
+    assert got["a"] == (200.0, None)
+    # the NULL-ts right row must NOT match k=2's left row
+    assert got["b"] == (None, None)

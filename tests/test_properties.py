@@ -702,3 +702,16 @@ def test_salted_broadcast_left_rejects_outer_joins(spark):
         salted_broadcast_left(big, small, "k", how="full")
     # the safe modes still work and de-duplicate correctly
     assert salted_broadcast_left(big, small, "k", how="inner").count() == 1
+
+
+def test_triangles_on_string_node_ids(spark):
+    """r6 review: the arithmetic middle-node trick (sum minus min minus
+    max) raised under ANSI mode for string ids; the CASE form must
+    enumerate the triangle for any orderable type."""
+    from event_streaming_spark.operators.graph import triangles
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "doc_a STRING, doc_b STRING"
+    )
+    got = [tuple(r) for r in triangles(edges).collect()]
+    assert got == [("a", "b", "c")]
