@@ -59,10 +59,10 @@ def test_absent_key_returns_empty_even_on_false_positive(spark, indexed):
 
 
 def test_probe_positions_deterministic_and_k_sized(spark):
-    p1 = probe_positions(spark, 12345)
-    p2 = probe_positions(spark, 12345)
+    p1 = probe_positions(spark, 12345, "long")
+    p2 = probe_positions(spark, 12345, "long")
     assert p1 == p2 and len(p1) == BLOOM_HASHES
-    assert p1 != probe_positions(spark, 12346)
+    assert p1 != probe_positions(spark, 12346, "long")
 
 
 def test_saturated_bitmap_degrades_to_full_scan_not_wrong_answer(spark, tmp_path):
