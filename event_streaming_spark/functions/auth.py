@@ -53,8 +53,23 @@ def mint_hs256(claims: dict, secret: str) -> str:
     return signing + "." + _b64url(sig)
 
 
+def _validated_claims(signing: str, now: int | None) -> dict | None:
+    """Decode the claims segment and apply the exp/nbf window — the one
+    definition both verifiers share (they used to carry identical copies
+    that could drift; r6 review)."""
+    claims = json.loads(_b64url_decode(signing.split(".")[1]))
+    t = int(time.time()) if now is None else now
+    if "exp" in claims and t >= int(claims["exp"]):
+        return None
+    if "nbf" in claims and t < int(claims["nbf"]):
+        return None
+    return claims
+
+
 def verify_hs256(token: str, secret: str, now: int | None = None) -> dict | None:
-    """Verify signature + exp/nbf; return claims dict or None (RFC 7519)."""
+    """Verify signature + exp/nbf; return claims dict or None (RFC 7519).
+    An EMPTY claims object is a valid (falsy) dict — callers must test
+    ``is not None``, never truthiness."""
     try:
         signing, _, sig_part = token.rpartition(".")
         header = json.loads(_b64url_decode(signing.split(".")[0]))
@@ -63,13 +78,7 @@ def verify_hs256(token: str, secret: str, now: int | None = None) -> dict | None
         expected = hmac.new(secret.encode(), signing.encode(), hashlib.sha256).digest()
         if not hmac.compare_digest(expected, _b64url_decode(sig_part)):
             return None
-        claims = json.loads(_b64url_decode(signing.split(".")[1]))
-        t = int(time.time()) if now is None else now
-        if "exp" in claims and t >= int(claims["exp"]):
-            return None
-        if "nbf" in claims and t < int(claims["nbf"]):
-            return None
-        return claims
+        return _validated_claims(signing, now)
     except Exception:
         return None
 
@@ -179,13 +188,7 @@ def verify_rs256(token: str, public_key: dict | str, now: int | None = None) -> 
         em = pow(int.from_bytes(sig, "big"), key["e"], key["n"]).to_bytes(k, "big")
         if not hmac.compare_digest(em, _emsa_pkcs1_v15_sha256(signing.encode(), k)):
             return None
-        claims = json.loads(_b64url_decode(signing.split(".")[1]))
-        t = int(time.time()) if now is None else now
-        if "exp" in claims and t >= int(claims["exp"]):
-            return None
-        if "nbf" in claims and t < int(claims["nbf"]):
-            return None
-        return claims
+        return _validated_claims(signing, now)
     except Exception:
         return None
 
@@ -223,6 +226,21 @@ def claims_udf(secret: str | None = None, rs256_public_key: dict | str | None = 
             c = verify_rs256(token, rs256_public_key)
         if c is None:
             return None
-        return tuple(c.get(f) for f in ("iss", "sub", "aud", "exp", "nbf", "iat", "jti"))
+
+        def _s(v):  # string fields: RFC allows aud to be an ARRAY
+            if v is None or isinstance(v, str):
+                return v
+            if isinstance(v, list):
+                return ",".join(str(x) for x in v)
+            return str(v)
+
+        def _i(v):  # numeric-date fields: RFC allows non-integer seconds
+            return None if v is None else int(v)
+
+        return (
+            _s(c.get("iss")), _s(c.get("sub")), _s(c.get("aud")),
+            _i(c.get("exp")), _i(c.get("nbf")), _i(c.get("iat")),
+            _s(c.get("jti")),
+        )
 
     return F.udf(_verify, CLAIMS_SCHEMA)

@@ -25,7 +25,10 @@ from event_streaming_spark.functions.hashing import (
 )
 
 # BPE-ish token pattern: letter runs, digit runs, single other-symbols.
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#: Explicit whitespace class: Java regex \s includes \x0B (vertical tab)
+#: while DuckDB/RE2 \s does not — spelling the class out keeps the Spark
+#: count and the SQL oracle bit-identical on every byte (r6 review).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0b]"
 
 #: tiny per-language marker vocabularies (language-ID heuristic).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {

@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 from collections.abc import Callable
@@ -364,6 +365,12 @@ class EventsAgency:
         self.root = root or os.path.join("/tmp", f"events-agency-{uuid.uuid4().hex[:8]}")
         os.makedirs(self.root, exist_ok=True)
         self._topics: dict[tuple[str | None, str | None], TopicContext] = {}
+        # Registry lock: the HTTP gateway serves handler THREADS that hit
+        # _get_or_create/topics concurrently — an unguarded dict risks
+        # "dictionary changed size during iteration" in topics() and a
+        # check-then-act double-create in _get_or_create that clobbers a
+        # context a consumer already subscribed on (r6 review).
+        self._lock = threading.RLock()
         self._session_clones: dict[int, SparkSession] = {}
         self.load_config(config or {})
 
@@ -417,9 +424,10 @@ class EventsAgency:
 
     def _get_or_create(self, broker: str | None, topic: str | None) -> TopicContext:
         key = (broker, topic)
-        if key not in self._topics:
-            self._topics[key] = TopicContext(broker=broker, topic=topic, agency=self)
-        return self._topics[key]
+        with self._lock:  # gateway handler threads race this check-then-act
+            if key not in self._topics:
+                self._topics[key] = TopicContext(broker=broker, topic=topic, agency=self)
+            return self._topics[key]
 
     # -- O4 subscribe (find-or-create; REPLACE callback with latest) -----------
     def subscribe(
@@ -457,7 +465,8 @@ class EventsAgency:
 
     # -- O5 unsubscribe -----------------------------------------------------------
     def unsubscribe(self, broker: str | None, topic: str | None) -> int:
-        ctx = self._topics.pop((broker, topic), None)
+        with self._lock:
+            ctx = self._topics.pop((broker, topic), None)
         if ctx is None:
             return -1
         ctx.free()
@@ -465,8 +474,10 @@ class EventsAgency:
 
     # -- O30 ordered listing (NULLS FIRST both components — bug :133 fixed) ----
     def topics(self) -> list[tuple[str | None, str | None]]:
+        with self._lock:
+            keys = list(self._topics.keys())
         return sorted(
-            self._topics.keys(),
+            keys,
             key=lambda k: ((k[0] is not None, k[0] or ""), (k[1] is not None, k[1] or "")),
         )
 

@@ -78,10 +78,15 @@ class ApiGateway:
                 if gateway.jwt_secret is None and gateway.jwt_rs256_public_key is None:
                     return True
                 hdr = self.headers.get("Authorization", "")
-                if not hdr.startswith("Bearer "):
+                # auth-scheme is case-insensitive (RFC 7235 §2.1)
+                if not hdr[:7].lower() == "bearer ":
                     return False
                 token = hdr[7:]
-                if gateway.jwt_secret is not None and verify_hs256(token, gateway.jwt_secret):
+                # `is not None`, never truthiness: a validly-signed token
+                # with EMPTY claims returns {} (falsy) — r6 review
+                if gateway.jwt_secret is not None and (
+                    verify_hs256(token, gateway.jwt_secret) is not None
+                ):
                     return True
                 return (
                     gateway.jwt_rs256_public_key is not None
@@ -90,10 +95,12 @@ class ApiGateway:
 
             def do_GET(self):  # noqa: N802
                 if self.path == "/health":
-                    self._reply(
-                        200,
-                        {"status": "ok", "topics": [list(t) for t in gateway.agency.topics()]},
-                    )
+                    # liveness is unauthenticated; the TOPIC REGISTRY is
+                    # not (it enumerates tenant structure — r6 review)
+                    body = {"status": "ok"}
+                    if self._authed():
+                        body["topics"] = [list(t) for t in gateway.agency.topics()]
+                    self._reply(200, body)
                 else:
                     self._reply(404, {"error": "not found"})
 
@@ -112,6 +119,11 @@ class ApiGateway:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                 except ValueError:
+                    self._reply(400, {"error": "bad Content-Length"})
+                    return
+                if n < 0:
+                    # rfile.read(-1) would block until EOF, pinning the
+                    # handler thread forever (r6 review)
                     self._reply(400, {"error": "bad Content-Length"})
                     return
                 if n > gateway.MAX_BODY_BYTES:
@@ -135,7 +147,13 @@ class ApiGateway:
                     self._reply(400, {"error": "body must be a JSON object or array of objects"})
                     return
                 ctx = gateway.agency._get_or_create(broker, topic)
-                ctx.publish(events)
+                try:
+                    ctx.publish(events)
+                except Exception as e:
+                    # client-controlled payloads that fail schema coercion
+                    # must produce a response, not a dropped connection
+                    self._reply(400, {"error": f"events rejected: {type(e).__name__}"})
+                    return
                 # 202 Accepted — the reference handler's status, now earned
                 self._reply(202, {"accepted": len(events), "broker": broker, "topic": topic})
 
@@ -152,7 +170,10 @@ class ApiGateway:
         return self
 
     def stop(self) -> None:
-        self._server.shutdown()
+        if self._thread is not None:
+            # shutdown() waits on an event only serve_forever() sets —
+            # calling it before start() would deadlock (r6 review)
+            self._server.shutdown()
         self._server.server_close()
         if self._thread:
             self._thread.join(timeout=5)

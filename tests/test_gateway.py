@@ -67,11 +67,18 @@ def test_auth_and_error_paths(gw):
     assert _post(gw, "/nope", ev, token=tok)[0] == 404
     assert _post(gw, "/topics/b/t", "not-an-event", token=tok)[0] == 400
 
-    # health endpoint lists registered topics
+    # health endpoint: liveness is open, but the topic registry is
+    # auth-gated (r6: unauthenticated enumeration disclosure)
     host, port = gw.address
     with urllib.request.urlopen(f"http://{host}:{port}/health") as r:
         health = json.loads(r.read())
     assert health["status"] == "ok"
+    assert "topics" not in health
+    req = urllib.request.Request(
+        f"http://{host}:{port}/health", headers={"Authorization": f"Bearer {tok}"}
+    )
+    with urllib.request.urlopen(req) as r:
+        health = json.loads(r.read())
     assert ["b", "t"] in health["topics"]
 
 
@@ -123,3 +130,66 @@ def test_gateway_ingest_roundtrip_query(spark, duck):
         (str(d), et, n, nu, round(tv, 2)) for d, et, n, nu, tv in want
     )
     assert got_rows == want_rows
+
+
+def test_gateway_hardening_r6(spark, tmp_path):
+    """r6 review fixes: negative Content-Length -> 400 (not a pinned
+    thread), malformed event payloads -> 400 (not a dropped connection),
+    empty-claims HS256 tokens authenticate, bearer scheme is
+    case-insensitive, /health hides the topic registry from
+    unauthenticated callers, stop() before start() doesn't deadlock."""
+    import http.client
+    import json as _json
+
+    from event_streaming_spark.functions.auth import mint_hs256
+    from event_streaming_spark.streaming.agency import EventsAgency
+    from event_streaming_spark.streaming.gateway import ApiGateway
+
+    agency = EventsAgency(spark, root=str(tmp_path / "gwa"), log_format="parquet")
+    # stop() before start(): must not hang
+    ApiGateway(agency, port=0, jwt_secret="s").stop()
+
+    gw = ApiGateway(agency, port=0, jwt_secret="s").start()
+    try:
+        host, port = gw.address
+        empty_tok = mint_hs256({}, "s")  # validly signed, FALSY claims
+
+        def req(method, path, body=None, headers=None, raw_len=None):
+            c = http.client.HTTPConnection(host, port, timeout=10)
+            hs = dict(headers or {})
+            data = None if body is None else _json.dumps(body)
+            if raw_len is not None:
+                c.putrequest(method, path)
+                for k, v in hs.items():
+                    c.putheader(k, v)
+                c.putheader("Content-Length", str(raw_len))
+                c.endheaders()
+            else:
+                c.request(method, path, data, hs)
+            r = c.getresponse()
+            out = (r.status, _json.loads(r.read() or b"{}"))
+            c.close()
+            return out
+
+        auth = {"Authorization": f"Bearer {empty_tok}"}
+        # empty-claims token authenticates (is-not-None, not truthiness)
+        code, body = req("POST", "/topics/b/t", {"event_id": 1, "event_type": "x"}, auth)
+        assert code == 202, body
+        # bearer scheme case-insensitive
+        code, _ = req("POST", "/topics/b/t", {"event_id": 2, "event_type": "x"},
+                      {"Authorization": f"bearer {empty_tok}"})
+        assert code == 202
+        # negative Content-Length -> immediate 400
+        code, _ = req("POST", "/topics/b/t", None, auth, raw_len=-1)
+        assert code == 400
+        # malformed event (string event_id into long) -> 400, not a reset
+        code, body = req("POST", "/topics/b/t", {"event_id": "not-a-long"}, auth)
+        assert code == 400, body
+        # /health: liveness open, registry gated
+        code, body = req("GET", "/health")
+        assert code == 200 and "topics" not in body
+        code, body = req("GET", "/health", None, auth)
+        assert code == 200 and ["b", "t"] in body["topics"]
+    finally:
+        gw.stop()
+        agency.close(remove_logs=True)

@@ -1159,3 +1159,23 @@ def test_key_index_incremental_rebuild_drops_erased_days(spark, tmp_path):
     idx.rebuild(dates=[d0])
     days = {r["event_date"] for r in idx.lookup(7).select("event_date").collect()}
     assert days == {d1}, f"stale index day survived: {days}"
+
+
+def test_claims_udf_coerces_rfc_valid_nonscalar_claims(spark):
+    """r6 review: RFC 7519 allows aud to be an ARRAY and numeric dates
+    to be floats; the pickle-UDF converter silently nulled mismatched
+    values into the flat claims struct.  They must coerce, not vanish."""
+    import time
+
+    from event_streaming_spark.functions.auth import claims_udf, mint_hs256
+
+    tok = mint_hs256(
+        {"iss": "i", "aud": ["svc-a", "svc-b"], "exp": time.time() + 3600.5},
+        "k",
+    )
+    df = spark.createDataFrame([(tok,)], "token STRING").select(
+        claims_udf(secret="k")(F.col("token")).alias("claims")
+    )
+    row = df.select("claims.aud", "claims.exp", "claims.iss").first()
+    assert row["aud"] == "svc-a,svc-b"
+    assert row["exp"] is not None and row["iss"] == "i"
