@@ -360,6 +360,13 @@ def _split_intervals(data: bytes):
             intervals.append(bytes(cur))
             cur = bytearray()
             i += 2
+        elif nxt == 0xFF:
+            # fill byte before a marker (T.81 §B.1.1.2) — hardware
+            # encoders pad restart boundaries with 0xFF runs.  Treating
+            # this as end-of-scan silently dropped every remaining
+            # restart interval (r6 review; _parse_stream already keeps
+            # fill bytes inside scan data).
+            i += 1
         else:  # EOI or the next real marker: scan is over
             break
     intervals.append(bytes(cur))
@@ -695,7 +702,7 @@ def encode_jpeg(px, subsampling: str = "444") -> bytes:
     """uint8 RGB (h, w, 3) → baseline JFIF-style JPEG bytes.
 
     Annex K quantization/Huffman tables as-is (≈ libjpeg quality 50);
-    ``subsampling`` is "444" or "420".
+    ``subsampling`` is "444", "422" or "420".
     """
     import numpy as np
 
@@ -706,6 +713,7 @@ def encode_jpeg(px, subsampling: str = "444") -> bytes:
 
     writer = _BitWriter()
     pred = [0, 0, 0]
+    zzidx = np.array(ZIGZAG)  # hoisted: rebuilt per block was pure waste
     for mcu in range(mcux * mcuy):
         my, mx = divmod(mcu, mcux)
         for ci, (sh, sv) in enumerate(sampling):
@@ -716,7 +724,7 @@ def encode_jpeg(px, subsampling: str = "444") -> bytes:
                 for bx in range(sh):
                     row, col = my * sv + by, mx * sh + bx
                     blk = quantized[ci][row * bw_blocks + col]
-                    zz = blk.reshape(64)[np.array(ZIGZAG)]
+                    zz = blk.reshape(64)[zzidx]
                     diff = int(zz[0]) - pred[ci]
                     pred[ci] = int(zz[0])
                     t, code = _magnitude(diff)
@@ -1131,7 +1139,15 @@ def encode_jpeg_progressive(
         sos = bytearray([len(comps)])
         for ci in comps:
             th = 0 if ci == 0 else 1
-            sos.extend([ci + 1, (th << 4) | th])
+            # T.81 scan-header rule (and libjpeg's emit_sos): a DC scan
+            # must write Ta=0 and an AC scan Td=0 — the unused selector
+            # may reference a table that is never defined at this point
+            # in the stream, and strict decoders reject that (r6 review;
+            # the in-repo decoder ignores unused selectors, which is why
+            # round-trips couldn't catch it).
+            td = th if ss == 0 else 0
+            ta = th if ss > 0 else 0
+            sos.extend([ci + 1, (td << 4) | ta])
         sos.extend([ss, se, (ah << 4) | al])
         seg(0xDA, bytes(sos))
         out.extend(writer.out)

@@ -389,6 +389,11 @@ def decode_image_stdlib(content: bytes) -> tuple[str, int, int, int]:
             # 16-bit / interlaced / truncated: degrade to the header
             # parse (true dims, byte checksum) instead of a sentinel
             return decode_image_stub(content)
+        except Exception:
+            # CORRUPT input (zlib.error, struct.error, bad palette
+            # index...): one bad image must never kill the batch —
+            # degrade like the capability gate does (r6 review)
+            return decode_image_stub(content)
     if fmt == "jpeg":
         from event_streaming_spark.operators.jpegcodec import decode_jpeg
 
@@ -444,6 +449,10 @@ def extract_image_meta(
                     fmt, w, h, ck = kernel(bytes(content))
                 except NotImplementedError:
                     fmt, w, h, ck = sniff_format(bytes(content)), -2, -2, -2
+                except Exception:
+                    # corrupt beyond even the stub parse: sentinel row,
+                    # never a dead task (r6 review)
+                    fmt, w, h, ck = sniff_format(bytes(content)), -3, -3, -3
                 out.append((path, int(length), fmt, w, h, ck))
             yield pd.DataFrame(
                 out, columns=["path", "length", "format", "width", "height", "checksum64"]
@@ -527,10 +536,19 @@ def decode_audio_stub(content: bytes) -> tuple[str, int, int, int]:
     raises NotImplementedError (that genuinely needs a codec; WAV incl.
     G.711 decodes fully via decode_audio_pcm)."""
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE" and len(content) >= 44:
-        n_channels = int.from_bytes(content[22:24], "little")
-        sample_rate = int.from_bytes(content[24:28], "little")
-        byte_rate = int.from_bytes(content[28:32], "little")
-        data_len = max(len(content) - 44, 0)
+        # Walk the chunk list — the fixed 44-byte layout is exactly the
+        # "common parser bug" documented below: a LIST/JUNK chunk before
+        # fmt would have been read as garbage rates (r6 review).
+        chunks = _walk_riff_chunks(content)
+        fm = chunks.get("fmt ")
+        if fm is None or fm[1] < 16 or fm[0] + 16 > len(content):
+            raise NotImplementedError("WAV without a parsable fmt chunk")
+        off = fm[0]
+        n_channels = int.from_bytes(content[off + 2 : off + 4], "little")
+        sample_rate = int.from_bytes(content[off + 4 : off + 8], "little")
+        byte_rate = int.from_bytes(content[off + 8 : off + 12], "little")
+        dc = chunks.get("data")
+        data_len = min(dc[1], max(len(content) - dc[0], 0)) if dc else 0
         duration_ms = (data_len * 1000) // byte_rate if byte_rate else 0
         return "wav", sample_rate, n_channels, duration_ms
     if content[:4] == b"fLaC":
@@ -584,10 +602,15 @@ def sample_frame_offsets(
 
     n_frames = (F.col(length_col) / frame_size).cast("long")
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
-    return binary_df.select(
-        "path",
-        F.explode(idx).alias("frame_no"),
-    ).select("path", "frame_no", (F.col("frame_no") * frame_size).alias("byte_offset"))
+    return (
+        binary_df
+        # files shorter than ONE complete frame emit zero rows — the old
+        # greatest(n-1, 0) floor manufactured a phantom frame 0 whose
+        # reader would seek past EOF (r6 review)
+        .where(n_frames >= 1)
+        .select("path", F.explode(idx).alias("frame_no"))
+        .select("path", "frame_no", (F.col("frame_no") * frame_size).alias("byte_offset"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -628,8 +651,14 @@ def _walk_riff_chunks(content: bytes) -> dict[str, tuple[int, int]]:
     return chunks
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=2)
 def _g711_table(audio_fmt: int):
-    """256-entry G.711 expansion table (code byte → int16 PCM).
+    """256-entry G.711 expansion table (code byte → int16 PCM), memoized
+    — it depends only on audio_fmt ∈ {6, 7} and was being rebuilt per
+    decoded row (r6 review).
 
     ITU-T G.711 closed forms: µ-law (fmt 7) mag = ((mant·8+0x84)<<exp)−0x84
     over the complemented byte; A-law (fmt 6) after the 0x55 toggle with
@@ -783,6 +812,10 @@ def extract_audio_features(binary_df: DataFrame) -> DataFrame:
                     fmt, sr, ch, ns, dur, rms, peak, zcr = decode_audio_pcm(bytes(content))
                 except NotImplementedError:
                     fmt, sr, ch, ns, dur, rms, peak, zcr = "undecodable", -2, -2, -2, -2, -2.0, -2.0, -2.0
+                except Exception:
+                    # corrupt container (struct.error on a lying chunk
+                    # size...): sentinel row, never a dead task (r6)
+                    fmt, sr, ch, ns, dur, rms, peak, zcr = "corrupt", -3, -3, -3, -3, -3.0, -3.0, -3.0
                 out.append((path, fmt, sr, ch, ns, dur, round(rms, 6), round(peak, 6), round(zcr, 6)))
             yield pd.DataFrame(
                 out,

@@ -299,3 +299,51 @@ def test_ac_first_and_refine_coefficient_fuzz():
                     u += 1
             assert u == n
         assert np.array_equal(blk[:, 1:], zz[:, 1:])
+
+
+def test_split_intervals_keeps_fill_bytes_before_restarts():
+    """r6 review: 0xFF fill bytes before a restart marker (T.81 §B.1.1.2,
+    common from hardware encoders) were treated as end-of-scan, silently
+    dropping every remaining restart interval."""
+    from event_streaming_spark.operators.jpegcodec import _split_intervals
+
+    # interval0 | fill fill RST0 | interval1 | EOI
+    data = bytes([0x12, 0x34, 0xFF, 0xFF, 0xFF, 0xD0, 0x56, 0xFF, 0xD9])
+    got = _split_intervals(data)
+    assert got == [bytes([0x12, 0x34]), bytes([0x56])], got
+
+
+def test_progressive_dc_scans_write_zero_ac_selector():
+    """r6 review: DC scans referenced AC table 1 before any AC DHT was
+    defined (strict decoders reject that).  Every SOS with Ss=0 must
+    carry Ta=0; every AC SOS must carry Td=0."""
+    import numpy as np
+
+    from event_streaming_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    data = encode_jpeg_progressive(img)
+    i = 2
+    sos_headers = []
+    while i + 4 <= len(data):
+        if data[i] == 0xFF and data[i + 1] == 0xDA:
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            sos_headers.append(data[i + 4 : i + 2 + seg_len])
+            i += 2 + seg_len
+        elif data[i] == 0xFF and 0xC0 <= data[i + 1] <= 0xFE and data[i + 1] not in (0xD8,):
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            i += 2 + seg_len
+        else:
+            i += 1
+    assert sos_headers, "no SOS found"
+    for hdr in sos_headers:
+        ncomp = hdr[0]
+        ss = hdr[1 + 2 * ncomp]
+        for c in range(ncomp):
+            sel = hdr[2 + 2 * c]
+            td, ta = sel >> 4, sel & 0x0F
+            if ss == 0:
+                assert ta == 0, f"DC scan carries Ta={ta}"
+            else:
+                assert td == 0, f"AC scan carries Td={td}"

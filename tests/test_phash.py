@@ -155,3 +155,45 @@ def test_phash_stable_across_baseline_and_progressive_jpeg():
         h_base = average_hash_bytes(encode_jpeg(arr, subsampling=sub))
         h_prog = average_hash_bytes(encode_jpeg_progressive(arr, subsampling=sub))
         assert h_base == h_prog
+
+
+def test_corrupt_media_yields_sentinel_rows_not_dead_tasks(spark):
+    """r6 review: corrupt PNG (zlib.error) / corrupt WAV chunk sizes
+    escaped the NotImplementedError-only catches and killed the task —
+    'one bad file must never kill the batch'."""
+    import struct
+    import zlib
+
+    from event_streaming_spark.operators.multimodal import (
+        decode_audio_stub,
+        extract_audio_features,
+        extract_image_meta,
+    )
+
+    # a PNG with valid IHDR but garbage (non-zlib) IDAT payload
+    def chunk(typ, payload):
+        c = struct.pack(">I", len(payload)) + typ + payload
+        return c + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad_png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"notzlib") + chunk(b"IEND", b"")
+    bdf = spark.createDataFrame([("p.png", len(bad_png), bytearray(bad_png))],
+                                "path STRING, length LONG, content BINARY")
+    rows = extract_image_meta(bdf).collect()
+    assert len(rows) == 1 and rows[0]["format"] == "png"  # degraded, not dead
+
+    # a WAV whose fmt chunk is preceded by a LIST chunk (real-world
+    # metadata layout) must parse correct rates via the chunk walk
+    fmtp = struct.pack("<HHIIHH", 1, 2, 22050, 88200, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+           + b"LIST" + struct.pack("<I", 4) + b"INFO"
+           + b"fmt " + struct.pack("<I", len(fmtp)) + fmtp
+           + b"data" + struct.pack("<I", 8) + b"\x00" * 8)
+    f, sr, ch, dur = decode_audio_stub(wav)
+    assert (f, sr, ch) == ("wav", 22050, 2)
+
+    # a corrupt RIFF with a lying chunk size: sentinel row, not a crash
+    bad_wav = b"RIFF" + struct.pack("<I", 0) + b"WAVE" + b"fmt " + struct.pack("<I", 64) + b"\x01"
+    adf = spark.createDataFrame([("a.wav", bytearray(bad_wav))], "path STRING, content BINARY")
+    arows = extract_audio_features(adf).collect()
+    assert len(arows) == 1 and arows[0]["sample_rate"] in (-2, -3)
