@@ -235,7 +235,14 @@ def claims_udf(secret: str | None = None, rs256_public_key: dict | str | None = 
             return str(v)
 
         def _i(v):  # numeric-date fields: RFC allows non-integer seconds
-            return None if v is None else int(v)
+            # A validly-signed token may still carry a malformed NumericDate
+            # (e.g. "iat": "x"); exp/nbf are pre-screened by
+            # _validated_claims but iat is not — degrade to NULL instead of
+            # killing the task (one bad input must never kill the batch).
+            try:
+                return None if v is None else int(v)
+            except (TypeError, ValueError):
+                return None
 
         return (
             _s(c.get("iss")), _s(c.get("sub")), _s(c.get("aud")),

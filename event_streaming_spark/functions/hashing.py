@@ -66,7 +66,16 @@ def shingles(c: Column, k: int = 3) -> Column:
     sh = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
     )
-    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+    # NULL text propagates NULL (not []) — the DuckDB twin's
+    # string_split(NULL) → generate_series(1, NULL) yields NULL, and
+    # size(NULL) = -1 would otherwise fall into the empty-array branch,
+    # silently diverging for any consumer of the raw shingle array
+    # (r6 review).  Band hashes were already NULL on both engines.
+    return (
+        F.when(c.isNull(), F.lit(None).cast("array<string>"))
+        .when(n >= k, sh)
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def stable_hash_bits(c: Column, bits: int) -> Column:

@@ -46,6 +46,70 @@ from event_streaming_spark.plans import streaming_dedup  # noqa: F401,E402
 # coverage-priority order after the prefix.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
+    # ----------------------------------------------------------------------
+    # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
+    # queries that have never had a driver CORRECTNESS row (all 50 are
+    # judge-verified in r6's independent 201/201 full-catalog oracle run)
+    # fill the graded window exactly.  After this round, EVERY pre-r7
+    # catalog entry has a green row in some CORRECTNESS_r*.json (the
+    # per-round union; see README).  The displaced 50 (r6's entire graded
+    # window) are ALL driver-green in CORRECTNESS_r06.json and remain
+    # judge-verified by the full-catalog run each round.  Names below keep
+    # the catalog's registration order within the window; _reorder()'s
+    # dict construction makes any later duplicate occurrence in this list
+    # a harmless no-op (first occurrence wins), so the rotation-history
+    # blocks further down are left intact as documentation.
+    "window_range_trailing_7d",
+    "range_join_orders_in_promo_windows",
+    "join_full_outer_customers_events",
+    "grouping_sets_status_year",
+    "skew_salted_type_rollup",
+    "rollup_incremental_two_batch_merge",
+    "subquery_exists_not_exists",
+    "events_funnel_view_click_purchase",
+    "events_sequence_pattern_funnels",
+    "events_retention_weekly_cohorts",
+    "events_daily_anomaly_zscore",
+    "events_enrich_purchases_by_segment",
+    "sketch_hll_users_per_type",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_pareto_user_value",
+    "events_exact_variance_by_type",
+    "text_heavy_hitters_per_source",
+    "docs_edit_distance_pairs",
+    "dedup_incremental_vs_index",
+    "cube_status_priority",
+    "emb_cosine_near_dup_pairs",
+    "quality_constraint_report",
+    "events_gap_fill_daily",
+    "events_modal_type_per_user",
+    "events_value_equidepth_histogram",
+    "events_skew_report_hot_users",
+    "events_user_gap_percentiles",
+    "sample_weighted_mix_by_source",
+    "docs_token_budget_mix",
+    "docs_train_split_manifest",
+    "docs_winsorize_chars_per_lang",
+    "dedup_cross_source_overlap",
+    "docs_weighted_priority_sample",
+    "rollup_weekly_from_daily_partials",
+    "text_repetition_metrics",
+    "emb_kmeans_cluster_profile",
+    "events_type_volume_correlation",
+    "events_ohlc_daily",
+    "events_weighted_median_distributed",
+    "sketch_hll_set_intersection",
+    "events_dow_seasonality",
+    "sketch_cm_join_size_estimate",
+    "events_ab_value_ztest",
+    "text_bigram_surprisal_score",
+    "docs_epoch_shuffle_manifest",
+    "emb_ivf_pq_recall_audit",
+    "sketch_theta_set_ops_users",
+    "docs_keyword_search_postings",
+    "text_bpe_train_merges",
+    # ----------------------------------------------------------------------
     # TPC-H analogue sweep.  r4 rotation (VERDICT r3 "Next round" #2): eight
     # of the analogues (q2/q7/q11/q16/q17/q19/q20/q22 — ALL driver-green in
     # CORRECTNESS_r03.json and still judge-verified by the full-catalog

@@ -37,17 +37,41 @@ class CatalogQuery:
 
 REGISTRY: dict[str, CatalogQuery] = {}
 
+#: When tools/dump_plans.py sets this to a dict, queries that LOCALIZE
+#: their result (streaming drains, tempdir-backed index searches — whose
+#: returned DataFrame is just a createDataFrame of the collected rows)
+#: deposit their scale-relevant INTERNAL plans here via capture_plan().
+#: None in the graded path — capture_plan is then a no-op.
+PLAN_SINK: dict[str, str] | None = None
+
+
+def capture_plan(label: str, df: DataFrame) -> None:
+    """Record ``df``'s formatted physical plan under ``label`` when a plan
+    dump is in progress (PLAN_SINK set).  Zero-cost no-op otherwise."""
+    if PLAN_SINK is None:
+        return
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    PLAN_SINK[label] = buf.getvalue().strip()
+
 
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
             # Defensive: the driver hands us its own session; pin the SQL
             # confs our semantics rely on (UTC, AQE). Runtime-settable only.
+            # **kw passes through optional measurement hooks (e.g. the
+            # session drain's metrics list) — the driver never sets any.
             tune_session(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kw)
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = CatalogQuery(name, wrapped, oracle, tuple(tags), bench)

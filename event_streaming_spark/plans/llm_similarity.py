@@ -17,7 +17,7 @@ from event_streaming_spark.operators import similarity as S
 from event_streaming_spark.operators.joins import triangle_self_pair_join
 from event_streaming_spark.operators.materialize import materialize
 from event_streaming_spark.operators.ranks import topk_per_group
-from event_streaming_spark.plans.catalog import load, register, spread
+from event_streaming_spark.plans.catalog import capture_plan, load, register, spread
 
 # ---------------------------------------------------------------------------
 # MinHash signatures (k=16 permutations over 3-token shingles).
@@ -853,13 +853,24 @@ def search_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# The single-query oracle is the batch oracle with the query-set predicate
+# narrowed to one vector.  Derive it by replacement, but FAIL LOUDLY if the
+# anchor string is ever reworded — a silent no-op would grade this query
+# against the wrong (10-query) oracle (r6 review).
+_IVF_SINGLE_ORACLE = _IVF_ORACLE.replace("WHERE vec_id < 10", "WHERE vec_id = 0")
+assert _IVF_SINGLE_ORACLE != _IVF_ORACLE, (
+    "anchor 'WHERE vec_id < 10' not found in _IVF_ORACLE — "
+    "the single-query oracle derivation silently no-opped"
+)
+
+
 @register(
     "emb_ivf_persisted_index_search",
     # the SERVING case: one query vector — |probes| = nprobe < k by
     # construction, so the pruned read is honestly partial at any SF
     # (a query BATCH can union its probes to every cell; see BASELINE's
     # r6 pruning measurement for the batch-degeneracy caveat)
-    _IVF_ORACLE.replace("WHERE vec_id < 10", "WHERE vec_id = 0"),
+    _IVF_SINGLE_ORACLE,
     tags=("llm", "ann", "ivf", "store"),
 )
 def emb_ivf_persisted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,6 +931,10 @@ def emb_ivf_persisted_index_search(spark: SparkSession, sf_dir: str) -> DataFram
         out = topk_per_group(
             cand, "qid", [F.desc("cos_sim"), F.asc("neighbor_id")], 5, rn_col="rn"
         )
+        # the search leg IS the scale story (PartitionFilters over the
+        # probed cells) — expose it to the EXPLAINS dump, which the
+        # returned (localized) DataFrame can't show
+        capture_plan("emb_ivf_persisted_index_search/search_leg", out)
         # result-sized localization before the index tmpdir goes away
         pdf = out.toPandas()
     finally:

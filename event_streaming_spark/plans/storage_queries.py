@@ -27,7 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from event_streaming_spark.plans.catalog import load, register
+from event_streaming_spark.plans.catalog import capture_plan, load, register
 from event_streaming_spark.sources.versioned import VersionedStore
 
 # Fixed-point cents keep both engines exact-integer; the outer CAST to
@@ -490,7 +490,14 @@ def events_multi_format_source_parity(spark: SparkSession, sf_dir: str) -> DataF
         ev.write.mode("overwrite").orc(f"{root}/orc")
         schema = ev.schema
         legs = {
-            "csv": spark.read.schema(schema).option("header", "true").csv(f"{root}/csv"),
+            # multiLine: a props value with an embedded newline is QUOTED
+            # correctly by the writer but the default line-split reader
+            # would cut it into two records (r6 review).  quote/escape are
+            # left at defaults, which match the writer's defaults.
+            "csv": spark.read.schema(schema)
+            .option("header", "true")
+            .option("multiLine", "true")
+            .csv(f"{root}/csv"),
             "json": spark.read.schema(schema).json(f"{root}/json"),
             "orc": spark.read.orc(f"{root}/orc"),
         }
@@ -508,6 +515,9 @@ def events_multi_format_source_parity(spark: SparkSession, sf_dir: str) -> DataF
         res = outs[0]
         for o in outs[1:]:
             res = res.unionByName(o)
+        # per-format scan → aggregate union: expose to the EXPLAINS dump
+        # (the returned DataFrame is localized and can't show it)
+        capture_plan("events_multi_format_source_parity/format_legs", res)
         # 3-row result; localize before the tempdir goes away
         pdf = res.orderBy("format").toPandas()
     finally:
@@ -516,4 +526,102 @@ def events_multi_format_source_parity(spark: SparkSession, sf_dir: str) -> DataF
         pdf,
         "format string, n_events long, n_users long, sum_value_cents long, "
         "min_ts_us long, max_ts_us long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming ingest INTO the versioned store — the production
+# write path: topic → Structured Streaming → VersionedStore.sink, one
+# atomic version per micro-batch, replay-safe at BOTH layers the system
+# defends (graded in-plan, like the gateway's 401 and the restart drains'
+# delta checks):
+#
+#   1. commit-level replay: a foreachBatch retry re-applies an
+#      already-committed batch txn — the in-manifest txn token makes it
+#      a no-op (append returns the unchanged head; Delta's
+#      txnAppId/txnVersion discipline);
+#   2. checkpoint-level replay: the ledger fast-path cache is wiped and
+#      a whole second sink pass runs over the same checkpoint — no batch
+#      recommits, no version moves.
+#
+# The graded output is the store HEAD's per-type rollup; the oracle is
+# the same rollup over the raw events table — equality proves the three
+# wave commits delivered every event exactly once THROUGH both replays.
+#
+# Reference parity: consumer callback → durable store (SURVEY O2/O3/O11).
+# Scale: each micro-batch commit stages only its delta files (append =
+# O(batch)); txn dedup reads the manifest head cache, never data.
+# ---------------------------------------------------------------------------
+
+_XO_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "streaming_versioned_ingest_exactly_once",
+    _XO_ORACLE,
+    tags=("streaming", "storage", "versioned", "exactly-once"),
+)
+def streaming_versioned_ingest_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil as _sh
+
+    from event_streaming_spark.sources.versioned import VersionedStore
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    root = tempfile.mkdtemp(prefix="est-xo-")
+    try:
+        agency = EventsAgency(
+            spark, root=os.path.join(root, "topic"), log_format="parquet"
+        )
+        ctx = agency._get_or_create("driver-gate", "ingest")
+        ctx.schema = ev.schema
+        store = VersionedStore(spark, os.path.join(root, "store"))
+        ckpt = os.path.join(root, "ckpt")
+        # three arrival waves, each drained to its own atomic version(s)
+        for w in range(3):
+            ctx.publish(ev.filter(F.col("event_id") % 3 == w))
+            store.sink(ctx.stream(), checkpoint=ckpt).awaitTermination()
+        v_head = store.latest_version()
+
+        # (1) commit-level replay: re-apply an already-committed batch txn
+        append_txns = sorted(t for t in store.committed_txns() if "#append#" in t)
+        if not append_txns:  # -O-safe in-plan assertions throughout
+            raise AssertionError("no append txn tokens recorded in manifests")
+        v_replay = store.append(ev.limit(50), txn=append_txns[0])
+        if v_replay != v_head or store.latest_version() != v_head:
+            raise AssertionError("replayed batch txn created a new version")
+
+        # (2) checkpoint-level replay: wipe the ledger fast-path cache and
+        # run a full second sink pass over the same checkpoint
+        _sh.rmtree(os.path.join(ckpt, "vstore-ledger"), ignore_errors=True)
+        store.sink(ctx.stream(), checkpoint=ckpt).awaitTermination()
+        if store.latest_version() != v_head:
+            raise AssertionError("checkpoint replay re-committed batches")
+
+        head = (
+            store.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("event_type")
+        )
+        # result-sized localization before the store tempdir goes away
+        pdf = head.toPandas()
+        agency.close(remove_logs=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "event_type string, n_events long, sum_cents long"
     )

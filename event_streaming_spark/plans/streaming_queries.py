@@ -187,9 +187,30 @@ _SESSIONW_SCHEMA = T.StructType(
     _SESSIONW_ORACLE,
     tags=("streaming", "window", "session"),
 )
-def streaming_session_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_session_window_drain(
+    spark: SparkSession,
+    sf_dir: str,
+    metrics: list | None = None,
+    max_files_per_trigger: int | None = None,
+    publish_waves: int | None = None,
+) -> DataFrame:
     """Publish events (+ watermark sentinel) → session_window drain in
-    append mode; finalized sessions must hash-equal the batch islands."""
+    append mode; finalized sessions must hash-equal the batch islands.
+
+    ``metrics``/``max_files_per_trigger``/``publish_waves`` are
+    measurement hooks for tools/streaming_scale_100x.py (per-batch wall +
+    finalized-session count at the 100× replica); all default off — the
+    graded path is unchanged.  ``publish_waves=N`` replays the table as N
+    ts-range waves, each published and DRAINED before the next is
+    published (checkpoint continuity carries the session state across the
+    sequential availableNow drains — the restart-drain pattern), so the
+    stateful operator sees events in event-time order, the production
+    arrival shape.  (An arbitrary file split across micro-batches would
+    interleave time ranges and the watermark would drop the late ones:
+    event-time streaming is order-sensitive by design, so the
+    measurement must feed it the order production would.)"""
+    import time as _time
+
     from event_streaming_spark.streaming.agency import EventsAgency
 
     root = tempfile.mkdtemp(prefix="est-sessw-")
@@ -198,21 +219,35 @@ def streaming_session_window_drain(spark: SparkSession, sf_dir: str) -> DataFram
         agency = EventsAgency(spark, root=root, log_format="parquet")
         ctx = agency._get_or_create("driver-gate", "events-sessions")
         ev = load(spark, sf_dir, "events")
-        ctx.publish(ev)
+        waves: list[DataFrame] = []
+        if publish_waves:
+            us = ev.withColumn("us", F.unix_micros("ts"))
+            probs = [i / publish_waves for i in range(1, publish_waves)]
+            bounds = us.approxQuantile("us", probs, 0.001)
+            edges = [None, *bounds, None]
+            for lo, hi in zip(edges[:-1], edges[1:]):
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (F.col("us") > lo)
+                if hi is not None:
+                    cond = cond & (F.col("us") <= hi)
+                waves.append(us.filter(cond).drop("us"))
+        else:
+            ctx.publish(ev)
         max_ts = ev.agg(F.max("ts")).first()[0]  # 1-row scalar probe
-        ctx.publish(
-            [
-                {
-                    "event_id": -1,
-                    "ts": (max_ts + __import__("datetime").timedelta(hours=2))
-                    .isoformat(sep="T"),
-                    "user_id": -1,
-                    "event_type": "__flush__",
-                    "value": 0.0,
-                    "props": "{}",
-                }
-            ]
-        )
+        sentinel = [
+            {
+                "event_id": -1,
+                "ts": (max_ts + __import__("datetime").timedelta(hours=2))
+                .isoformat(sep="T"),
+                "user_id": -1,
+                "event_type": "__flush__",
+                "value": 0.0,
+                "props": "{}",
+            }
+        ]
+        if not publish_waves:
+            ctx.publish(sentinel)
 
         def sessioned(df: DataFrame) -> DataFrame:
             return (
@@ -225,6 +260,7 @@ def streaming_session_window_drain(spark: SparkSession, sf_dir: str) -> DataFram
             )
 
         def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
+            t0 = _time.monotonic()
             # append mode: each finalized session arrives exactly once
             batches.append(
                 batch_df.select(
@@ -243,14 +279,34 @@ def streaming_session_window_drain(spark: SparkSession, sf_dir: str) -> DataFram
                     "sv",
                 ).toPandas()
             )
+            if metrics is not None:
+                metrics.append(
+                    {
+                        "batch_id": batch_id,
+                        "wall_s": round(_time.monotonic() - t0, 3),
+                        "sessions": len(batches[-1]),
+                    }
+                )
 
-        ctx.consume(
-            on_notify,
-            once=True,
-            transform=sessioned,
-            output_mode="append",
-            state_partitions=8,
-        )
+        def _drain() -> None:
+            ctx.consume(
+                on_notify,
+                once=True,
+                transform=sessioned,
+                output_mode="append",
+                max_files_per_trigger=max_files_per_trigger,
+                state_partitions=8,
+            )
+
+        if publish_waves:
+            # sequential publish→drain per ts-range wave: arrival order is
+            # enforced by the pump; the shared checkpoint carries session
+            # state and the watermark across the availableNow drains
+            for wdf in waves:
+                ctx.publish(wdf)
+                _drain()
+            ctx.publish(sentinel)
+        _drain()
         agency.close(remove_logs=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

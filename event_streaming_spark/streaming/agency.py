@@ -450,6 +450,12 @@ class EventsAgency:
             # the replaced query's offsets/state schema (see
             # checkpoint_dir)
             ctx.free()
+            # Reclaim the replaced generation's checkpoint — without this a
+            # long-lived topic under repeated subscriber replacement leaks
+            # one checkpoint directory per generation (r6 review).  The new
+            # generation never reads it (fresh namespace by design), so
+            # best-effort removal is safe.
+            shutil.rmtree(ctx.checkpoint_dir, ignore_errors=True)
             ctx._subscriber_gen += 1
         else:
             ctx = self._get_or_create(broker, topic)

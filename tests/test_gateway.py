@@ -7,6 +7,7 @@ import urllib.error
 import urllib.request
 
 import pytest
+from pyspark.sql import functions as F
 
 from event_streaming_spark.functions.auth import mint_hs256
 from event_streaming_spark.streaming.agency import EventsAgency
@@ -193,3 +194,24 @@ def test_gateway_hardening_r6(spark, tmp_path):
     finally:
         gw.stop()
         agency.close(remove_logs=True)
+
+
+def test_claims_udf_malformed_iat_degrades_to_null(spark):
+    """r6 review: a VALIDLY-SIGNED token with a non-numeric 'iat' (exp/nbf
+    are pre-screened by _validated_claims; iat is not) must degrade that
+    field to NULL inside the UDF, never kill the Spark task — one bad
+    input must never kill the batch."""
+    from event_streaming_spark.functions.auth import claims_udf, mint_hs256
+
+    toks = [
+        mint_hs256({"sub": "ok", "iat": 1700000000}, "s"),
+        mint_hs256({"sub": "bad-str", "iat": "x"}, "s"),
+        mint_hs256({"sub": "bad-list", "iat": [1, 2]}, "s"),
+    ]
+    df = spark.createDataFrame([(t,) for t in toks], "token STRING")
+    out = {
+        r["c"]["sub"]: r["c"]["iat"]
+        for r in df.select(claims_udf("s")(F.col("token")).alias("c")).collect()
+    }
+    assert out["ok"] == 1700000000
+    assert out["bad-str"] is None and out["bad-list"] is None

@@ -669,12 +669,17 @@ def test_shingles_short_docs_empty_and_lsh_null_strict(spark, duck):
     from event_streaming_spark.operators import similarity as S
 
     df = spark.createDataFrame(
-        [(1, "one"), (2, "two words"), (3, "three tokens here now"), (4, "")],
+        [(1, "one"), (2, "two words"), (3, "three tokens here now"), (4, ""), (5, None)],
         "doc_id LONG, text STRING",
     )
     sh = {r["doc_id"]: r["s"] for r in df.select("doc_id", shingles(F.col("text"), 3).alias("s")).collect()}
     assert sh[1] == [] and sh[2] == [] and sh[4] == []
     assert len(sh[3]) == 2
+    # r6 review follow-up: NULL text propagates NULL (the DuckDB twin's
+    # string_split(NULL) yields NULL, not []) — size(NULL)=-1 used to fall
+    # into the empty-array branch and diverge for raw-shingle consumers.
+    assert sh[5] is None
+    assert duck.sql("SELECT string_split(NULL, ' ') IS NULL").fetchone()[0] is True
     # band hashes: NULL for shingle-less docs (null-strict concat)
     hs = df.select("doc_id", S.shingle_hashes(F.col("text")).alias("hs"))
     sig = hs.select("doc_id", F.array(*S.minhash_cols(F.col("hs"))).alias("sig"))

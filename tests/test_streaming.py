@@ -64,6 +64,26 @@ def test_subscribe_replace_latest_and_free(agency):
     assert sum(second) >= 1
 
 
+def test_subscribe_replacement_reclaims_old_checkpoint(agency):
+    """r6 review: each subscribe() replacement moved to a fresh
+    checkpoint-genN dir but left the previous generation's checkpoint on
+    disk — an unbounded leak for a long-lived topic under repeated
+    replacement.  Contract now: the replaced generation's checkpoint is
+    rmtree'd before the generation bump."""
+    import os
+
+    ctx = agency.subscribe("b", "ckpt-leak", lambda c, df, i: None)
+    ctx.publish(ev(1, "2024-01-01T00:00:00", 1))
+    gen0 = ctx.checkpoint_dir
+    assert os.path.isdir(gen0)  # first consume committed offsets there
+    agency.subscribe("b", "ckpt-leak", lambda c, df, i: None)
+    gen1 = ctx.checkpoint_dir
+    assert gen1 != gen0 and not os.path.exists(gen0)
+    ctx.publish(ev(2, "2024-01-01T00:01:00", 1))
+    agency.subscribe("b", "ckpt-leak", lambda c, df, i: None)
+    assert not os.path.exists(gen1) and ctx.checkpoint_dir not in (gen0, gen1)
+
+
 def test_unsubscribe_and_find(agency):
     """O5/O6: unsubscribe removes from registry; find returns None after."""
     agency.subscribe("b1", "t1", lambda c, d, i: None)
@@ -615,3 +635,27 @@ def test_tuned_clone_cached_per_partition_count(spark, tmp_path):
     assert len(a._session_clones) == 2
     # the clone shares the context but not the shared session's conf
     assert s8.sparkContext is spark.sparkContext
+
+
+def test_session_drain_wave_replay_equals_single_publish(spark):
+    """r7 (VERDICT r6 #6 instrumentation): the `publish_waves` measurement
+    hook replays the table as sequential ts-range publish→drain rounds —
+    the result must be VALUE-equal to the graded single-publish drain
+    (arrival order is an execution detail when it respects event time),
+    and the metrics hook must log one entry per micro-batch."""
+    from tests.conftest import SF_SMALL
+
+    from event_streaming_spark.plans.streaming_queries import (
+        streaming_session_window_drain,
+    )
+
+    metrics: list = []
+    waved = streaming_session_window_drain(
+        spark, SF_SMALL, metrics=metrics, publish_waves=3
+    )
+    plain = streaming_session_window_drain(spark, SF_SMALL)
+    a = sorted(map(tuple, waved.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b and len(a) > 0
+    assert len(metrics) >= 3  # at least one batch per wave
+    assert sum(m["sessions"] for m in metrics) >= len(a)  # sentinel rows included
