@@ -264,6 +264,108 @@ def text_heavy_hitters_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Heavy hitters via Misra-Gries candidates + EXACT rescan — the concrete
+# scale path the exact query's docstring promises "at extreme
+# vocabularies": pass 1 runs a capacity-C Misra-Gries summary PER
+# PARTITION per source (Arrow-batched, state bounded at C counters per
+# source per partition — never the vocabulary), pass 2 rescans the
+# stream counting ONLY the candidate terms exactly.  The shuffle carries
+# |candidates| ≤ partitions×C×|sources| rows instead of the full
+# per-source vocabulary — the win when distinct terms (10⁸-ish at corpus
+# scale) dwarf C.
+#
+# Correctness is PROVEN per run, not hoped: summed across partitions the
+# MG decrement mass is ≤ N_source/(C+1), so every term with global count
+# > N_source/(C+1) survives in ≥1 partition (pigeonhole).  The plan
+# asserts min(top-5 exact count) > N_source/(C+1) for every source and
+# raises otherwise — so when the query RETURNS, its output provably
+# equals the exact top-5 (same oracle as text_heavy_hitters_per_source),
+# and on a corpus too flat for the capacity it fails loudly instead of
+# silently approximating.
+# ---------------------------------------------------------------------------
+
+_MG_CAPACITY = 256
+
+
+@register(
+    "text_heavy_hitters_mg_rescan",
+    _HH_ORACLE,
+    tags=("llm", "text", "sketch", "agg"),
+)
+def text_heavy_hitters_mg_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.functions.hashing import tokens as tok_fn
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    stream = docs.select("source", F.explode(tok_fn(F.col("text"))).alias("term"))
+
+    cap = _MG_CAPACITY
+
+    def mg_partition(batches):
+        # Misra-Gries per source over THIS partition's token stream.
+        # Batched decrement: when a source exceeds `cap` counters,
+        # subtract the (cap+1)-th largest count from all and drop ≤0 —
+        # the merge form of the classic one-at-a-time decrement, same
+        # ≤ n_p/(cap+1) error mass.
+        from collections import Counter, defaultdict
+
+        import pandas as pd
+
+        state: dict = defaultdict(Counter)
+        for pdf in batches:
+            for src, cnt in pdf.groupby("source")["term"].value_counts().groupby(
+                level=0
+            ):
+                c = state[src]
+                c.update({t: int(n) for (_, t), n in cnt.items()})
+                if len(c) > cap:
+                    kth = sorted(c.values(), reverse=True)[cap]
+                    state[src] = Counter(
+                        {t: n - kth for t, n in c.items() if n - kth > 0}
+                    )
+        rows = [(s, t) for s, cn in state.items() for t in cn]
+        yield pd.DataFrame(rows or None, columns=["source", "term"])
+
+    cand = (
+        stream.mapInPandas(mg_partition, "source string, term string")
+        .dropDuplicates(["source", "term"])
+    )
+
+    # pass 2: EXACT counts of candidates only (the join keeps the shuffle
+    # candidate-sized; AQE broadcasts the small side)
+    exact = (
+        stream.join(cand, ["source", "term"])
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = topk_per_group(
+        exact, "source", [F.col("n").desc(), F.col("term")], 5, rn_col="rnk"
+    ).select("source", "term", "n", "rnk")
+
+    # completeness proof: min top-5 exact count must clear the MG survival
+    # bound N_source/(cap+1) — O(#sources) collect, config-sized
+    totals = {
+        r["source"]: r["N"]
+        for r in stream.groupBy("source").agg(F.count(F.lit(1)).alias("N")).collect()
+    }
+    floors = {
+        r["source"]: r["m"]
+        for r in top.groupBy("source").agg(F.min("n").alias("m")).collect()
+    }
+    thin = {
+        s: (floors.get(s, 0), totals[s] // (cap + 1))
+        for s in totals
+        if floors.get(s, 0) <= totals[s] / (cap + 1)
+    }
+    if thin:  # -O-safe
+        raise AssertionError(
+            f"MG capacity {cap} cannot prove top-5 completeness for {thin}; "
+            "raise _MG_CAPACITY"
+        )
+    return top
+
+
+# ---------------------------------------------------------------------------
 # Model-based quality GATE: a linear scorer with SHIPPED integer weights
 # over exact-integer features — the "quality classifier filter" stage of
 # a training-data pipeline (fasttext-style), reduced to arithmetic both

@@ -720,3 +720,25 @@ def test_triangles_on_string_node_ids(spark):
     )
     got = [tuple(r) for r in triangles(edges).collect()]
     assert got == [("a", "b", "c")]
+
+
+def test_mg_rescan_fails_loudly_when_capacity_too_small(spark):
+    """text_heavy_hitters_mg_rescan must PROVE completeness per run: with
+    a capacity too small for the corpus the survival bound N/(cap+1)
+    cannot clear the top-5 floor and the query must raise, never return
+    a silently-approximate top-5."""
+    import pytest
+
+    import event_streaming_spark.plans.llm_text as lt
+
+    old = lt._MG_CAPACITY
+    lt._MG_CAPACITY = 1
+    try:
+        with pytest.raises(AssertionError, match="cannot prove top-5"):
+            from event_streaming_spark.plans import REGISTRY
+
+            REGISTRY["text_heavy_hitters_mg_rescan"].fn(
+                spark, "/root/testdata/sf0.001"
+            )
+    finally:
+        lt._MG_CAPACITY = old
