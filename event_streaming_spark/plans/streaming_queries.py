@@ -804,3 +804,145 @@ def streaming_hopping_window_drain(spark: SparkSession, sf_dir: str) -> DataFram
         last[["window_start_ms", "event_type", "n_events", "total_value"]],
         "window_start_ms long, event_type string, n_events long, total_value double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter-queue ingest: one bad row must never kill the batch — it
+# must be ROUTED, with a reason, to an auditable quarantine table.  The
+# topic log carries the raw corpus plus three deterministic corruption
+# classes (disjoint by construction, so the oracle can count them):
+#
+#   * null_event_id — the required key arrives as a non-numeric string;
+#     schema-on-read nulls the FIELD (JSON permissive mode), the row
+#     survives into the batch and fails the NOT NULL rule;
+#   * bad_value     — negative value, a policy violation;
+#   * unknown_type  — event_type not in the (broadcast) type dimension,
+#     the dimension-validated-ingest shape.
+#
+# Per micro-batch the consumer splits valid/invalid with ONE pass of
+# stateless predicates + a broadcast semi-join against the type dim,
+# appends invalid rows to the DLQ store, and rolls valid rows into the
+# ingest aggregate.  The graded output is the per-reason admission
+# report; the DLQ row count is cross-checked against it in-plan.
+#
+# Reference parity: consumer callback + categorical routing (SURVEY
+# O3/O42/O43) carrying the ingest-hardening contract the gateway already
+# enforces at the HTTP boundary (schema-coercion failure → 400), here at
+# the STREAM boundary where rows (not requests) fail.
+# Scale: predicates are stateless, the dim is broadcast, the DLQ append
+# is invalid-rows-sized; nothing shuffles but the final tiny rollup.
+# ---------------------------------------------------------------------------
+
+_DLQ_ORACLE = """
+SELECT 'ok' AS reason, count(*) AS n_events,
+       cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+UNION ALL
+SELECT 'null_event_id', count(*), cast(NULL AS BIGINT)
+FROM events WHERE event_id % 10 = 0
+UNION ALL
+SELECT 'bad_value', count(*), cast(NULL AS BIGINT)
+FROM events WHERE event_id % 7 = 3 AND event_id % 10 <> 0
+UNION ALL
+SELECT 'unknown_type', count(*), cast(NULL AS BIGINT)
+FROM events
+WHERE event_id % 13 = 5 AND event_id % 10 <> 0 AND event_id % 7 <> 3
+ORDER BY reason
+"""
+
+
+@register(
+    "streaming_ingest_dead_letter_queue",
+    _DLQ_ORACLE,
+    tags=("streaming", "quality", "routing", "dlq"),
+)
+def streaming_ingest_dead_letter_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # disjoint corruption classes, derived from the table so the oracle
+    # can reconstruct each count
+    is_a = F.col("event_id") % 10 == 0
+    is_b = (F.col("event_id") % 7 == 3) & ~is_a
+    is_c = (F.col("event_id") % 13 == 5) & ~is_a & (F.col("event_id") % 7 != 3)
+    corrupt_a = ev.filter(is_a).withColumn(
+        "event_id", F.concat(F.lit("corrupt-"), F.col("event_id").cast("string"))
+    )
+    corrupt_b = ev.filter(is_b).withColumn("value", -F.abs(F.col("value")) - 1)
+    corrupt_c = ev.filter(is_c).withColumn("event_type", F.lit("bogus"))
+    type_dim = ev.select("event_type").distinct()  # the validation dimension
+
+    root = tempfile.mkdtemp(prefix="est-dlq-")
+    batches: list = []
+    try:
+        # JSON log: schema-on-read is what turns the corrupt-string key
+        # into a NULL field instead of a dead consumer
+        agency = EventsAgency(spark, root=os.path.join(root, "topic"), log_format="json")
+        ctx = agency._get_or_create("driver-gate", "ingest-dlq")
+        ctx.publish(ev)
+        ctx.publish(corrupt_a)  # string event_id -> JSON field-null on read
+        ctx.publish(corrupt_b)
+        ctx.publish(corrupt_c)
+        dlq_dir = os.path.join(root, "dlq")
+
+        def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
+            known = F.broadcast(type_dim).alias("dim")
+            b = batch_df.alias("b").join(
+                known, F.col("b.event_type") == F.col("dim.event_type"), "left"
+            )
+            reason = (
+                F.when(F.col("b.event_id").isNull(), F.lit("null_event_id"))
+                .when(F.col("b.value") < 0, F.lit("bad_value"))
+                .when(F.col("dim.event_type").isNull(), F.lit("unknown_type"))
+                .otherwise(F.lit("ok"))
+            )
+            tagged = b.select(
+                F.col("b.event_id").alias("event_id"),
+                F.col("b.event_type").alias("event_type"),
+                F.col("b.value").alias("value"),
+                reason.alias("reason"),
+            )
+            tagged.filter(F.col("reason") != "ok").write.mode("append").parquet(
+                dlq_dir
+            )
+            batches.append(
+                tagged.groupBy("reason")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(
+                        F.when(
+                            F.col("reason") == "ok",
+                            F.round(F.col("value") * 100).cast("bigint"),
+                        )
+                    ).alias("sum_cents"),
+                )
+                .toPandas()
+            )
+
+        ctx.consume(on_notify, once=True)
+        agency.close(remove_logs=True)
+
+        allb = pd.concat(batches, ignore_index=True)
+        rollup = (
+            allb.groupby("reason", as_index=False)
+            .agg(n_events=("n_events", "sum"), sum_cents=("sum_cents", "sum"))
+            .sort_values("reason")
+        )
+        # in-plan cross-check: the quarantine table holds exactly the
+        # non-ok rows the report claims
+        dlq_n = spark.read.parquet(dlq_dir).count()
+        claimed = int(rollup.loc[rollup["reason"] != "ok", "n_events"].sum())
+        if dlq_n != claimed:  # -O-safe
+            raise AssertionError(f"DLQ holds {dlq_n} rows, report claims {claimed}")
+        rollup["sum_cents"] = rollup["sum_cents"].astype("object").where(
+            rollup["reason"] == "ok", None
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rollup, "reason string, n_events long, sum_cents long"
+    ).orderBy("reason")
