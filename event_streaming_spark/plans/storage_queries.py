@@ -625,3 +625,152 @@ def streaming_versioned_ingest_exactly_once(spark: SparkSession, sf_dir: str) ->
     return spark.createDataFrame(
         pdf, "event_type string, n_events long, sum_cents long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance over a JOIN with BOTH sides changing —
+# the delta algebra beyond single-table rollups: for a materialized
+# per-(segment, event_type) rollup of events ⋈ customers,
+#
+#   Δ(E ⋈ C) = ΔE ⋈ C_old  ∪  E_old ⋈ ΔC  ∪  ΔE ⋈ ΔC
+#
+# over SIGNED multisets (insert = +1, delete = −1; a term's sign is the
+# product of its components' signs — a MERGE's copy-on-write rewrite
+# surfaces as delete+insert pairs and cancels exactly).  Both bases live
+# in VersionedStores: the deltas come from each store's CDC feed and the
+# "_old" sides from TIME TRAVEL, so the maintained view is computed
+# without ever re-joining the two HEAD tables — that full join exists
+# only in the ORACLE, and equality proves feed completeness and the
+# join-delta algebra simultaneously.
+#
+# Events changes: every 5th event's cents double (MERGE), every 7th
+# event drops out (MoR delete).  Customer changes: every 3rd customer is
+# reassigned to a new segment (MERGE) — the dimension-churn case that
+# breaks naive "fact-delta-only" IVM.
+#
+# Scale: each Δ-term joins a DELTA against one base (index/pruned read),
+# cost O(|Δ| · fan-in); the view update is apply_group_delta — one
+# aggregate over the combined delta plus an outer join on the view's own
+# keys.  The base-⋈-base join is never recomputed.
+# ---------------------------------------------------------------------------
+
+_IVM_JOIN_ORACLE = """
+WITH e1 AS (
+  SELECT event_id, user_id, event_type,
+         cast(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_id % 3 <> 0
+), e_head AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id % 5 = 0 THEN cents * 2 ELSE cents END AS cents
+  FROM e1 WHERE event_id % 7 <> 0
+), c_head AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN 'REASSIGNED' ELSE c_mktsegment
+         END AS segment
+  FROM customer
+)
+SELECT c.segment, e.event_type,
+       count(*) AS n,
+       cast(sum(e.cents) AS BIGINT) AS sum_cents
+FROM e_head e JOIN c_head c ON e.user_id = c.c_custkey
+GROUP BY c.segment, e.event_type
+ORDER BY c.segment, e.event_type
+"""
+
+
+@register(
+    "versioned_cdc_ivm_join_rollup",
+    _IVM_JOIN_ORACLE,
+    tags=("storage", "versioned", "cdc", "ivm", "join"),
+)
+def versioned_cdc_ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.ivm import apply_group_delta, count_sum_view
+
+    e_base = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 != 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    c_base = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    root = tempfile.mkdtemp(prefix="est-ivm-join-q-")
+    import shutil as _sh
+
+    try:
+        es = VersionedStore(spark, f"{root}/e")
+        cs = VersionedStore(spark, f"{root}/c")
+        v1e, v1c = es.append(e_base), cs.append(c_base)
+        e_old, c_old = es.read(version=v1e), cs.read(version=v1c)
+
+        # the ONLY base-⋈-base join in this plan: the INITIAL view build
+        view1 = count_sum_view(
+            e_old.join(c_old, e_old.user_id == c_old.c_custkey).select(
+                "segment", "event_type", "cents"
+            ),
+            ["segment", "event_type"],
+            "cents",
+        )
+
+        # commits on BOTH sides
+        es.merge(
+            e_base.filter(F.col("event_id") % 5 == 0).withColumn(
+                "cents", F.col("cents") * 2
+            ),
+            key="event_id",
+        )
+        es.delete_keys_where(F.col("event_id") % 7 == 0, key="event_id")
+        cs.merge(
+            c_base.filter(F.col("c_custkey") % 3 == 0).withColumn(
+                "segment", F.lit("REASSIGNED")
+            ),
+            key="c_custkey",
+        )
+
+        d_e = es.table_changes(v1e, es.latest_version()).withColumn(
+            "_s", F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+        )
+        d_c = cs.table_changes(v1c, cs.latest_version()).withColumn(
+            "_s", F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+        )
+
+        def term(left, right, sign) -> DataFrame:
+            return left.join(right, left["user_id"] == right["c_custkey"]).select(
+                "segment",
+                "event_type",
+                "cents",
+                F.when(sign == 1, F.lit("insert")).otherwise(F.lit("delete")).alias(
+                    "_change"
+                ),
+            )
+
+        delta = (
+            term(d_e, c_old, F.col("_s"))                       # ΔE ⋈ C_old
+            .unionByName(term(e_old, d_c, F.col("_s")))          # E_old ⋈ ΔC
+            .unionByName(
+                term(
+                    d_e.withColumnRenamed("_s", "_se"),
+                    d_c.withColumnRenamed("_s", "_sc"),
+                    F.col("_se") * F.col("_sc"),                 # ΔE ⋈ ΔC
+                )
+            )
+        )
+        view = apply_group_delta(view1, delta, ["segment", "event_type"], "cents")
+        out = view.select(
+            "segment",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("s").cast("bigint").alias("sum_cents"),
+        ).orderBy("segment", "event_type")
+        # result-sized localization before the store tempdirs go away
+        pdf = out.toPandas()
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "segment string, event_type string, n long, sum_cents long"
+    ).orderBy("segment", "event_type")
