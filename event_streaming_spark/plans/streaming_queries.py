@@ -946,3 +946,156 @@ def streaming_ingest_dead_letter_queue(spark: SparkSession, sf_dir: str) -> Data
     return spark.createDataFrame(
         rollup, "reason string, n_events long, sum_cents long"
     ).orderBy("reason")
+
+
+# ---------------------------------------------------------------------------
+# Late-data RECONCILIATION (the lambda pattern): the streaming rollup is
+# PROVISIONAL — events arriving after the watermark passed their window
+# are dropped by the stateful operator (by design; see the 100× drain
+# measurement note in BASELINE.md) — but the durable topic LOG loses
+# nothing, so a batch backfill over the same log recomputes the exact
+# rollup and emits per-key CORRECTIONS (Δn, Δcents ≠ 0).  This is how a
+# production deployment closes the watermark gap: stream for freshness,
+# backfill for completeness, corrections as the audited diff.
+#
+# Arrival model (deterministic, oracle-reconstructible): events with
+# event_id % 11 == 0 are held back and published AFTER the rest has been
+# fully drained — by then the watermark sits at max(on-time ts) − 1 h,
+# so a held-back event lands in the provisional rollup iff its daily
+# window is still open (window_end > watermark); the rest are dropped.
+# The oracle mirrors exactly that acceptance predicate.
+#
+# Scale: the provisional path is the normal drain; the backfill is one
+# batch aggregate over the log (daily partitions at scale → backfill
+# reads only the affected days); corrections are an outer-join diff on
+# the view's own keys — O(view), never O(events).
+# ---------------------------------------------------------------------------
+
+_RECON_ORACLE = """
+WITH wm AS (
+  SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events WHERE event_id % 11 <> 0
+), exact AS (
+  SELECT CAST(ts AS DATE) AS event_date, event_type,
+         count(*) AS n,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), prov AS (
+  SELECT CAST(ts AS DATE) AS event_date, event_type,
+         count(*) AS n,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events, wm
+  WHERE event_id % 11 <> 0
+     OR date_trunc('day', ts) + INTERVAL 1 DAY > wm.w
+  GROUP BY 1, 2
+)
+SELECT e.event_date, e.event_type,
+       e.n - coalesce(p.n, 0) AS dn,
+       e.cents - coalesce(p.cents, 0) AS dcents
+FROM exact e LEFT JOIN prov p
+  ON e.event_date = p.event_date AND e.event_type = p.event_type
+WHERE e.n - coalesce(p.n, 0) <> 0 OR e.cents - coalesce(p.cents, 0) <> 0
+ORDER BY e.event_date, e.event_type
+"""
+
+
+@register(
+    "streaming_late_data_reconciliation",
+    _RECON_ORACLE,
+    tags=("streaming", "window", "backfill", "lambda"),
+)
+def streaming_late_data_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    ev = load(spark, sf_dir, "events")
+    on_time = ev.filter(F.col("event_id") % 11 != 0)
+    held_back = ev.filter(F.col("event_id") % 11 == 0)
+
+    root = tempfile.mkdtemp(prefix="est-recon-")
+    updates: list = []
+    try:
+        agency = EventsAgency(spark, root=root, log_format="parquet")
+        ctx = agency._get_or_create("driver-gate", "recon")
+
+        def daily(df: DataFrame) -> DataFrame:
+            return (
+                df.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 day"), "event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+                )
+            )
+
+        def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
+            pdf = batch_df.select(
+                F.to_date(F.col("window.start")).alias("event_date"),
+                "event_type",
+                "n",
+                "cents",
+            ).toPandas()
+            pdf["_b"] = len(updates)
+            updates.append(pdf)
+
+        # stream leg: on-time drained first (watermark advances to
+        # max(on-time ts) − 1 h), then the held-back late arrivals
+        for wave in (on_time, held_back):
+            ctx.publish(wave)
+            ctx.consume(
+                on_notify,
+                once=True,
+                transform=daily,
+                output_mode="update",
+                state_partitions=8,
+            )
+
+        # provisional = last update per key across both drains
+        allu = pd.concat(updates, ignore_index=True)
+        prov_pdf = (
+            allu.sort_values("_b", kind="stable")
+            .groupby(["event_date", "event_type"], as_index=False)
+            .last()[["event_date", "event_type", "n", "cents"]]
+        )
+        prov = spark.createDataFrame(
+            prov_pdf, "event_date date, event_type string, n long, cents long"
+        )
+
+        # backfill leg: batch recompute over the SAME durable topic log —
+        # the log retained what the watermark dropped
+        log = spark.read.schema(ctx.schema).parquet(ctx.log_dir)
+        exact = (
+            log.groupBy(F.to_date("ts").alias("event_date"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            )
+        )
+        e, p = exact.alias("e"), prov.alias("p")
+        corr = (
+            e.join(
+                p,
+                (F.col("e.event_date") == F.col("p.event_date"))
+                & (F.col("e.event_type") == F.col("p.event_type")),
+                "left",
+            )
+            .select(
+                F.col("e.event_date").alias("event_date"),
+                F.col("e.event_type").alias("event_type"),
+                (F.col("e.n") - F.coalesce(F.col("p.n"), F.lit(0))).alias("dn"),
+                (
+                    F.col("e.cents") - F.coalesce(F.col("p.cents"), F.lit(0))
+                ).alias("dcents"),
+            )
+            .filter((F.col("dn") != 0) | (F.col("dcents") != 0))
+            .orderBy("event_date", "event_type")
+        )
+        if corr.isEmpty():  # -O-safe: the gate must exercise real drops
+            raise AssertionError("no watermark-dropped events — arrival model broken")
+        pdf = corr.toPandas()
+        agency.close(remove_logs=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "event_date date, event_type string, dn long, dcents long"
+    ).orderBy("event_date", "event_type")
