@@ -1700,3 +1700,117 @@ def graph_kcore_dense_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PHRASE search over POSITIONAL postings — the adjacency extension of
+# docs_keyword_search_postings: the index stores (term, doc_id, pos) and
+# a phrase "w1 w2" resolves as the postings self-join
+# t1.term = w1 ∧ t2.term = w2 ∧ same doc ∧ t2.pos = t1.pos + 1 — the
+# inverted-index mechanics every search engine uses, with NO document
+# scan on the query path.  The phrases themselves are data-derived (the
+# corpus's 3 most frequent bigrams, ties by text) so both engines pick
+# the identical set at any SF.
+#
+# The oracle resolves the same phrases by a STRUCTURALLY INDEPENDENT
+# method — substring containment over the normalized text
+# (' '||text||' ' LIKE '% w1 w2 %') — so the differential check pins the
+# postings-join adjacency logic against a second implementation, not a
+# mirror of itself.
+#
+# Scale: postings build is one explode (wordcount-shaped, map-side
+# combined); the phrase join shuffles only the two terms' postings lists
+# (selectivity = those terms' document frequency), never the corpus; at
+# 100 TB the postings table is the persisted index and the query path
+# reads two terms' slices of it.
+# ---------------------------------------------------------------------------
+
+_PHRASE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {sql_normalize_text('text')} AS norm FROM documents
+), toks AS (
+  SELECT doc_id, string_split(norm, ' ') AS t FROM d
+), big AS (
+  SELECT t[i] || ' ' || t[i + 1] AS phrase
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+), top3 AS (
+  SELECT phrase, count(*) AS n_occurrences
+  FROM big GROUP BY phrase
+  ORDER BY n_occurrences DESC, phrase
+  LIMIT 3
+)
+SELECT p.phrase, p.n_occurrences,
+       (SELECT count(*) FROM d
+        WHERE contains(' ' || d.norm || ' ', ' ' || p.phrase || ' ')) AS n_docs,
+       (SELECT min(doc_id) FROM d
+        WHERE contains(' ' || d.norm || ' ', ' ' || p.phrase || ' ')) AS first_doc
+FROM top3 p
+ORDER BY p.phrase
+"""
+
+
+@register(
+    "docs_phrase_search_postings",
+    _PHRASE_ORACLE,
+    tags=("llm", "text", "search", "join"),
+)
+def docs_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+
+    # data-derived query set: the 3 most frequent bigrams corpus-wide
+    n = F.size("t")
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice("t", 1, n - 1),
+                    F.slice("t", 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("phrase"),
+    )
+    top3 = (
+        pairs.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "phrase")
+        .limit(3)
+    )
+    # |queries|-bounded collect (3 rows) — the query set, not data
+    phrases = [(r["phrase"], r["n_occurrences"]) for r in top3.collect()]
+
+    # positional postings index: (term, doc_id, pos)
+    post = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "term")
+    )
+    w1s = [p.split(" ")[0] for p, _ in phrases]
+    w2s = [p.split(" ")[1] for p, _ in phrases]
+    p1 = post.filter(F.col("term").isin(w1s)).alias("a")
+    p2 = post.filter(F.col("term").isin(w2s)).alias("b")
+    qset = spark.createDataFrame(
+        [(p, n_occ, p.split(" ")[0], p.split(" ")[1]) for p, n_occ in phrases],
+        "phrase string, n_occurrences long, w1 string, w2 string",
+    )
+    hits = (
+        F.broadcast(qset)
+        .join(p1, F.col("w1") == F.col("a.term"))
+        .join(
+            p2,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("w2") == F.col("b.term"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .select("phrase", "n_occurrences", F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        hits.groupBy("phrase", "n_occurrences")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("phrase")
+    )
