@@ -617,6 +617,7 @@ def streaming_versioned_ingest_exactly_once(spark: SparkSession, sf_dir: str) ->
             )
             .orderBy("event_type")
         )
+        capture_plan("streaming_versioned_ingest_exactly_once/head_rollup", head)
         # result-sized localization before the store tempdir goes away
         pdf = head.toPandas()
         agency.close(remove_logs=True)
@@ -767,6 +768,7 @@ def versioned_cdc_ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n").cast("bigint").alias("n"),
             F.col("s").cast("bigint").alias("sum_cents"),
         ).orderBy("segment", "event_type")
+        capture_plan("versioned_cdc_ivm_join_rollup/delta_apply", out)
         # result-sized localization before the store tempdirs go away
         pdf = out.toPandas()
     finally:
@@ -774,3 +776,105 @@ def versioned_cdc_ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         pdf, "segment string, event_type string, n long, sum_cents long"
     ).orderBy("segment", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# CONTINUOUS CDC → IVM: the full production loop for a derived view —
+# streaming upsert ingest into the versioned store (replay-safe
+# ``upsert_sink``), and after every drained wave the maintained
+# per-type rollup advances by applying ONLY the store's change feed
+# since its cursor (``view ⊕ table_changes(cursor, head)``; cursor :=
+# head).  Three waves arrive: the base corpus, then every-5th-event
+# cents doubled, then every-3rd tripled (overlapping keys — upsert
+# keeps latest, and the feed surfaces each overwrite as a
+# delete+insert pair that the delta algebra nets out).  The base table
+# is aggregated EXACTLY ONCE (the empty v0); everything after is
+# delta-sized.  The oracle computes the final head rollup directly —
+# equality proves the cursor discipline, feed completeness across
+# MULTIPLE incremental applications, and merge semantics at once.
+#
+# Scale: each wave costs one ledgered micro-batch commit + one feed
+# read (added/removed files only) + apply_group_delta (one aggregate
+# over the delta, outer join on the view's own keys).  The view is
+# never rebuilt; the loop is how a 100 TB deployment keeps derived
+# aggregates fresh behind a streaming ingest.
+# ---------------------------------------------------------------------------
+
+_CIVM_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type,
+         cast(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), final AS (
+  SELECT event_type,
+         CASE WHEN event_id % 3 = 0 THEN cents * 3
+              WHEN event_id % 5 = 0 THEN cents * 2
+              ELSE cents END AS cents
+  FROM base
+)
+SELECT event_type, count(*) AS n, cast(sum(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "streaming_cdc_ivm_continuous",
+    _CIVM_ORACLE,
+    tags=("streaming", "storage", "versioned", "cdc", "ivm"),
+)
+def streaming_cdc_ivm_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil as _sh
+
+    from event_streaming_spark.operators.ivm import apply_group_delta, count_sum_view
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    waves = [
+        ev,
+        ev.filter(F.col("event_id") % 5 == 0).withColumn("cents", F.col("cents") * 2),
+        ev.filter(F.col("event_id") % 3 == 0).withColumn("cents", F.col("cents") * 3),
+    ]
+    root = tempfile.mkdtemp(prefix="est-civm-")
+    try:
+        agency = EventsAgency(
+            spark, root=os.path.join(root, "topic"), log_format="parquet"
+        )
+        ctx = agency._get_or_create("driver-gate", "civm")
+        ctx.schema = ev.schema
+        store = VersionedStore(spark, os.path.join(root, "store"))
+        cursor = store.append(ev.limit(0))  # empty v0: the cursor origin
+        # the ONLY base aggregation — of the EMPTY snapshot
+        view = count_sum_view(store.read(version=cursor), ["event_type"], "cents")
+        ckpt = os.path.join(root, "ckpt")
+        n_applies = 0
+        for w in waves:
+            ctx.publish(w)
+            store.upsert_sink(ctx.stream(), key="event_id", checkpoint=ckpt).awaitTermination()
+            head = store.latest_version()
+            if head != cursor:
+                feed = store.table_changes(cursor, head)
+                view = apply_group_delta(view, feed, ["event_type"], "cents")
+                # keep the iterative lineage bounded (3 rounds here, N in
+                # production) — same device as the CC loop
+                view = view.localCheckpoint()
+                cursor = head
+                n_applies += 1
+        if n_applies < 3:  # -O-safe: the loop must actually iterate
+            raise AssertionError(f"expected >=3 incremental applies, got {n_applies}")
+        out = view.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("s").cast("bigint").alias("sum_cents"),
+        ).orderBy("event_type")
+        pdf = out.toPandas()
+        agency.close(remove_logs=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "event_type string, n long, sum_cents long"
+    ).orderBy("event_type")

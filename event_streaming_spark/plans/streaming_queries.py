@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from event_streaming_spark.functions.numeric import sql_exact_sum
-from event_streaming_spark.plans.catalog import load, register
+from event_streaming_spark.plans.catalog import capture_plan, load, register
 
 _DRAIN_ORACLE = f"""
 SELECT CAST(ts AS DATE) AS event_date,
@@ -906,6 +906,7 @@ def streaming_ingest_dead_letter_queue(spark: SparkSession, sf_dir: str) -> Data
                 F.col("b.value").alias("value"),
                 reason.alias("reason"),
             )
+            capture_plan("streaming_ingest_dead_letter_queue/batch_routing", tagged)
             tagged.filter(F.col("reason") != "ok").write.mode("append").parquet(
                 dlq_dir
             )
@@ -1092,6 +1093,7 @@ def streaming_late_data_reconciliation(spark: SparkSession, sf_dir: str) -> Data
         )
         if corr.isEmpty():  # -O-safe: the gate must exercise real drops
             raise AssertionError("no watermark-dropped events — arrival model broken")
+        capture_plan("streaming_late_data_reconciliation/backfill_diff", corr)
         pdf = corr.toPandas()
         agency.close(remove_logs=True)
     finally:

@@ -382,6 +382,44 @@ def test_ivf_batch_mode_prunes_at_production_cell_count(spark, tmp_path):
     assert pruned.count() == len(cells) * per_cell
 
 
+def test_phrase_search_broadcasts_query_set(spark):
+    """docs_phrase_search_postings: the 3-phrase query set must broadcast
+    into the postings join (no shuffle of the postings keyed by a 3-row
+    side) and the plan must stay free of cartesian products."""
+    p = _plan(spark, "docs_phrase_search_postings", "simple")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_mg_rescan_is_arrow_batched_not_row_at_a_time(spark):
+    """text_heavy_hitters_mg_rescan: the Misra-Gries pass must ride Arrow
+    (MapInPandas), never a row-at-a-time Python UDF, and the exact rescan
+    must keep whole-stage codegen on the count path."""
+    p = _plan(spark, "text_heavy_hitters_mg_rescan", "extended")
+    assert "MapInPandas" in p or "mapInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_join_ivm_never_rejoins_the_head_bases(spark, tmp_path):
+    """versioned_cdc_ivm_join_rollup: the maintained-view plan (captured
+    via PLAN_SINK) must be the delta algebra — an outer join on the
+    view's own keys — and each delta term joins a DELTA against one base;
+    the head-×-head join must exist only in the oracle."""
+    from event_streaming_spark.plans import catalog as _catalog
+
+    _catalog.PLAN_SINK = {}
+    try:
+        REGISTRY["versioned_cdc_ivm_join_rollup"].fn(spark, SF_SMALL)
+        plan = _catalog.PLAN_SINK["versioned_cdc_ivm_join_rollup/delta_apply"]
+    finally:
+        _catalog.PLAN_SINK = None
+    # apply_group_delta's signature shape: a full-outer join merging the
+    # delta aggregate into the old view
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_antipatterns_in_any_bench_plan(spark):
     """Sweep every (non-streaming) bench-tagged query's physical plan for
     the three anti-patterns the engine bans in hot paths: row-at-a-time
