@@ -237,3 +237,89 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         exact_sum("value").alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: every purchase's value is credited to the most
+# recent PRECEDING non-purchase event of the same user, provided it
+# happened within the 30-minute attribution window — otherwise the
+# purchase is 'direct'.  One keyed window pass (LAST ... IGNORE NULLS
+# over rows-preceding), the standard marketing-analytics shape on an
+# event stream.
+#
+# Scale: a single per-user window over user-partitioned data — one
+# shuffle on user_id, no self-join, no sessionize intermediate; the
+# rollup output is |channels|-sized.
+# ---------------------------------------------------------------------------
+
+_ATTR_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_type,
+         cast(round(value * 100) AS BIGINT) AS cents,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS touch_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS) OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), attributed AS (
+  SELECT CASE WHEN touch_type IS NOT NULL
+               AND ts - touch_ts <= INTERVAL 30 MINUTE
+              THEN touch_type ELSE 'direct' END AS channel,
+         cents
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT channel, count(*) AS n_purchases,
+       cast(sum(cents) AS BIGINT) AS attributed_cents
+FROM attributed GROUP BY channel ORDER BY channel
+"""
+
+
+@register(
+    "events_attribution_last_touch",
+    _ATTR_ORACLE,
+    tags=("events", "window", "attribution"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    seq = ev.select(
+        "ts",
+        "event_type",
+        "cents",
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(non_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    ).where(F.col("event_type") == "purchase")
+    channel = F.when(
+        F.col("touch_type").isNotNull()
+        & (
+            F.unix_micros("ts") - F.unix_micros("touch_ts")
+            <= 30 * 60 * 1_000_000
+        ),
+        F.col("touch_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        seq.select(channel.alias("channel"), "cents")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("attributed_cents"),
+        )
+        .orderBy("channel")
+    )
