@@ -84,3 +84,59 @@ def window_range_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w).cast("int").alias("n_days_in_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity: the 20 part pairs most often bought together,
+# from the pair self-join WITHIN each order.  The per-basket join is
+# bounded by basket size (TPC-H lineitem ≤ 7 rows per order), so the
+# candidate volume is Σ C(|basket|, 2) = O(rows × max_basket) — linear
+# in lineitem, never all-pairs across orders; the pair aggregate
+# combines map-side.  distinct() first: an order can list the same part
+# on two lineitems, which must not self-pair or double-count.
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS n_orders,
+       row_number() OVER (ORDER BY count(*) DESC, part_a, part_b) AS rnk
+FROM pairs GROUP BY part_a, part_b
+ORDER BY rnk LIMIT 20
+"""
+
+
+@register(
+    "parts_basket_affinity",
+    _BASKET_ORACLE,
+    tags=("tpch", "join", "affinity"),
+)
+def parts_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    counts = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    # global top-20: TakeOrdered via orderBy+limit (no full sort at scale)
+    top = counts.orderBy(
+        F.desc("n_orders"), "part_a", "part_b"
+    ).limit(20)
+    w = Window.orderBy(F.desc("n_orders"), "part_a", "part_b")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).orderBy("rnk")
