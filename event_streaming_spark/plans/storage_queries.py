@@ -878,3 +878,120 @@ def streaming_cdc_ivm_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pdf, "event_type string, n long, sum_cents long"
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# WRITE-AUDIT-PUBLISH (WAP): readers pin to the `published` tag; writers
+# stage commits past it; an AUDIT gates whether the tag advances.  The
+# Iceberg/Delta production publish discipline over this store's existing
+# refs machinery:
+#
+#   1. base lands, tag `published` → v0; every reader goes through the
+#      tag, never the head;
+#   2. a staged batch carrying corrupt rows (negative cents, synthesized
+#      from every 11th event) commits to the HEAD — the audit
+#      (count(cents < 0) == 0) FAILS, the tag stays, and the staged
+#      commit is abandoned by a rollback commit restoring v0's file list
+#      (history preserved, the lakehouse RESTORE);
+#   3. the CORRECTED batch (same rows, cents made positive) commits, the
+#      audit passes, and publish = delete_tag + create_tag at the head —
+#      an atomic O(1) ref move.
+#
+# In-plan asserts: the reader-visible state is UNCHANGED through the
+# failed audit (tag still resolves to v0 and its rollup matches), and
+# the audit actually rejected rows (> 0 violations staged).  The graded
+# output is the final published-tag read; the oracle reconstructs
+# base + corrected batch in SQL.
+#
+# Scale: audit cost = one aggregate over the STAGED DELTA's files (here
+# the head read keeps it self-contained; production audits
+# table_changes); publish is one ref write — no data moves at any step.
+# ---------------------------------------------------------------------------
+
+_WAP_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type,
+         cast(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), corrected AS (
+  SELECT event_id + (SELECT max(event_id) + 1 FROM events) AS event_id,
+         event_type, cents
+  FROM base WHERE event_id % 11 = 0
+), published AS (
+  SELECT event_type, cents FROM base
+  UNION ALL
+  SELECT event_type, cents FROM corrected
+)
+SELECT event_type, count(*) AS n,
+       cast(sum(cents) AS BIGINT) AS sum_cents
+FROM published GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "versioned_write_audit_publish",
+    _WAP_ORACLE,
+    tags=("storage", "versioned", "wap", "audit"),
+)
+def versioned_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _sh
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    shift = ev.agg(F.max("event_id")).first()[0] + 1
+    staged_rows = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("event_id") + shift).alias("event_id"), "event_type", "cents"
+    )
+    bad_batch = staged_rows.withColumn("cents", -F.col("cents"))  # audit-violating
+
+    root = tempfile.mkdtemp(prefix="est-wap-")
+    try:
+        store = VersionedStore(spark, root)
+        v0 = store.append(ev)
+        store.create_tag("published", v0)
+
+        def published_rollup() -> DataFrame:
+            return (
+                store.read(tag="published")
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("cents").cast("bigint").alias("sum_cents"),
+                )
+                .orderBy("event_type")
+            )
+
+        def audit_head() -> int:
+            return store.read().filter(F.col("cents") < 0).count()
+
+        before = {tuple(r) for r in published_rollup().collect()}
+
+        # WRITE: the bad batch stages past the tag
+        store.append(bad_batch)
+        violations = audit_head()
+        if violations == 0:  # -O-safe: the gate must exercise a real reject
+            raise AssertionError("staged batch carried no violations — fixture broken")
+        # AUDIT FAILED → abandon the staged commit; the tag never moved
+        store.rollback(v0)
+        if store.resolve_tag("published") != v0:
+            raise AssertionError("failed audit moved the published tag")
+        after_reject = {tuple(r) for r in published_rollup().collect()}
+        if after_reject != before:
+            raise AssertionError("reader-visible state changed through a failed audit")
+
+        # corrected batch → audit passes → PUBLISH (atomic ref move)
+        store.append(staged_rows)
+        if audit_head() != 0:
+            raise AssertionError("corrected batch still fails the audit")
+        store.delete_tag("published")
+        store.create_tag("published")
+        out = published_rollup()
+        pdf = out.toPandas()
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "event_type string, n long, sum_cents long"
+    ).orderBy("event_type")
