@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_streaming_spark.plans.catalog import capture_plan, load, register
+from event_streaming_spark.functions.hashing import sql_stable_hash32
 from event_streaming_spark.sources.versioned import VersionedStore
 
 # Fixed-point cents keep both engines exact-integer; the outer CAST to
@@ -995,3 +996,109 @@ def versioned_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         pdf, "event_type string, n long, sum_cents long"
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot DIFF by bucket checksums — "which parts of a 100 TB table
+# changed between two versions" WITHOUT joining the snapshots: each
+# side is scanned once into 64 user-buckets, each bucket reduced to an
+# ORDER-INDEPENDENT checksum (sum of per-row md5-derived stable hashes
+# over the row's identity+payload — commutative, so partitioning and
+# row order cannot move it), and the diff is a 64-row comparison.  The
+# changed-bucket list then drives targeted repair/audit reads; the
+# output also carries both row counts per changed bucket.
+#
+# This is the replication/migration-verification tool: cost = two scans
+# + an O(#buckets) aggregate, vs the naive full anti-join of two
+# snapshots.  The time-traveled v1 and the head come from the
+# VersionedStore; the oracle reconstructs both states and the identical
+# checksum algebra in SQL.
+# ---------------------------------------------------------------------------
+
+_DIFF_BUCKETS = 64
+
+_SNAPDIFF_ORACLE = f"""
+WITH v1 AS (
+  SELECT event_id, user_id,
+         cast(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), head AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 5 = 0 THEN cents * 2 ELSE cents END AS cents
+  FROM v1
+), c1 AS (
+  SELECT user_id % {_DIFF_BUCKETS} AS bucket,
+         count(*) AS n_v1,
+         cast(sum({sql_stable_hash32("cast(event_id AS VARCHAR) || ':' || cast(cents AS VARCHAR)")}) AS BIGINT) AS sum_v1
+  FROM v1 GROUP BY 1
+), c2 AS (
+  SELECT user_id % {_DIFF_BUCKETS} AS bucket,
+         count(*) AS n_head,
+         cast(sum({sql_stable_hash32("cast(event_id AS VARCHAR) || ':' || cast(cents AS VARCHAR)")}) AS BIGINT) AS sum_head
+  FROM head GROUP BY 1
+)
+SELECT c1.bucket, c1.n_v1, c2.n_head
+FROM c1 JOIN c2 ON c1.bucket = c2.bucket
+WHERE c1.sum_v1 <> c2.sum_head OR c1.n_v1 <> c2.n_head
+ORDER BY c1.bucket
+"""
+
+
+@register(
+    "versioned_snapshot_bucket_diff",
+    _SNAPDIFF_ORACLE,
+    tags=("storage", "versioned", "diff", "audit"),
+)
+def versioned_snapshot_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _sh
+
+    from event_streaming_spark.functions.hashing import stable_hash32
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="est-snapdiff-")
+    try:
+        store = VersionedStore(spark, root)
+        v1 = store.append(ev)
+        store.merge(
+            ev.filter(F.col("event_id") % 5 == 0).withColumn(
+                "cents", F.col("cents") * 2
+            ),
+            key="event_id",
+        )
+
+        def bucket_sums(df: DataFrame, n_col: str, s_col: str) -> DataFrame:
+            row_h = stable_hash32(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("cents").cast("string"),
+                )
+            )
+            return df.groupBy(
+                (F.col("user_id") % _DIFF_BUCKETS).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).alias(n_col),
+                F.sum(row_h).cast("bigint").alias(s_col),
+            )
+
+        a = bucket_sums(store.read(version=v1), "n_v1", "sum_v1")
+        b = bucket_sums(store.read(), "n_head", "sum_head")
+        out = (
+            a.join(b, "bucket")
+            .filter(
+                (F.col("sum_v1") != F.col("sum_head"))
+                | (F.col("n_v1") != F.col("n_head"))
+            )
+            .select("bucket", "n_v1", "n_head")
+            .orderBy("bucket")
+        )
+        pdf = out.toPandas()
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "bucket long, n_v1 long, n_head long"
+    ).orderBy("bucket")
