@@ -306,13 +306,19 @@ def text_heavy_hitters_mg_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Batched decrement: when a source exceeds `cap` counters,
         # subtract the (cap+1)-th largest count from all and drop ≤0 —
         # the merge form of the classic one-at-a-time decrement, same
-        # ≤ n_p/(cap+1) error mass.
+        # ≤ n_p/(cap+1) error mass.  Besides candidate rows (np NULL)
+        # each partition emits ONE marker row per source (term NULL,
+        # np = this partition's token count for the source): summed,
+        # the markers give N_source for the completeness proof without
+        # a third scan of the stream.
         from collections import Counter, defaultdict
 
         import pandas as pd
 
         state: dict = defaultdict(Counter)
+        seen: Counter = Counter()
         for pdf in batches:
+            seen.update(pdf.groupby("source").size().to_dict())
             for src, cnt in pdf.groupby("source")["term"].value_counts().groupby(
                 level=0
             ):
@@ -323,11 +329,22 @@ def text_heavy_hitters_mg_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     state[src] = Counter(
                         {t: n - kth for t, n in c.items() if n - kth > 0}
                     )
-        rows = [(s, t) for s, cn in state.items() for t in cn]
-        yield pd.DataFrame(rows or None, columns=["source", "term"])
+        rows = [(s, t, None) for s, cn in state.items() for t in cn] + [
+            (s, None, int(n)) for s, n in seen.items()
+        ]
+        out = pd.DataFrame(rows or None, columns=["source", "term", "np"])
+        out["np"] = out["np"].astype("Int64")
+        yield out
 
+    # ONE scan of the stream produces both the candidate set and the
+    # per-source totals; the tiny summary (≤ partitions×(cap+1) rows per
+    # source) is cached so reading the two legs never re-runs the pass.
+    summary = stream.mapInPandas(
+        mg_partition, "source string, term string, np long"
+    ).cache()
     cand = (
-        stream.mapInPandas(mg_partition, "source string, term string")
+        summary.where(F.col("term").isNotNull())
+        .select("source", "term")
         .dropDuplicates(["source", "term"])
     )
 
@@ -340,18 +357,23 @@ def text_heavy_hitters_mg_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = topk_per_group(
         exact, "source", [F.col("n").desc(), F.col("term")], 5, rn_col="rnk"
-    ).select("source", "term", "n", "rnk")
+    ).select("source", "term", "n", "rnk").cache()
 
     # completeness proof: min top-5 exact count must clear the MG survival
-    # bound N_source/(cap+1) — O(#sources) collect, config-sized
+    # bound N_source/(cap+1).  Totals come from the pass-1 markers (no
+    # extra stream scan) and floors from ONE collect of the cached top
+    # (≤ 5×#sources rows; the caller's own collect reuses the cache).
     totals = {
         r["source"]: r["N"]
-        for r in stream.groupBy("source").agg(F.count(F.lit(1)).alias("N")).collect()
+        for r in summary.where(F.col("term").isNull())
+        .groupBy("source")
+        .agg(F.sum("np").alias("N"))
+        .collect()
     }
-    floors = {
-        r["source"]: r["m"]
-        for r in top.groupBy("source").agg(F.min("n").alias("m")).collect()
-    }
+    floors: dict = {}
+    for r in top.collect():
+        s = r["source"]
+        floors[s] = min(floors.get(s, r["n"]), r["n"])
     thin = {
         s: (floors.get(s, 0), totals[s] // (cap + 1))
         for s in totals

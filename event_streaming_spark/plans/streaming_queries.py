@@ -219,12 +219,38 @@ def streaming_session_window_drain(
         agency = EventsAgency(spark, root=root, log_format="parquet")
         ctx = agency._get_or_create("driver-gate", "events-sessions")
         ev = load(spark, sf_dir, "events")
+        max_ts = ev.agg(F.max("ts")).first()[0]  # 1-row scalar probe
         waves: list[DataFrame] = []
         if publish_waves:
             us = ev.withColumn("us", F.unix_micros("ts"))
             probs = [i / publish_waves for i in range(1, publish_waves)]
-            bounds = us.approxQuantile("us", probs, 0.001)
+            # Dedupe the quantile bounds (and drop any bound at the max
+            # ts): on a skewed ts distribution two quantiles can coincide
+            # — or the top quantile can hit max(ts) — making a (lo, hi]
+            # range EMPTY, so the measurement would silently run fewer
+            # effective waves than requested.  Deduped interior edges keep
+            # every wave non-empty by construction (each upper edge is a
+            # present data value; the last wave contains max ts); the
+            # realized count is reported so the tool's "N waves" claim is
+            # the measured truth, not the requested parameter.
+            # max_ts is a naive datetime in the session TZ (pinned UTC by
+            # tune_session) — timegm, not .timestamp(), so a non-UTC box
+            # TZ can't shift the bound.
+            import calendar as _cal
+
+            max_us = (
+                _cal.timegm(max_ts.timetuple()) * 1_000_000 + max_ts.microsecond
+            )
+            bounds = sorted(
+                {b for b in us.approxQuantile("us", probs, 0.001) if b < max_us}
+            )
             edges = [None, *bounds, None]
+            if len(edges) - 1 < publish_waves:
+                print(
+                    f"[publish_waves] ts quantiles coincide: realized "
+                    f"{len(edges) - 1} non-empty waves of {publish_waves} "
+                    "requested"
+                )
             for lo, hi in zip(edges[:-1], edges[1:]):
                 cond = F.lit(True)
                 if lo is not None:
@@ -234,7 +260,6 @@ def streaming_session_window_drain(
                 waves.append(us.filter(cond).drop("us"))
         else:
             ctx.publish(ev)
-        max_ts = ev.agg(F.max("ts")).first()[0]  # 1-row scalar probe
         sentinel = [
             {
                 "event_id": -1,
@@ -874,7 +899,13 @@ def streaming_ingest_dead_letter_queue(spark: SparkSession, sf_dir: str) -> Data
     )
     corrupt_b = ev.filter(is_b).withColumn("value", -F.abs(F.col("value")) - 1)
     corrupt_c = ev.filter(is_c).withColumn("event_type", F.lit("bogus"))
-    type_dim = ev.select("event_type").distinct()  # the validation dimension
+    # The validation dimension is config-sized (~5 types): collect it ONCE
+    # here and rebuild it as a literal DataFrame, so the per-micro-batch
+    # broadcast join below never re-scans the base table to re-derive the
+    # distinct() — the join side is a LocalTableScan every batch.
+    type_dim = spark.createDataFrame(
+        ev.select("event_type").distinct().collect(), "event_type string"
+    )
 
     root = tempfile.mkdtemp(prefix="est-dlq-")
     batches: list = []
