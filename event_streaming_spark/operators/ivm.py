@@ -33,13 +33,30 @@ def count_sum_view(base: DataFrame, keys: list[str], sum_col: str | None = None)
 
 
 def apply_group_delta(
-    view: DataFrame, changes: DataFrame, keys: list[str], sum_col: str | None = None
+    view: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    sum_col: str | None = None,
+    sign_col: str | None = None,
 ) -> DataFrame:
     """``view' = view + Δ`` where Δ comes from a ``_change``-tagged feed
     (``insert`` rows add, ``delete`` rows subtract).  One aggregate over
     the DELTA plus one outer join on the view's own keys; groups whose
-    count reaches zero drop out.  Never touches the base table."""
-    sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    count reaches zero drop out.  Never touches the base table.
+
+    ``sign_col`` names an INTEGER signed-multiplicity column carried on
+    ``changes`` — the general bag-algebra form (DBSP-style Z-sets): a row
+    contributes ``sign × 1`` to the count and ``sign × value`` to the
+    sum.  Join-delta terms (ΔE ⋈ ΔC) produce their sign as the PRODUCT
+    of the two feeds' signs; carrying that product as a multiplicity —
+    instead of collapsing it back to an insert/delete label — keeps the
+    algebra explicit, so same-key updates on BOTH sides of a join in one
+    epoch net out by arithmetic, not by fixture disjointness."""
+    sign = (
+        F.col(sign_col).cast("long")
+        if sign_col is not None
+        else F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    )
     aggs = [F.sum(sign).alias("dn")]
     if sum_col is not None:
         aggs.append(F.sum(sign * F.col(sum_col).cast("long")).alias("ds"))

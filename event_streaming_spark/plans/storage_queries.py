@@ -742,27 +742,33 @@ def versioned_cdc_ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
         def term(left, right, sign) -> DataFrame:
+            # Each term carries its signed multiplicity (`_s`) explicitly:
+            # for the ΔE ⋈ ΔC leg the sign is the PRODUCT of the two
+            # feeds' signs — delete×delete contributes +1, exactly the
+            # Z-set algebra — so same-key updates on BOTH sides in one
+            # epoch net out arithmetically (pinned by
+            # tests/test_versioned.py::test_join_ivm_same_key_updates_both_sides).
             return left.join(right, left["user_id"] == right["c_custkey"]).select(
                 "segment",
                 "event_type",
                 "cents",
-                F.when(sign == 1, F.lit("insert")).otherwise(F.lit("delete")).alias(
-                    "_change"
-                ),
+                sign.cast("long").alias("_s"),
             )
 
         delta = (
-            term(d_e, c_old, F.col("_s"))                       # ΔE ⋈ C_old
-            .unionByName(term(e_old, d_c, F.col("_s")))          # E_old ⋈ ΔC
+            term(d_e.drop("_change"), c_old, F.col("_s"))        # ΔE ⋈ C_old
+            .unionByName(term(e_old, d_c.drop("_change"), F.col("_s")))  # E_old ⋈ ΔC
             .unionByName(
                 term(
-                    d_e.withColumnRenamed("_s", "_se"),
-                    d_c.withColumnRenamed("_s", "_sc"),
+                    d_e.drop("_change").withColumnRenamed("_s", "_se"),
+                    d_c.drop("_change").withColumnRenamed("_s", "_sc"),
                     F.col("_se") * F.col("_sc"),                 # ΔE ⋈ ΔC
                 )
             )
         )
-        view = apply_group_delta(view1, delta, ["segment", "event_type"], "cents")
+        view = apply_group_delta(
+            view1, delta, ["segment", "event_type"], "cents", sign_col="_s"
+        )
         out = view.select(
             "segment",
             "event_type",
