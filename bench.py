@@ -41,7 +41,13 @@ def main() -> None:
     # ~flat in data volume — 2 warm reps would triple a floor, and a
     # 12 s fixed floor inside a ~40 s warm total masks real regressions
     # elsewhere (VERDICT r4).  They keep their oracle rows unchanged.
-    stream_segment = {"streaming_left_outer_interval_join"}
+    stream_segment = {
+        "streaming_left_outer_interval_join",
+        # r8: the continuous CDC→IVM loop joins the headline (VERDICT r7
+        # #4) — its wall is dominated by the same fixed micro-batch /
+        # checkpoint floors, so it is timed once like the interval join.
+        "streaming_cdc_ivm_continuous",
+    }
 
     names = [n for n, q in REGISTRY.items() if q.bench]
     timings: dict[str, float] = {}

@@ -291,6 +291,7 @@ _MG_CAPACITY = 256
     "text_heavy_hitters_mg_rescan",
     _HH_ORACLE,
     tags=("llm", "text", "sketch", "agg"),
+    bench=True,  # r8: heaviest r7 addition — tracked round-over-round
 )
 def text_heavy_hitters_mg_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_spark.functions.hashing import tokens as tok_fn
@@ -384,6 +385,10 @@ def text_heavy_hitters_mg_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"MG capacity {cap} cannot prove top-5 completeness for {thin}; "
             "raise _MG_CAPACITY"
         )
+    # top is materialized (collected above) and stays cached for the
+    # caller; the pass-1 summary served both legs and can release its
+    # executors' memory now.
+    summary.unpersist()
     return top
 
 

@@ -1753,6 +1753,7 @@ ORDER BY p.phrase
     "docs_phrase_search_postings",
     _PHRASE_ORACLE,
     tags=("llm", "text", "search", "join"),
+    bench=True,  # r8: r7 addition — tracked round-over-round
 )
 def docs_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents"))

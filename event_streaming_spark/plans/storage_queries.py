@@ -828,6 +828,7 @@ FROM final GROUP BY event_type ORDER BY event_type
     "streaming_cdc_ivm_continuous",
     _CIVM_ORACLE,
     tags=("streaming", "storage", "versioned", "cdc", "ivm"),
+    bench=True,  # r8: heaviest r7 streaming addition (streaming segment)
 )
 def streaming_cdc_ivm_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
