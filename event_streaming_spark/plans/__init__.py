@@ -70,6 +70,12 @@ _PRIORITY = [
     "docs_phrase_search_postings",
     "parts_basket_affinity",
     "events_attribution_last_touch",
+    # r8 session additions (driver rows on arrival, the r4-r7 convention):
+    # kill+resume variants for the correction and quarantine paths
+    # (VERDICT r7 #7) — the two production-restart surfaces the minhash/
+    # semantic indexes already covered and these two queries didn't.
+    "streaming_late_data_recon_restart_drain",
+    "streaming_ingest_dlq_restart_drain",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -876,12 +876,9 @@ ORDER BY reason
 """
 
 
-@register(
-    "streaming_ingest_dead_letter_queue",
-    _DLQ_ORACLE,
-    tags=("streaming", "quality", "routing", "dlq"),
-)
-def streaming_ingest_dead_letter_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _run_ingest_dlq(
+    spark: SparkSession, sf_dir: str, restart: bool = False
+) -> DataFrame:
     import pandas as pd
 
     from event_streaming_spark.streaming.agency import EventsAgency
@@ -916,8 +913,9 @@ def streaming_ingest_dead_letter_queue(spark: SparkSession, sf_dir: str) -> Data
         ctx = agency._get_or_create("driver-gate", "ingest-dlq")
         ctx.publish(ev)
         ctx.publish(corrupt_a)  # string event_id -> JSON field-null on read
-        ctx.publish(corrupt_b)
-        ctx.publish(corrupt_c)
+        if not restart:
+            ctx.publish(corrupt_b)
+            ctx.publish(corrupt_c)
         dlq_dir = os.path.join(root, "dlq")
 
         def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
@@ -956,6 +954,30 @@ def streaming_ingest_dead_letter_queue(spark: SparkSession, sf_dir: str) -> Data
             )
 
         ctx.consume(on_notify, once=True)
+        if restart:
+            # KILL the query instance at the checkpoint boundary — only
+            # the checkpoint and the DLQ parquet survive — then publish
+            # the remaining two corruption legs and RESUME a new
+            # instance from the same checkpoint.
+            ctx.stop()
+            pre_kill_dlq = spark.read.parquet(dlq_dir).count()
+            n_batches_before = len(batches)
+            ctx.publish(corrupt_b)
+            ctx.publish(corrupt_c)
+            ctx.consume(on_notify, once=True)
+            if len(batches) <= n_batches_before:  # -O-safe
+                raise AssertionError("resumed DLQ consumer processed no batches")
+            # delta-only / exactly-once proof for the SIDE-EFFECTING
+            # quarantine append: the resumed instance must add exactly
+            # the post-kill invalid rows — a history re-process would
+            # re-append the pre-kill quarantine set
+            expect_delta = corrupt_b.count() + corrupt_c.count()
+            post_kill_dlq = spark.read.parquet(dlq_dir).count()
+            if post_kill_dlq - pre_kill_dlq != expect_delta:  # -O-safe
+                raise AssertionError(
+                    f"resumed DLQ append not delta-only: {pre_kill_dlq} -> "
+                    f"{post_kill_dlq}, expected +{expect_delta}"
+                )
         agency.close(remove_logs=True)
 
         allb = pd.concat(batches, ignore_index=True)
@@ -978,6 +1000,36 @@ def streaming_ingest_dead_letter_queue(spark: SparkSession, sf_dir: str) -> Data
     return spark.createDataFrame(
         rollup, "reason string, n_events long, sum_cents long"
     ).orderBy("reason")
+
+
+@register(
+    "streaming_ingest_dead_letter_queue",
+    _DLQ_ORACLE,
+    tags=("streaming", "quality", "routing", "dlq"),
+)
+def streaming_ingest_dead_letter_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue ingest over one availableNow drain — see the
+    section comment above."""
+    return _run_ingest_dlq(spark, sf_dir, restart=False)
+
+
+@register(
+    "streaming_ingest_dlq_restart_drain",
+    _DLQ_ORACLE,
+    tags=("streaming", "quality", "routing", "dlq", "restart"),
+)
+def streaming_ingest_dlq_restart_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kill+resume path for the DLQ ingest (VERDICT r7 #7): drain the
+    base corpus + the schema-corruption leg, KILL the query, publish the
+    policy- and dimension-violation legs, resume from the same
+    checkpoint.  Graded invariants, all across the checkpoint boundary:
+    the per-reason admission report hash-equals the single-drain oracle;
+    the quarantine table holds EXACTLY the claimed non-ok rows (the
+    standing cross-check — a replayed batch would double-append); and
+    the resumed instance's DLQ delta equals |post-kill invalid rows|
+    exactly (asserted in-plan), proving the side-effecting quarantine
+    append is once-per-row across a restart."""
+    return _run_ingest_dlq(spark, sf_dir, restart=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1030,12 +1082,9 @@ ORDER BY e.event_date, e.event_type
 """
 
 
-@register(
-    "streaming_late_data_reconciliation",
-    _RECON_ORACLE,
-    tags=("streaming", "window", "backfill", "lambda"),
-)
-def streaming_late_data_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _run_late_data_recon(
+    spark: SparkSession, sf_dir: str, restart: bool = False
+) -> DataFrame:
     import pandas as pd
 
     from event_streaming_spark.streaming.agency import EventsAgency
@@ -1070,10 +1119,7 @@ def streaming_late_data_reconciliation(spark: SparkSession, sf_dir: str) -> Data
             pdf["_b"] = len(updates)
             updates.append(pdf)
 
-        # stream leg: on-time drained first (watermark advances to
-        # max(on-time ts) − 1 h), then the held-back late arrivals
-        for wave in (on_time, held_back):
-            ctx.publish(wave)
+        def drain() -> None:
             ctx.consume(
                 on_notify,
                 once=True,
@@ -1082,15 +1128,56 @@ def streaming_late_data_reconciliation(spark: SparkSession, sf_dir: str) -> Data
                 state_partitions=8,
             )
 
-        # provisional = last update per key across both drains
-        allu = pd.concat(updates, ignore_index=True)
-        prov_pdf = (
-            allu.sort_values("_b", kind="stable")
-            .groupby(["event_date", "event_type"], as_index=False)
-            .last()[["event_date", "event_type", "n", "cents"]]
-        )
+        def latest_per_key(pdfs: list) -> "pd.DataFrame":
+            allu = pd.concat(pdfs, ignore_index=True)
+            return (
+                allu.sort_values("_b", kind="stable")
+                .groupby(["event_date", "event_type"], as_index=False)
+                .last()[["event_date", "event_type", "n", "cents"]]
+            )
+
+        # stream leg: on-time drained first (watermark advances to
+        # max(on-time ts) − 1 h), then the held-back late arrivals
+        if restart:
+            # KILL+RESUME inside the on-time wave, split at the median ts
+            # so the intermediate watermark (median − 1 h) can never drop
+            # a second-half event — the provisional state is therefore
+            # bit-identical to the single-drain run, and the restart is
+            # an execution detail, not a semantic one (same oracle).
+            pivot = int(
+                on_time.select(F.unix_micros("ts").alias("us")).approxQuantile(
+                    "us", [0.5], 0.001
+                )[0]
+            )
+            first = on_time.filter(F.unix_micros("ts") <= pivot)
+            second = on_time.filter(F.unix_micros("ts") > pivot)
+            ctx.publish(first)
+            drain()
+            # kill the query instance; checkpoint + windowed state survive
+            ctx.stop()
+            ctx.publish(second)
+            drain()
+            # delta-only proof: if the resumed instance re-processed the
+            # pre-kill files, the windowed counts would double — the
+            # cumulative provisional row count must equal |on-time| exactly
+            n_prov = int(latest_per_key(updates)["n"].sum())
+            n_on_time = on_time.count()
+            if n_prov != n_on_time:  # -O-safe
+                raise AssertionError(
+                    f"resumed drain reprocessed history: provisional rows "
+                    f"{n_prov} != on-time rows {n_on_time}"
+                )
+            ctx.publish(held_back)
+            drain()
+        else:
+            for wave in (on_time, held_back):
+                ctx.publish(wave)
+                drain()
+
+        # provisional = last update per key across all drains
         prov = spark.createDataFrame(
-            prov_pdf, "event_date date, event_type string, n long, cents long"
+            latest_per_key(updates),
+            "event_date date, event_type string, n long, cents long",
         )
 
         # backfill leg: batch recompute over the SAME durable topic log —
@@ -1132,3 +1219,38 @@ def streaming_late_data_reconciliation(spark: SparkSession, sf_dir: str) -> Data
     return spark.createDataFrame(
         pdf, "event_date date, event_type string, dn long, dcents long"
     ).orderBy("event_date", "event_type")
+
+
+@register(
+    "streaming_late_data_reconciliation",
+    _RECON_ORACLE,
+    tags=("streaming", "window", "backfill", "lambda"),
+)
+def streaming_late_data_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda reconciliation: provisional stream rollup + exact batch
+    backfill over the same durable log; corrections = the diff.  See the
+    section comment above."""
+    return _run_late_data_recon(spark, sf_dir, restart=False)
+
+
+@register(
+    "streaming_late_data_recon_restart_drain",
+    _RECON_ORACLE,
+    tags=("streaming", "window", "backfill", "lambda", "restart"),
+)
+def streaming_late_data_recon_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The kill+resume path for the reconciliation pipeline (VERDICT r7
+    #7): the on-time wave is split at its median ts, the query instance
+    is KILLED between the halves, and a new instance resumes from the
+    same checkpoint before the held-back late wave arrives.  Graded
+    invariant: the correction set is identical across the checkpoint
+    boundary (same oracle as the single-drain variant), and the resumed
+    instance provably processes ONLY the post-kill delta — the
+    cumulative provisional count must equal |on-time| exactly, which a
+    history re-process would double (asserted in-plan).  The median-ts
+    split keeps the intermediate watermark below every second-half
+    event, so the restart cannot change which rows the watermark drops:
+    restart is an execution detail, not a semantic one."""
+    return _run_late_data_recon(spark, sf_dir, restart=True)
