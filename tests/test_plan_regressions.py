@@ -446,3 +446,47 @@ def test_no_antipatterns_in_any_bench_plan(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_bucketed_catalog_join_has_no_exchange(spark):
+    """join_bucketed_orders_lineitem: the co-located join (captured via
+    PLAN_SINK — the returned DF is a localized 5-row result) must plan
+    with NO Exchange below the join: the write-time bucket layout IS the
+    shuffle, which is the whole point of the query."""
+    from event_streaming_spark.plans import catalog as _catalog
+
+    # at the fixture SF Catalyst rightly prefers a broadcast join; force
+    # the big-big strategy the query exists to exercise (at 100 TB
+    # neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    _catalog.PLAN_SINK = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        REGISTRY["join_bucketed_orders_lineitem"].fn(spark, SF_SMALL)
+        plan = _catalog.PLAN_SINK["join_bucketed_orders_lineitem/colocated_join"]
+    finally:
+        _catalog.PLAN_SINK = None
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    # In the formatted TREE, children render BELOW the join node — the
+    # subtree after the SortMergeJoin line (scans + sorts) must be
+    # exchange-free: the write-time bucket layout satisfies the join's
+    # distribution requirement.  Exchanges above (final agg/orderBy
+    # shuffles of the 5-row result) are expected and irrelevant.
+    tree = plan.split("\n\n")[0]
+    below_join = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in below_join
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 16 out of 16" in plan
+
+
+def test_sweep_queries_use_distributed_prefix_sum(spark):
+    """The interval-concurrency and cumulative-uniques plans must carry
+    the range-bucketed prefix-sum shape (RangePartitioning from the
+    bucketizer), not a single-partition global window over the spine."""
+    for name in (
+        "orders_open_interval_concurrency",
+        "events_cumulative_distinct_users",
+    ):
+        p = _plan(spark, name)
+        assert "rangepartitioning" in p.lower(), name

@@ -61,6 +61,19 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/sf100x-events")
     ap.add_argument("--n", type=int, default=100)
+    ap.add_argument(
+        "--state-partitions",
+        type=int,
+        default=8,
+        help="state-store partition count for the drain (VERDICT r7 #6 "
+        "sweep: run at 8/16/32 and compare ev/s)",
+    )
+    ap.add_argument(
+        "--no-oracle",
+        action="store_true",
+        help="skip the DuckDB hash verification (sweep runs after the "
+        "first verified one only need the wall/throughput row)",
+    )
     args = ap.parse_args()
 
     t0 = time.monotonic()
@@ -85,14 +98,26 @@ def main() -> int:
     # pump enforces event-time arrival order; the shared checkpoint carries
     # session state across the sequential availableNow drains (see the
     # catalog fn's docstring)
-    sdf = streaming_session_window_drain(spark, args.dst, metrics=metrics, publish_waves=8)
+    sdf = streaming_session_window_drain(
+        spark,
+        args.dst,
+        metrics=metrics,
+        publish_waves=8,
+        state_partitions=args.state_partitions,
+    )
     srows = [tuple(r) for r in sdf.collect()]
     wall = time.monotonic() - t0
     print(f"drain: {wall:.1f}s total, {len(srows)} sessions, "
-          f"{n_events / wall:,.0f} ev/s, {len(metrics)} micro-batches", flush=True)
+          f"{n_events / wall:,.0f} ev/s, {len(metrics)} micro-batches, "
+          f"{args.state_partitions} state partitions", flush=True)
     for m in metrics:
         print(f"  batch {m['batch_id']}: {m['wall_s']}s, {m['sessions']} sessions",
               flush=True)
+
+    if args.no_oracle:
+        print("oracle: skipped (--no-oracle)", flush=True)
+        spark.stop()
+        return 0
 
     con = duckdb.connect()
     for t in _TABLES:
