@@ -87,6 +87,9 @@ _PRIORITY = [
     "events_rfm_segments",
     "events_trailing_7d_distinct_users",
     "join_bucketed_orders_lineitem",
+    # r8 storage tranche: zero-copy branches (fork/write/fast-forward
+    # publish) on the VersionedStore.
+    "versioned_branch_write_isolation",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -311,6 +311,95 @@ class VersionedStore:
                 out[r["name"]] = r["version"]
         return out
 
+    # -- branches (named WRITABLE refs, zero-copy fork) ------------------------
+    def branch_store(self, name: str) -> "VersionedStore":
+        """Open the handle for branch ``name``: same table path and DATA
+        directory (zero copy — branch commits reference and add files in
+        place), manifests namespaced under
+        ``_manifests/branches/<name>/``.  The handle is a full
+        VersionedStore: append/merge/delete/table_changes/time-travel
+        all work on the branch lineage."""
+        self._check_ref_name(name)
+        br = VersionedStore.__new__(VersionedStore)
+        br.spark = self.spark
+        br.path = self.path
+        br.data_dir = self.data_dir
+        br.manifest_dir = os.path.join(self.manifest_dir, "branches", name)
+        os.makedirs(br.manifest_dir, exist_ok=True)
+        br._txn_by_version = {}
+        return br
+
+    def branch(self, name: str, from_version: int | None = None) -> "VersionedStore":
+        """Create branch ``name`` forked at ``from_version`` (default:
+        head) — Iceberg branch semantics: a named WRITABLE ref whose v0
+        references the fork snapshot's files by name (no data is
+        copied).  Writers on the branch never contend with writers on
+        main (separate manifest lineages, shared immutable data files);
+        ``merge_branch`` publishes the branch atomically.
+
+        Retention caveat (same as Iceberg): ``vacuum`` on main is not
+        branch-aware — keep branches short-lived or vacuum after merge.
+        """
+        self._check_ref_name(name)
+        from_v = self.latest_version() if from_version is None else from_version
+        if from_v < 0 or not os.path.exists(
+            os.path.join(self.manifest_dir, f"v{from_v}.json")
+        ):
+            raise ValueError(f"no snapshot at version {from_v!r}")
+        br = self.branch_store(name)
+        fork = self._manifest(from_v)
+        record = {
+            "version": 0,
+            "parent": -1,
+            "op": "branch",
+            "files": list(fork.get("files", [])),
+            "fork_of": from_v,
+        }
+        if fork.get("schema") is not None:
+            record["schema"] = fork["schema"]
+        if fork.get("delete_files"):
+            record["delete_files"] = fork["delete_files"]
+        tmp = os.path.join(br.manifest_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+        try:
+            os.link(tmp, os.path.join(br.manifest_dir, "v0.json"))
+        except FileExistsError:
+            raise ValueError(f"branch exists: {name!r}") from None
+        finally:
+            os.unlink(tmp)
+        return br
+
+    def merge_branch(self, name: str) -> int:
+        """Fast-forward publish: make main's next version the branch's
+        head state (files, schema, tombstones) in ONE atomic commit.
+        Raises :class:`CommitConflict` if main advanced past the fork
+        point — the branch must be re-created (rebased) from the new
+        head; silently merging would drop main's interim commits.  The
+        conflict check re-runs per commit attempt inside ``_commit``, so
+        a race with another main writer is detected, never clobbered."""
+        br = self.branch_store(name)
+        head = br.latest_version()
+        if head < 0:
+            raise ValueError(f"no such branch: {name!r}")
+        bm = br._manifest(head)
+        fork_v = br._manifest(0)["fork_of"]
+
+        def compute_files(parent_files: list[str]) -> list[str]:
+            if self.latest_version() != fork_v:
+                raise CommitConflict(
+                    f"main advanced past fork v{fork_v} of branch {name!r}; "
+                    "re-branch from the new head and replay"
+                )
+            return list(bm.get("files", []))
+
+        return self._commit(
+            compute_files,
+            "merge_branch",
+            compute_schema=lambda pm: bm.get("schema", pm.get("schema")),
+            compute_deletes=lambda pm: bm.get("delete_files", []),
+        )
+
     def _read_projected(self, files: list[str], schema) -> DataFrame:
         """The one definition of the snapshot read: mergeSchema unions
         the file schemas; projecting the manifest schema pins column

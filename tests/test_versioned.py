@@ -1129,3 +1129,64 @@ def test_join_ivm_same_key_updates_both_sides(spark, tmp_path):
         F.col("_se") * F.col("_sc"),
     )
     assert cross.count() > 0
+
+
+def test_branch_zero_copy_fork_isolation_and_merge(spark, store):
+    """A branch forks at a snapshot with ZERO data copy, its writes are
+    invisible to main until merge_branch, and the fast-forward merge
+    publishes the branch head as main's next version atomically."""
+    import os
+
+    store.append(spark.createDataFrame([(i, i % 3) for i in range(90)], "id long, k long"))
+    files_before = set(os.listdir(store.data_dir))
+    br = store.branch("exp")
+    # zero copy: branching created no data files
+    assert set(os.listdir(store.data_dir)) == files_before
+    assert sorted(map(tuple, br.read().collect())) == sorted(
+        map(tuple, store.read().collect())
+    )
+
+    br.append(spark.createDataFrame([(100, 9)], "id long, k long"))
+    br.merge(spark.createDataFrame([(0, 42)], "id long, k long"), key="id")
+    # isolation: main unchanged while the branch diverged
+    assert store.latest_version() == 0
+    assert store.read().count() == 90
+    assert br.read().count() == 91
+    assert [tuple(r) for r in br.read().where("id = 0").collect()] == [(0, 42)]
+
+    v = store.merge_branch("exp")
+    assert v == 1
+    got = sorted(map(tuple, store.read().collect()))
+    want = sorted(map(tuple, br.read().collect()))
+    assert got == want
+    assert store._manifest(v)["op"] == "merge_branch"
+
+
+def test_branch_merge_conflicts_when_main_advances(spark, store):
+    store.append(spark.createDataFrame([(1, 1)], "id long, k long"))
+    br = store.branch("exp2")
+    br.append(spark.createDataFrame([(2, 2)], "id long, k long"))
+    store.append(spark.createDataFrame([(3, 3)], "id long, k long"))  # main moves
+    with pytest.raises(CommitConflict):
+        store.merge_branch("exp2")
+    # main state untouched by the failed merge
+    assert store.read().count() == 2
+
+
+def test_branch_tombstones_carry_through_merge(spark, store):
+    store.append(
+        spark.createDataFrame([(i, i % 2) for i in range(10)], "id long, k long")
+    )
+    br = store.branch("cleanup")
+    br.delete_keys_where(F.col("k") == 1, key="id")
+    assert store.read().count() == 10  # isolation
+    store.merge_branch("cleanup")
+    assert store.read().count() == 5  # MoR tombstones rode the merge
+    assert all(r["k"] == 0 for r in store.read().collect())
+
+
+def test_branch_duplicate_name_rejected(spark, store):
+    store.append(spark.createDataFrame([(1, 1)], "id long, k long"))
+    store.branch("dup")
+    with pytest.raises(ValueError):
+        store.branch("dup")
