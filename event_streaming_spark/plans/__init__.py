@@ -36,6 +36,7 @@ from event_streaming_spark.plans import gateway_queries  # noqa: F401,E402
 from event_streaming_spark.plans import codec_av  # noqa: F401,E402
 from event_streaming_spark.plans import streaming_dedup  # noqa: F401,E402
 from event_streaming_spark.plans import events4  # noqa: F401,E402
+from event_streaming_spark.plans import llm_audits  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
@@ -90,6 +91,11 @@ _PRIORITY = [
     # r8 storage tranche: zero-copy branches (fork/write/fast-forward
     # publish) on the VersionedStore.
     "versioned_branch_write_isolation",
+    # r8 LLM-audit tranche (plans/llm_audits.py): int8 scalar-quant
+    # recall, vocab OOV coverage, exact containment detection.
+    "emb_int8_scalar_quant_recall",
+    "text_vocab_oov_rate",
+    "docs_containment_prefix_join",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

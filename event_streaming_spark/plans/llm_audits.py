@@ -1,0 +1,372 @@
+"""Round-8 LLM-pipeline audits: int8 scalar-quantization recall, vocab
+coverage (OOV rate), and exact containment detection.
+
+* ``emb_int8_scalar_quant_recall`` — the SERVING-side complement of the
+  PQ family: scalar (per-dimension affine) int8 quantization is what
+  FAISS ``SQ8`` / most vector DBs ship as the cheap memory-4× option;
+  the audit measures recall@10 of quantized search against exact
+  search.  Everything is exact integer arithmetic (µ-scaled longs,
+  floor-division codes), so both engines rank identically and the
+  driver's value-hash pins the whole codec.
+* ``text_vocab_oov_rate`` — tokenizer/vocab coverage: build the top-K
+  corpus vocabulary, report per-source out-of-vocabulary ppm.  The
+  pre-flight check before committing a tokenizer to a data mix; OOV
+  spikes localize sources that need vocab or filtering work.
+* ``docs_containment_prefix_join`` — asymmetric set CONTAINMENT
+  C(A,B) = |A∩B| / |A| ≥ t: the quote/sub-document detector (a near-dup
+  of a 10-line doc hiding inside a 10k-line doc has tiny Jaccard but
+  containment ≈ 1).  Prefix-filtered like the Jaccard join, with the
+  containment-specific pigeonhole: A's |A| − ⌈t·|A|⌉ + 1 globally
+  rarest shingles must hit B, so the candidate join is A-prefix ×
+  full-index on RARE keys only — bucket sizes bounded by the prefix
+  shingle's document frequency, never the 'the'-bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_streaming_spark.functions.hashing import sql_normalize_text
+from event_streaming_spark.operators import similarity as S
+from event_streaming_spark.operators.materialize import materialize
+from event_streaming_spark.plans.catalog import load, register, spread
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization recall audit
+# Scale: per-dim min/max is one narrow pass (64 groups); codes are a
+# per-row transform (no shuffle); search is broadcast-queries × one
+# corpus scan for each leg; ranks via two-stage top-k.  At 100 TB the
+# corpus never shuffles — exactly the brute-force baseline's shape, run
+# twice (exact ints vs dequantized ints).
+# ---------------------------------------------------------------------------
+
+_SQ8_K = 10
+_SQ8_NQ = 5
+
+_SQ8_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(x * 1000000) AS BIGINT)) AS vq
+  FROM embeddings
+), x AS (
+  SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e
+), d AS (
+  SELECT pos, min(v) AS mn, max(v) AS mx FROM x GROUP BY pos
+), code AS (
+  SELECT x.vec_id, x.pos, d.mn, d.mx,
+         CASE WHEN d.mx = d.mn THEN 0
+              ELSE ((x.v - d.mn) * 255) // (d.mx - d.mn) END AS c
+  FROM x JOIN d USING (pos)
+), deq AS (
+  SELECT vec_id, pos, mn + (c * (mx - mn)) // 255 AS dv FROM code
+), ed AS (
+  SELECT qa.vec_id AS qid, xb.vec_id AS nid, sum(qa.v * xb.v) AS dot
+  FROM x qa JOIN x xb ON qa.pos = xb.pos
+  WHERE qa.vec_id < {_SQ8_NQ} AND xb.vec_id <> qa.vec_id
+  GROUP BY qa.vec_id, xb.vec_id
+), qd AS (
+  SELECT qa.vec_id AS qid, xb.vec_id AS nid, sum(qa.dv * xb.dv) AS dot
+  FROM deq qa JOIN deq xb ON qa.pos = xb.pos
+  WHERE qa.vec_id < {_SQ8_NQ} AND xb.vec_id <> qa.vec_id
+  GROUP BY qa.vec_id, xb.vec_id
+), etop AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+    FROM ed) WHERE rn <= {_SQ8_K}
+), qtop AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+    FROM qd) WHERE rn <= {_SQ8_K}
+)
+SELECT e.qid AS qid,
+       cast(count(q.nid) AS BIGINT) AS n_overlap,
+       cast(count(q.nid) * 1000000 // {_SQ8_K} AS BIGINT) AS recall_ppm
+FROM etop e LEFT JOIN qtop q ON e.qid = q.qid AND e.nid = q.nid
+GROUP BY e.qid ORDER BY qid
+"""
+
+
+@register(
+    "emb_int8_scalar_quant_recall",
+    _SQ8_ORACLE,
+    tags=("llm", "ann", "quantization", "audit"),
+)
+def emb_int8_scalar_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+        ).alias("vq"),
+    )
+    # per-dim min/max: one narrow pass, 64 groups, collected as literals
+    dims = (
+        emb.select(F.posexplode("vq").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mn = [int(r["mn"]) for r in dims]
+    span = [int(r["mx"]) - int(r["mn"]) for r in dims]
+    mn_arr = F.array(*[F.lit(v) for v in mn])
+    span_arr = F.array(*[F.lit(v) for v in span])
+
+    def dequant(col):
+        # code = ((v - mn) * 255) div span; dq = mn + (code * span) div 255
+        # — all nonnegative numerators, so long-cast truncation == floor
+        # (identical to DuckDB's // on the same nonnegative ints).
+        def f(x, i):
+            m = F.element_at(mn_arr, i + 1)
+            s = F.element_at(span_arr, i + 1)
+            c = F.when(s == 0, F.lit(0)).otherwise(
+                ((x - m) * 255 / s).cast("long")
+            )
+            return m + (c * s / 255).cast("long")
+
+        return F.transform(col, f)
+
+    both = emb.withColumn("dq", dequant(F.col("vq")))
+    q = both.where(F.col("vec_id") < _SQ8_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("vq").alias("q_vq"),
+        F.col("dq").alias("q_dq"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = both.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        dot(F.col("q_vq"), F.col("vq")).alias("edot"),
+        dot(F.col("q_dq"), F.col("dq")).alias("qdot"),
+    )
+    scored = materialize(scored, name="sq8-scored")  # two rank legs, one scan
+    etop = topk_per_group(
+        scored, "qid", [F.col("edot").desc(), F.col("nid")], _SQ8_K, rn_col="rn"
+    ).select("qid", "nid")
+    qtop = topk_per_group(
+        scored, "qid", [F.col("qdot").desc(), F.col("nid")], _SQ8_K, rn_col="rn"
+    ).select("qid", F.col("nid").alias("q_nid"))
+    return (
+        etop.join(
+            qtop,
+            (etop.qid == qtop.qid) & (etop.nid == qtop.q_nid),
+            "left",
+        )
+        .groupBy(etop.qid.alias("qid"))
+        .agg(
+            F.count("q_nid").alias("n_overlap"),
+            (F.count("q_nid") * 1_000_000 / _SQ8_K).cast("long").alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocab coverage / OOV rate
+# Scale: word-count shuffle (the canonical one), vocab rank via the
+# DISTRIBUTED global row number (operators/ranks.py — a 10⁸-term
+# vocabulary never sorts on one task), then a broadcast semi-join of the
+# config-sized vocab against the token stream.
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 1000
+
+_OOV_ORACLE = f"""
+WITH t AS (
+  SELECT source, unnest(string_split({sql_normalize_text('text')}, ' ')) AS term
+  FROM documents
+), c AS (
+  SELECT term, count(*) AS n FROM t GROUP BY term
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rn FROM c
+  ) WHERE rn <= {_VOCAB_K}
+)
+SELECT t.source AS source,
+       cast(count(*) AS BIGINT) AS n_tokens,
+       cast(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT) AS n_oov,
+       cast(count(*) FILTER (WHERE v.term IS NULL) * 1000000 // count(*)
+            AS BIGINT) AS oov_ppm
+FROM t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.source ORDER BY source
+"""
+
+
+@register(
+    "text_vocab_oov_rate",
+    _OOV_ORACLE,
+    tags=("llm", "text", "tokenizer", "audit"),
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.functions.hashing import tokens as tok_fn
+    from event_streaming_spark.operators.ranks import with_global_row_number
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    stream = materialize(
+        docs.select("source", F.explode(tok_fn(F.col("text"))).alias("term")),
+        name="oov-stream",
+    )
+    counts = stream.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    ranked, _ = with_global_row_number(
+        counts, [F.desc("n"), F.asc("term")], "rn"
+    )
+    vocab = ranked.where(F.col("rn") <= _VOCAB_K).select("term")
+    joined = stream.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "term", "left"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("__in").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            ((F.col("n_oov") * 1_000_000) / F.col("n_tokens"))
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact containment join (quote / sub-document detection)
+# Runs over exact-dedup REPRESENTATIVES (min doc_id per distinct text) —
+# the curation-pipeline ordering: exact dedup is stage 1
+# (corpus_curation_end_to_end), so the containment detector never
+# re-discovers the identical-text cliques; candidate volume scales with
+# UNIQUE content.  The oracle states the same spec.
+# ---------------------------------------------------------------------------
+
+# containment threshold t = C_NUM / C_DEN = 4/5
+_C_NUM, _C_DEN = 4, 5
+
+_CONTAIN_ORACLE = f"""
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), docs AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id)
+), hs AS (
+  SELECT doc_id, {S.sql_shingle_hashes('text')} AS hs FROM docs
+), tok AS (
+  SELECT DISTINCT doc_id, unnest(hs) AS sh FROM hs
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), dfreq AS (
+  SELECT sh, count(*) AS dfc FROM tok GROUP BY sh
+), ranked AS (
+  SELECT t.doc_id, t.sh, s.n,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.dfc, t.sh) AS rn
+  FROM tok t JOIN dfreq d USING (sh) JOIN sz s USING (doc_id)
+), prefix AS (
+  SELECT doc_id, sh FROM ranked
+  WHERE rn <= n - ({_C_NUM} * n + {_C_DEN} - 1) // {_C_DEN} + 1
+), cand AS (
+  SELECT DISTINCT p.doc_id AS doc_a, t.doc_id AS doc_b
+  FROM prefix p JOIN tok t ON p.sh = t.sh AND p.doc_id <> t.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, sa.n AS na, count(*) AS n_common
+  FROM cand c
+  JOIN sz sa ON sa.doc_id = c.doc_a
+  JOIN tok ta ON ta.doc_id = c.doc_a
+  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+  GROUP BY c.doc_a, c.doc_b, sa.n
+)
+SELECT doc_a, doc_b, n_common, na,
+       cast(n_common * 1000000 // na AS BIGINT) AS containment_ppm
+FROM inter
+WHERE {_C_DEN} * n_common >= {_C_NUM} * na
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "docs_containment_prefix_join",
+    _CONTAIN_ORACLE,
+    tags=("llm", "dedup", "join", "scale"),
+)
+def docs_containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered pairs (a, b) with |shingles(a) ∩ shingles(b)| ≥ t·|shingles(a)|.
+
+    Pigeonhole for the candidate step: if A∩B misses ALL of A's
+    |A| − ⌈t·|A|⌉ + 1 rarest shingles, then |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| —
+    so joining A-prefixes against the full index finds every qualifying
+    ordered pair.  The full-index side is only probed at the prefix's
+    RARE keys (bucket size = that shingle's document frequency)."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    reps = (
+        docs.select("doc_id", F.md5("text").alias("g"))
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    uniq = docs.join(reps, "doc_id").select("doc_id", "text")
+    sets = materialize(
+        uniq.select(
+            "doc_id",
+            F.array_distinct(S.shingle_hashes(F.col("text"))).alias("hs"),
+        ).withColumn("n", F.size("hs")),
+        name="contain-sets",
+    )
+    tok = sets.select("doc_id", "n", F.explode("hs").alias("sh"))
+    dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
+    ranked = tok.join(dfreq, "sh").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("dfc", "sh")),
+    )
+    plen = F.col("n") - F.expr(f"({_C_NUM} * n + {_C_DEN} - 1) div {_C_DEN}") + 1
+    prefix = ranked.where(F.col("rn") <= plen).select("doc_id", "sh")
+    cand = (
+        prefix.alias("p")
+        .join(
+            tok.select("doc_id", "sh").alias("t"),
+            (F.col("p.sh") == F.col("t.sh"))
+            & (F.col("p.doc_id") != F.col("t.doc_id")),
+        )
+        .select(
+            F.col("p.doc_id").alias("doc_a"), F.col("t.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hs").alias("ha"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ha", "hb")).alias("n_common"),
+            "na",
+        )
+        .where(_C_DEN * F.col("n_common") >= _C_NUM * F.col("na"))
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "na",
+        ((F.col("n_common") * 1_000_000) / F.col("na")).cast("long").alias(
+            "containment_ppm"
+        ),
+    ).orderBy("doc_a", "doc_b")
