@@ -96,6 +96,9 @@ _PRIORITY = [
     "emb_int8_scalar_quant_recall",
     "text_vocab_oov_rate",
     "docs_containment_prefix_join",
+    # r8: the CUSTOM stateful streaming operator (applyInPandasWithState
+    # sessionizer with event-time-timeout eviction) under the oracle.
+    "streaming_custom_state_sessionizer",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -1260,3 +1260,91 @@ def streaming_late_data_recon_restart_drain(
     event, so the restart cannot change which rows the watermark drops:
     restart is an execution detail, not a semantic one."""
     return _run_late_data_recon(spark, sf_dir, restart=True)
+
+
+@register(
+    "streaming_custom_state_sessionizer",
+    _SESSIONW_ORACLE,
+    tags=("streaming", "state", "session", "custom"),
+)
+def streaming_custom_state_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through the CUSTOM stateful operator
+    (``applyInPandasWithState``, streaming/state.py::sessionize_stream)
+    instead of the built-in ``session_window`` — same batch-islands
+    oracle as ``streaming_session_window_drain``, so the driver's hash
+    pins the custom operator's state fold, its event-time-timeout
+    eviction, and its exactly-once append emission all at once.
+
+    Arrival model: two ts-ordered waves split at the median (the open
+    sessions at the split CROSS the wave boundary through GroupState —
+    the path a single-drain run never exercises), then the far-future
+    sentinel advances the watermark so every remaining open session
+    times out and flushes (Spark's no-data micro-batch fires the
+    event-time timeouts after the final watermark update).
+
+    Scale: state is one 4-long record per OPEN session (bounded by
+    concurrent users, evicted on timeout); per-batch work is an
+    Arrow-batched fold over each key's new rows — no shuffle beyond the
+    keyed exchange every stateful operator pays."""
+    import datetime as _dt
+
+    from event_streaming_spark.streaming.agency import EventsAgency
+    from event_streaming_spark.streaming.state import sessionize_stream
+
+    root = tempfile.mkdtemp(prefix="est-custsess-")
+    batches: list = []
+    try:
+        agency = EventsAgency(spark, root=root, log_format="parquet")
+        ctx = agency._get_or_create("driver-gate", "custom-sessions")
+        ev = load(spark, sf_dir, "events")
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        pivot = int(
+            ev.select(F.unix_micros("ts").alias("us")).approxQuantile(
+                "us", [0.5], 0.001
+            )[0]
+        )
+        sentinel = [
+            {
+                "event_id": -1,
+                "ts": (max_ts + _dt.timedelta(hours=2)).isoformat(sep="T"),
+                "user_id": -1,
+                "event_type": "__flush__",
+                "value": 0.0,
+                "props": "{}",
+            }
+        ]
+
+        def sessioned(df: DataFrame) -> DataFrame:
+            return sessionize_stream(df.withWatermark("ts", "1 hour"))
+
+        def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
+            batches.append(batch_df.toPandas())
+
+        for wave in (
+            ev.filter(F.unix_micros("ts") <= pivot),
+            ev.filter(F.unix_micros("ts") > pivot),
+            sentinel,
+        ):
+            ctx.publish(wave)
+            ctx.consume(
+                on_notify,
+                once=True,
+                transform=sessioned,
+                output_mode="append",
+                state_partitions=8,
+            )
+        agency.close(remove_logs=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    import pandas as pd
+
+    if not batches:
+        return spark.createDataFrame([], _SESSIONW_SCHEMA)
+    out = pd.concat(batches, ignore_index=True)
+    out = out[out["user_id"] >= 0].copy()  # drop the watermark sentinel
+    out["session_value"] = (out["sv"] / 1e6).round(2)
+    out = out[
+        ["user_id", "session_start_ms", "n_events", "duration_s", "session_value"]
+    ]
+    return spark.createDataFrame(out, _SESSIONW_SCHEMA)

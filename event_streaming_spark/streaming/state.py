@@ -96,3 +96,103 @@ def stream_dedup_within_watermark(
     duplicates arriving within the watermark horizon are dropped; state
     for old keys is evicted once the watermark passes."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """CUSTOM stateful sessionizer via ``applyInPandasWithState`` — the
+    arbitrary-state complement of the built-in ``session_window``
+    (plans/streaming_queries.py drains): the operator owns its state
+    record (open session: start, last-seen, count, µ-scaled value sum)
+    and its eviction policy (event-time timeout at last_ts + gap), which
+    is the shape every custom streaming operator takes when the built-in
+    windows can't express the semantics (SURVEY §2 custom-operator rule;
+    pyspark guide "applyInPandasWithState for custom stateful
+    operators").
+
+    Contract (matches the batch islands oracle exactly):
+      * events with ``ts - prev_ts < gap`` (strict) extend the session;
+      * a closed session emits exactly once (append mode) — either when
+        a later event proves the gap, or when the EVENT-TIME watermark
+        passes last_ts + gap (GroupStateTimeout.EventTimeTimeout: state
+        for idle keys is evicted by the engine, so state size tracks
+        OPEN sessions only — bounded, restart-safe via the checkpoint);
+      * value sums accumulate as µ-scaled longs (order-independent
+        exact integers, the engine-boundary rule).
+
+    Input must already carry ``withWatermark(ts_col, ...)``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("session_start_ms", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("sv", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sv", T.LongType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def emit(key: tuple, st: tuple) -> pd.DataFrame:
+        start_us, last_us, n, sv = st
+        return pd.DataFrame(
+            [
+                {
+                    key_col: key[0],
+                    "session_start_ms": start_us // 1000,
+                    "n_events": n,
+                    "duration_s": round((last_us // 1000 - start_us // 1000) / 1000.0, 3),
+                    "sv": sv,
+                }
+            ]
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: the open session is final
+            st = state.get
+            state.remove()
+            yield emit(key, st)
+            return
+        cur = state.get if state.exists else None
+        rows = [pdf for pdf in pdfs if not pdf.empty]
+        if not rows:
+            return
+        pdf = pd.concat(rows, ignore_index=True).sort_values(
+            [ts_col, seq_col], kind="stable"
+        )
+        for ts, val in zip(pdf[ts_col], pdf[value_col]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            sv = int(round(float(val) * 1e6))
+            if cur is None:
+                cur = (us, us, 1, sv)
+            elif us - cur[1] < gap_us:
+                cur = (cur[0], us, cur[2] + 1, cur[3] + sv)
+            else:
+                yield emit(key, cur)
+                cur = (us, us, 1, sv)
+        state.update(cur)
+        # event-time timeout: fire when the watermark proves no event can
+        # extend this session (late data beyond the watermark is dropped
+        # upstream by the same contract as the built-in session window)
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
