@@ -99,6 +99,9 @@ _PRIORITY = [
     # r8: the CUSTOM stateful streaming operator (applyInPandasWithState
     # sessionizer with event-time-timeout eviction) under the oracle.
     "streaming_custom_state_sessionizer",
+    # r8 tranche 3: funnel latency distribution + CUSUM changepoint.
+    "events_funnel_time_to_convert",
+    "events_cusum_changepoint",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

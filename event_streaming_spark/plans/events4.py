@@ -400,3 +400,131 @@ def join_bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         pdf, "o_orderpriority string, n_lineitems long, revenue double"
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Funnel TIME-TO-CONVERT distribution: latency from a user's first view
+# to their first purchase at-or-after it, bucketed by hour.  The funnel
+# family (events_funnel_*) counts WHO converts; this measures HOW LONG
+# conversion takes — the other axis every growth dashboard needs.
+# Scale: two per-user aggregates + one broadcast-sized join back; all
+# latency arithmetic is integer µs → hour floor division.
+# ---------------------------------------------------------------------------
+
+_TTC_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+  GROUP BY e.user_id
+)
+SELECT (epoch_us(p.p_ts) - epoch_us(v.v_ts)) // 3600000000 AS latency_h,
+       cast(count(*) AS BIGINT) AS n_users
+FROM v JOIN p ON v.user_id = p.user_id
+GROUP BY latency_h ORDER BY latency_h
+"""
+
+
+@register(
+    "events_funnel_time_to_convert",
+    _TTC_ORACLE,
+    tags=("events", "funnel", "agg"),
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.first("v_ts").alias("v_ts"))
+    )
+    lat_h = (
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")) / 3_600_000_000
+    ).cast("long")
+    return (
+        p.select(lat_h.alias("latency_h"))
+        .groupBy("latency_h")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("latency_h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint over the daily event-count series: cumulative sum of
+# the SCALED deviation n_d·D − N (all integers — multiplying through by
+# the day count D avoids the float mean), argmax |CUSUM| marks the most
+# likely level-shift day (the classic offline CUSUM estimator).  The
+# anomaly family (zscore, MAD) flags pointwise outliers; CUSUM finds the
+# persistent REGIME CHANGE those tests miss.
+# Scale: day-spine prefix sum — the same distributed-cumsum shape as the
+# sweep queries; one O(days) pass after one fact-table aggregate.
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day
+), spine AS (
+  SELECT unnest(generate_series(min(CAST(ts AS DATE)), max(CAST(ts AS DATE)),
+                                INTERVAL 1 DAY))::DATE AS day
+  FROM events
+), filled AS (
+  SELECT spine.day, coalesce(daily.n, 0) AS n
+  FROM spine LEFT JOIN daily ON spine.day = daily.day
+), tot AS (
+  SELECT count(*) AS d, sum(n) AS big_n FROM filled
+), cus AS (
+  SELECT day, n,
+         cast(sum(n * tot.d - tot.big_n) OVER (ORDER BY day) AS BIGINT)
+           AS cusum_scaled
+  FROM filled, tot
+)
+SELECT day, n AS n_events, cusum_scaled,
+       CASE WHEN abs(cusum_scaled) = (SELECT max(abs(cusum_scaled)) FROM cus)
+            THEN 1 ELSE 0 END AS is_changepoint
+FROM cus ORDER BY day
+"""
+
+
+@register(
+    "events_cusum_changepoint",
+    _CUSUM_ORACLE,
+    tags=("events", "timeseries", "anomaly", "window"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.ranks import with_global_cumsum
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = (
+        ev.agg(
+            F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    filled = spine.join(daily, "day", "left").na.fill({"n": 0})
+    d, big_n = filled.agg(
+        F.count(F.lit(1)), F.sum("n")
+    ).first()  # 1-row scalar probe (O(1))
+    dev = filled.withColumn("dv", F.col("n") * int(d) - int(big_n))
+    cus, _ = with_global_cumsum(dev, [F.asc("day")], "dv", "cusum_scaled")
+    peak = cus.agg(F.max(F.abs(F.col("cusum_scaled")))).first()[0]
+    return cus.select(
+        "day",
+        F.col("n").alias("n_events"),
+        F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+        F.when(F.abs(F.col("cusum_scaled")) == peak, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_changepoint"),
+    ).orderBy("day")
