@@ -1315,7 +1315,11 @@ def streaming_custom_state_sessionizer(spark: SparkSession, sf_dir: str) -> Data
         ]
 
         def sessioned(df: DataFrame) -> DataFrame:
-            return sessionize_stream(df.withWatermark("ts", "1 hour"))
+            out = sessionize_stream(df.withWatermark("ts", "1 hour"))
+            # the scale-relevant INTERNAL plan (FlatMapGroupsInPandasWithState
+            # over the keyed exchange) — the returned DF is localized rows
+            capture_plan("streaming_custom_state_sessionizer/stateful_plan", out)
+            return out
 
         def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
             batches.append(batch_df.toPandas())
