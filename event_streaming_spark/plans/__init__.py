@@ -102,6 +102,10 @@ _PRIORITY = [
     # r8 tranche 3: funnel latency distribution + CUSUM changepoint.
     "events_funnel_time_to_convert",
     "events_cusum_changepoint",
+    # r8 tranche 4: branch-staged streaming WAP + mergeable-HLL trailing
+    # window (the sketch twin of the exact trailing-distinct query).
+    "streaming_branch_staged_ingest",
+    "sketch_hll_trailing_7d_users",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -528,3 +528,114 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_changepoint"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Trailing-7-day distinct users via MERGEABLE HLL partials — the sketch
+# twin of events_trailing_7d_distinct_users, and the reason sketches
+# exist at 100 TB: the exact query fans out |user-days|×7 rows, the
+# sketch fans out DAILY REGISTER SETS (≤ 64 rows per day, independent of
+# event volume), merges by per-(window, bucket) max, and finalizes per
+# window.  Daily partials are computed once and reused by every window
+# they serve — the partial-aggregate reuse pattern every metrics store
+# (Druid/Pinot/ClickHouse AggregatingMergeTree) is built on.  The exact
+# count rides along per window so the driver's hash also pins the
+# sketch's error behavior on this corpus.
+# ---------------------------------------------------------------------------
+
+
+def _hll7_oracle() -> str:
+    from event_streaming_spark.functions.hashing import sql_stable_hash32
+    from event_streaming_spark.operators.sketches import _alpha
+
+    b = 6
+    m = 1 << b
+    w_bits = 32 - b
+    mask = (1 << w_bits) - 1
+    alpha = _alpha(m)
+    h = sql_stable_hash32("cast(user_id AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT CAST(ts AS DATE) AS d, {h} AS h FROM events
+), br AS (
+  SELECT d, h >> {w_bits} AS bucket,
+         CASE WHEN (h & {mask}) = 0 THEN {w_bits + 1}
+              ELSE {w_bits + 1} - length(bin(h & {mask})) END AS rank
+  FROM hashed WHERE h IS NOT NULL
+), dregs AS (
+  SELECT d, bucket, max(rank) AS reg FROM br GROUP BY d, bucket
+), bnd AS (
+  SELECT max(CAST(ts AS DATE)) AS d1 FROM events
+), fan AS (
+  SELECT unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE
+           AS day,
+         bucket, reg
+  FROM dregs
+), regs AS (
+  SELECT day, bucket, max(reg) AS reg
+  FROM fan, bnd WHERE day <= bnd.d1 GROUP BY day, bucket
+), acc AS (
+  SELECT day, sum(1::BIGINT << (32 - reg)) AS s_scaled, count(*) AS m_present
+  FROM regs GROUP BY day
+), est AS (
+  SELECT day, CASE
+    WHEN ({alpha} * {m} * {m} * 4294967296.0)
+           / (s_scaled + ({m} - m_present) * 4294967296) <= {2.5 * m}
+         AND ({m} - m_present) > 0
+    THEN round({float(m)} * ln({float(m)} / ({m} - m_present)), 4)
+    ELSE round(({alpha} * {m} * {m} * 4294967296.0)
+           / (s_scaled + ({m} - m_present) * 4294967296), 4)
+  END AS hll_users_7d
+  FROM acc
+), ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), w AS (
+  SELECT unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE
+           AS day, user_id
+  FROM ud
+), exact AS (
+  SELECT day, cast(count(DISTINCT user_id) AS BIGINT) AS exact_users_7d
+  FROM w, bnd WHERE day <= bnd.d1 GROUP BY day
+)
+SELECT est.day AS day, est.hll_users_7d, exact.exact_users_7d
+FROM est JOIN exact ON est.day = exact.day
+ORDER BY day
+"""
+
+
+@register(
+    "sketch_hll_trailing_7d_users",
+    _hll7_oracle(),
+    tags=("sketch", "events", "timeseries", "window"),
+)
+def sketch_hll_trailing_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.sketches import (
+        hll_finalize_by,
+        hll_merge_by,
+        hll_registers_by,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    d1 = ev.agg(F.max(F.to_date("ts"))).first()[0]  # 1-row scalar probe
+    daily = hll_registers_by(
+        ev.select(F.to_date("ts").alias("day"), "user_id"), ["day"], F.col("user_id")
+    )
+    fan = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
+        "bucket",
+        "reg",
+    ).where(F.col("day") <= F.lit(d1))
+    est = hll_finalize_by(hll_merge_by(fan, ["day"]), ["day"]).withColumnRenamed(
+        "hll_estimate", "hll_users_7d"
+    )
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    exact = (
+        ud.select(
+            F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
+            "user_id",
+        )
+        .where(F.col("day") <= F.lit(d1))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    return est.join(exact, "day").orderBy("day")

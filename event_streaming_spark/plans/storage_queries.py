@@ -1209,3 +1209,104 @@ def versioned_branch_write_isolation(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.createDataFrame(
         pdf, "event_type string, n long, sum_cents long"
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# BRANCH-STAGED streaming ingest (write-audit-publish ON A BRANCH): the
+# streaming upsert sink lands every micro-batch on an ingest BRANCH —
+# exactly-once versioned commits, but quarantined from readers — an
+# AUDIT then validates the branch head (row-count conservation under
+# pure updates + a value constraint), and only then does fast-forward
+# merge publish the whole staged lineage to main in one atomic commit.
+# The r7 WAP query pinned READERS to a tag while writes landed on main;
+# this is the inverse (and the Iceberg-native) shape: WRITES are
+# quarantined, main needs no reader discipline at all.  Isolation and
+# audit are asserted in-plan; the oracle reconstructs the published
+# head from the raw table + the declared update rule.
+#
+# Scale: branch commits cost what main commits cost (shared data dir,
+# zero-copy fork); the audit reads only the branch head; publish is one
+# manifest write.  A failed audit costs main NOTHING — drop the branch.
+# ---------------------------------------------------------------------------
+
+_BRANCH_WAP_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type,
+         cast(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), head AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 4 = 1 THEN cents * 2 ELSE cents END AS cents
+  FROM base
+)
+SELECT event_type, cast(count(*) AS BIGINT) AS n_events,
+       cast(sum(cents) AS BIGINT) AS sum_cents
+FROM head GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "streaming_branch_staged_ingest",
+    _BRANCH_WAP_ORACLE,
+    tags=("streaming", "storage", "versioned", "branch", "wap"),
+)
+def streaming_branch_staged_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil as _sh
+
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="est-branch-wap-")
+    try:
+        store = VersionedStore(spark, os.path.join(root, "store"))
+        v0 = store.append(ev)
+        n_base = store.read(v0).count()
+
+        br = store.branch("ingest-stage")
+        agency = EventsAgency(spark, root=os.path.join(root, "topic"), log_format="parquet")
+        ctx = agency._get_or_create("driver-gate", "staged")
+        updates = ev.filter(F.col("event_id") % 4 == 1).withColumn(
+            "cents", F.col("cents") * 2
+        )
+        ctx.schema = updates.schema
+        # two arrival waves, each an exactly-once versioned commit ON THE
+        # BRANCH (the ledgered upsert sink, same machinery as main)
+        ckpt = os.path.join(root, "ckpt")
+        for w in range(2):
+            ctx.publish(updates.filter(F.col("event_id") % 2 == w))
+            br.upsert_sink(ctx.stream(), key="event_id", checkpoint=ckpt).awaitTermination()
+
+        # AUDIT the staged head (-O-safe): updates must conserve row
+        # count and violate no value constraint — and main must be
+        # untouched while the branch ingested
+        staged = br.read()
+        if staged.count() != n_base:
+            raise AssertionError("staged upserts changed the row count")
+        if staged.where(F.col("cents") < 0).limit(1).count() != 0:
+            raise AssertionError("staged head violates the cents >= 0 constraint")
+        if store.latest_version() != v0 or store.read().count() != n_base:
+            raise AssertionError("branch ingest leaked into main before publish")
+
+        v_pub = store.merge_branch("ingest-stage")
+        out = (
+            store.read(v_pub)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("event_type")
+        )
+        capture_plan("streaming_branch_staged_ingest/published_rollup", out)
+        pdf = out.toPandas()  # result-sized localization before rmtree
+        agency.close(remove_logs=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "event_type string, n_events long, sum_cents long"
+    ).orderBy("event_type")
