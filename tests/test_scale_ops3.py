@@ -462,3 +462,27 @@ def test_zorder_2d_zone_maps_prune_on_both_dimensions(spark, tmp_path):
     # correctness on the slabs too
     sx, _, _ = pruned_read_multi(spark, path, zm, {"x": (0, 7)})
     assert sx.count() == df.where(F.col("x") <= 7).count()
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """events4._global_ntile (distributed closed form) must equal
+    ntile() OVER a global window for ragged N (N % tiles != 0), ties
+    included — the fill rule is first N%tiles tiles get one extra row."""
+    from pyspark.sql import Window
+
+    from event_streaming_spark.plans.events4 import _global_ntile
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13) for i in range(23)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["q"]
+        for r in _global_ntile(df, [F.desc("v"), F.asc("id")], "q", 5).collect()
+    }
+    want = {
+        r["id"]: r["q"]
+        for r in df.withColumn(
+            "q", F.ntile(5).over(Window.orderBy(F.desc("v"), F.asc("id")))
+        ).collect()
+    }
+    assert got == want

@@ -659,3 +659,82 @@ def test_session_drain_wave_replay_equals_single_publish(spark):
     assert a == b and len(a) > 0
     assert len(metrics) >= 3  # at least one batch per wave
     assert sum(m["sessions"] for m in metrics) >= len(a)  # sentinel rows included
+
+
+# ---------------------------------------------------------------------------
+# custom stateful sessionizer (streaming/state.py::sessionize_stream)
+# ---------------------------------------------------------------------------
+
+
+def _drain_sessions(spark, tmp_path, waves, gap_minutes=30):
+    """Publish each wave, drain through sessionize_stream; return the
+    emitted session rows (sentinel user filtered by caller)."""
+    import pandas as pd
+
+    from event_streaming_spark.streaming.state import sessionize_stream
+
+    agency = EventsAgency(spark, root=str(tmp_path / "topic"), log_format="parquet")
+    ctx = agency._get_or_create("t", "sess")
+    got = []
+    for wave in waves:
+        ctx.publish(wave)
+        ctx.consume(
+            lambda c, df, bid: got.append(df.toPandas()),
+            once=True,
+            transform=lambda df: sessionize_stream(
+                df.withWatermark("ts", "1 hour"), gap_minutes=gap_minutes
+            ),
+            output_mode="append",
+            state_partitions=2,
+        )
+    agency.close(remove_logs=True)
+    out = pd.concat([p for p in got if not p.empty], ignore_index=True)
+    return out[out["user_id"] >= 0].sort_values(
+        ["user_id", "session_start_ms"]
+    ).reset_index(drop=True)
+
+
+def _sentinel(ts):
+    return ev(-1, ts, -1, "__flush__", 0.0)
+
+
+def test_custom_sessionizer_exact_gap_starts_new_session(spark, tmp_path):
+    """ts - prev == exactly the gap must START a new session (strict <
+    extends — the same semantics as the built-in session_window and the
+    batch islands oracle)."""
+    rows = [
+        ev(1, "2024-01-01T00:00:00", 7, value=1.0),
+        ev(2, "2024-01-01T00:30:00", 7, value=2.0),   # exactly 30 min later
+        ev(3, "2024-01-01T00:45:00", 7, value=3.0),   # 15 min after that
+    ]
+    out = _drain_sessions(spark, tmp_path, [rows, [_sentinel("2024-01-02T00:00:00")]])
+    assert len(out) == 2
+    assert list(out["n_events"]) == [1, 2]
+    assert list(out["sv"]) == [1_000_000, 5_000_000]
+
+
+def test_custom_sessionizer_state_crosses_batch_boundary(spark, tmp_path):
+    """An OPEN session must extend across two separate drains through
+    GroupState (events 10 minutes apart split across waves)."""
+    w1 = [ev(1, "2024-01-01T00:00:00", 3, value=1.0)]
+    w2 = [ev(2, "2024-01-01T00:10:00", 3, value=2.0)]
+    out = _drain_sessions(
+        spark, tmp_path, [w1, w2, [_sentinel("2024-01-02T00:00:00")]]
+    )
+    assert len(out) == 1
+    assert out.loc[0, "n_events"] == 2
+    assert out.loc[0, "duration_s"] == 600.0
+
+
+def test_custom_sessionizer_timeout_flushes_without_new_events(spark, tmp_path):
+    """The event-time timeout alone (watermark advancing past
+    last_ts + gap via an unrelated key) must flush an idle user's open
+    session — no further events for that user required."""
+    w1 = [ev(1, "2024-01-01T00:00:00", 5, value=4.0)]
+    # second wave touches ONLY the sentinel user; user 5's session must
+    # still emit, via GroupStateTimeout.EventTimeTimeout
+    out = _drain_sessions(
+        spark, tmp_path, [w1, [_sentinel("2024-01-02T00:00:00")]]
+    )
+    assert len(out) == 1
+    assert (out.loc[0, "user_id"], out.loc[0, "n_events"]) == (5, 1)
