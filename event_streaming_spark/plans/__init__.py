@@ -106,6 +106,8 @@ _PRIORITY = [
     # window (the sketch twin of the exact trailing-distinct query).
     "streaming_branch_staged_ingest",
     "sketch_hll_trailing_7d_users",
+    # r8: diversity-aware re-ranking (greedy MMR, exact-integer scores).
+    "emb_mmr_diversified_topk",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

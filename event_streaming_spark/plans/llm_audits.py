@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from event_streaming_spark.functions.hashing import sql_normalize_text
 from event_streaming_spark.operators import similarity as S
 from event_streaming_spark.operators.materialize import materialize
-from event_streaming_spark.plans.catalog import load, register, spread
+from event_streaming_spark.plans.catalog import capture_plan, load, register, spread
 
 # ---------------------------------------------------------------------------
 # int8 scalar quantization recall audit
@@ -370,3 +370,178 @@ def docs_containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment_ppm"
         ),
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# MMR (maximal marginal relevance) diversified top-k retrieval — the
+# diversity-aware re-ranker every few-shot/example-selection pipeline
+# runs after ANN: greedily pick the candidate maximizing
+# λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s).  λ = 7/10 and all
+# scores are integer dot products of µ-scaled vectors, so the greedy
+# argmax (ties → smallest vec_id) is bit-deterministic in both engines
+# and the oracle can replay the k=3 selection as chained CTEs.
+#
+# Scale: relevance is the broadcast-query one-corpus-scan dot; each MMR
+# step joins candidates against the SELECTED set (≤ k−1 vectors,
+# broadcast as literals) and takes a distributed argmax
+# (two-stage top-1) — the greedy loop is O(k) scans, k config-bounded,
+# with the corpus never shuffling.
+# ---------------------------------------------------------------------------
+
+_MMR_K = 3
+_MMR_NQ = 5
+# λ = 7/10: score_scaled = 7·rel − 3·maxsim (both int dots, ×10 overall)
+_MMR_LN, _MMR_LD = 7, 3
+
+
+def _mmr_oracle() -> str:
+    pre = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(x * 1000000) AS BIGINT)) AS vq
+  FROM embeddings
+), x AS (
+  SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e
+), rel AS (
+  SELECT qa.vec_id AS qid, xb.vec_id AS d, sum(qa.v * xb.v) AS r
+  FROM x qa JOIN x xb ON qa.pos = xb.pos
+  WHERE qa.vec_id < {_MMR_NQ} AND xb.vec_id <> qa.vec_id
+  GROUP BY qa.vec_id, xb.vec_id
+), sel1 AS (
+  SELECT qid, d FROM (
+    SELECT qid, d, row_number() OVER (
+      PARTITION BY qid ORDER BY {_MMR_LN} * r DESC, d) AS rn
+    FROM rel) WHERE rn = 1
+)"""
+    steps = []
+    for step in (2, 3):
+        union = " UNION ALL ".join(
+            f"SELECT qid, d FROM sel{i}" for i in range(1, step)
+        )
+        steps.append(f"""
+, selu{step} AS (
+  {union}
+), pen{step} AS (
+  SELECT r.qid, r.d, max(sum_ab.s) AS maxsim
+  FROM rel r JOIN (
+    SELECT s.qid, xb.vec_id AS b, sum(xa.v * xb.v) AS s
+    FROM selu{step} s
+    JOIN x xa ON xa.vec_id = s.d
+    JOIN x xb ON xb.pos = xa.pos
+    GROUP BY s.qid, s.d, xb.vec_id
+  ) sum_ab ON sum_ab.qid = r.qid AND sum_ab.b = r.d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM selu{step} u WHERE u.qid = r.qid AND u.d = r.d)
+  GROUP BY r.qid, r.d
+), sel{step} AS (
+  SELECT qid, d FROM (
+    SELECT p.qid, p.d, row_number() OVER (
+      PARTITION BY p.qid
+      ORDER BY {_MMR_LN} * r.r - {_MMR_LD} * p.maxsim DESC, p.d) AS rn
+    FROM pen{step} p JOIN rel r ON r.qid = p.qid AND r.d = p.d
+  ) WHERE rn = 1
+)""")
+    return (
+        pre
+        + "".join(steps)
+        + """
+SELECT qid, 1 AS rank, d AS vec_id FROM sel1
+UNION ALL SELECT qid, 2, d FROM sel2
+UNION ALL SELECT qid, 3, d FROM sel3
+ORDER BY qid, rank
+"""
+    )
+
+
+@register(
+    "emb_mmr_diversified_topk",
+    _mmr_oracle(),
+    tags=("llm", "ann", "rerank", "diversity"),
+)
+def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+        ).alias("vq"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    q = emb.where(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("vq").alias("q_vq")
+    )
+    rel = materialize(
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+            "qid", F.col("vec_id").alias("d"), "vq", dot("q_vq", "vq").alias("r")
+        ),
+        name="mmr-rel",
+    )
+
+    # greedy selection: k distributed argmax passes, selected vectors
+    # broadcast back as a tiny literal table each step
+    sel_rows: list = []  # (qid, rank, d)
+    sel_vecs: dict = {}  # qid -> list[(d, vq)]
+    for rank in range(1, _MMR_K + 1):
+        if rank == 1:
+            scored = rel.select("qid", "d", (_MMR_LN * F.col("r")).alias("s"))
+        else:
+            sel_df = F.broadcast(
+                spark.createDataFrame(
+                    [
+                        (qid, d, vq)
+                        for qid, pairs in sel_vecs.items()
+                        for d, vq in pairs
+                    ],
+                    "qid long, sd long, svq array<bigint>",
+                )
+            )
+            remaining = rel.join(
+                sel_df.select("qid", F.col("sd").alias("d")), ["qid", "d"], "left_anti"
+            )
+            pen = (
+                remaining.join(sel_df, "qid")
+                .select("qid", "d", "r", dot("vq", "svq").alias("sim"))
+                .groupBy("qid", "d")
+                .agg(
+                    F.first("r").alias("r"), F.max("sim").alias("maxsim")
+                )
+            )
+            scored = pen.select(
+                "qid",
+                "d",
+                (_MMR_LN * F.col("r") - _MMR_LD * F.col("maxsim")).alias("s"),
+            )
+            if rank == 2:
+                # the scale-relevant INTERNAL plan: candidates × broadcast
+                # selected-set penalty join (the returned DF is the
+                # collected k×NQ selection rows)
+                capture_plan("emb_mmr_diversified_topk/penalty_step", scored)
+        top = topk_per_group(
+            scored, "qid", [F.col("s").desc(), F.col("d")], 1, rn_col="rn"
+        ).select("qid", "d")
+        picked = {r["qid"]: r["d"] for r in top.collect()}  # ≤ NQ rows
+        vecs = {
+            r["qid"]: r["vq"]
+            for r in rel.join(
+                F.broadcast(
+                    spark.createDataFrame(list(picked.items()), "qid long, d long")
+                ),
+                ["qid", "d"],
+            )
+            .select("qid", "vq")
+            .collect()
+        }
+        for qid, d in picked.items():
+            sel_rows.append((qid, rank, d))
+            sel_vecs.setdefault(qid, []).append((d, list(vecs[qid])))
+    return spark.createDataFrame(
+        sorted(sel_rows), "qid long, rank int, vec_id long"
+    ).orderBy("qid", "rank")
