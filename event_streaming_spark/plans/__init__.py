@@ -108,6 +108,9 @@ _PRIORITY = [
     "sketch_hll_trailing_7d_users",
     # r8: diversity-aware re-ranking (greedy MMR, exact-integer scores).
     "emb_mmr_diversified_topk",
+    # r8 tranche 5: sketch-as-streaming-state + embedding eval audit.
+    "streaming_hll_distinct_drain",
+    "emb_knn_leave_one_out_accuracy",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

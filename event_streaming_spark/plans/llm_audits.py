@@ -545,3 +545,121 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(sel_rows), "qid long, rank int, vec_id long"
     ).orderBy("qid", "rank")
+
+
+# ---------------------------------------------------------------------------
+# kNN leave-one-out label accuracy — the embedding-quality eval every
+# labeled corpus gets before the embeddings are trusted for dedup or
+# retrieval: predict each vector's label by 5-NN majority vote (exact
+# integer dots; vote ties → smallest label) and report per-label
+# accuracy.  Brute all-pairs here is the EVAL shape (run on a held-out
+# sample); at corpus scale the candidate generation is the IVF/LSH path
+# already in the catalog — this query is the audit those serve.
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+
+_KNN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> cast(round(x * 1000000) AS BIGINT)) AS vq
+  FROM embeddings
+), x AS (
+  SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e
+), d AS (
+  SELECT xa.vec_id AS a, xb.vec_id AS bid, sum(xa.v * xb.v) AS dot
+  FROM x xa JOIN x xb ON xa.pos = xb.pos AND xa.vec_id <> xb.vec_id
+  GROUP BY xa.vec_id, xb.vec_id
+), top AS (
+  SELECT a, bid FROM (
+    SELECT a, bid, row_number() OVER (
+      PARTITION BY a ORDER BY dot DESC, bid) AS rn
+    FROM d) WHERE rn <= {_KNN_K}
+), votes AS (
+  SELECT t.a, e.label, count(*) AS cnt
+  FROM top t JOIN e ON e.vec_id = t.bid
+  GROUP BY t.a, e.label
+), pred AS (
+  SELECT a, label AS pred_label FROM (
+    SELECT a, label, row_number() OVER (
+      PARTITION BY a ORDER BY cnt DESC, label) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT e.label AS label,
+       cast(count(*) AS BIGINT) AS n,
+       cast(count(*) FILTER (WHERE p.pred_label = e.label) AS BIGINT)
+         AS n_correct,
+       cast(count(*) FILTER (WHERE p.pred_label = e.label) * 1000000
+            // count(*) AS BIGINT) AS acc_ppm
+FROM e JOIN pred p ON p.a = e.vec_id
+GROUP BY e.label ORDER BY label
+"""
+
+
+@register(
+    "emb_knn_leave_one_out_accuracy",
+    _KNN_ORACLE,
+    tags=("llm", "ann", "eval", "audit"),
+)
+def emb_knn_leave_one_out_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+        ).alias("vq"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    a = emb.select(
+        F.col("vec_id").alias("a"), F.col("label").alias("true_label"),
+        F.col("vq").alias("avq"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("bid"), F.col("label").alias("b_label"),
+        F.col("vq").alias("bvq"),
+    )
+    scored = a.join(F.broadcast(b), F.col("a") != F.col("bid")).select(
+        "a", "true_label", "bid", "b_label", dot("avq", "bvq").alias("dot")
+    )
+    top = topk_per_group(
+        scored, "a", [F.col("dot").desc(), F.col("bid")], _KNN_K, rn_col="rn"
+    )
+    votes = top.groupBy("a", "true_label", "b_label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pred = topk_per_group(
+        votes.withColumnRenamed("b_label", "pred_label").select(
+            "a", "true_label", "pred_label", "cnt"
+        ),
+        "a",
+        [F.col("cnt").desc(), F.col("pred_label")],
+        1,
+        rn_col="rn",
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("pred_label") == F.col("true_label"), 1)).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            ((F.col("n_correct") * 1_000_000) / F.col("n")).cast("long").alias(
+                "acc_ppm"
+            ),
+        )
+        .orderBy("label")
+    )

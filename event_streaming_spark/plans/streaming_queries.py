@@ -1352,3 +1352,144 @@ def streaming_custom_state_sessionizer(spark: SparkSession, sf_dir: str) -> Data
         ["user_id", "session_start_ms", "n_events", "duration_s", "session_value"]
     ]
     return spark.createDataFrame(out, _SESSIONW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Streaming APPROXIMATE distinct: HLL registers AS the streaming state.
+# Exact streaming COUNT(DISTINCT user) needs state proportional to the
+# distinct users per window; the production shape for "how many uniques
+# today, live" keeps ≤ m=64 REGISTER rows per window instead — the
+# register update (per-(window, bucket) max) is a plain streaming MAX
+# aggregate, so watermarks/update-mode/checkpointing all apply
+# unchanged.  The drain's final per-(window, bucket) updates are the
+# exact same registers the batch sketch computes (max is idempotent/
+# commutative — arrival order can't change it), so the finalized
+# estimate is bit-equal to the batch HLL AND the oracle can replay it
+# in SQL; the exact distinct rides along for the error audit.
+# Scale: state = windows × 64 rows regardless of event volume — the
+# whole point; callback traffic is register-sized.
+# ---------------------------------------------------------------------------
+
+
+def _hll_drain_oracle() -> str:
+    from event_streaming_spark.functions.hashing import sql_stable_hash32
+    from event_streaming_spark.operators.sketches import _alpha
+
+    b = 6
+    m = 1 << b
+    w_bits = 32 - b
+    mask = (1 << w_bits) - 1
+    alpha = _alpha(m)
+    h = sql_stable_hash32("cast(user_id AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT CAST(ts AS DATE) AS day, {h} AS h FROM events
+), br AS (
+  SELECT day, h >> {w_bits} AS bucket,
+         CASE WHEN (h & {mask}) = 0 THEN {w_bits + 1}
+              ELSE {w_bits + 1} - length(bin(h & {mask})) END AS rank
+  FROM hashed WHERE h IS NOT NULL
+), regs AS (
+  SELECT day, bucket, max(rank) AS reg FROM br GROUP BY day, bucket
+), acc AS (
+  SELECT day, sum(1::BIGINT << (32 - reg)) AS s_scaled, count(*) AS m_present
+  FROM regs GROUP BY day
+), est AS (
+  SELECT day, CASE
+    WHEN ({alpha} * {m} * {m} * 4294967296.0)
+           / (s_scaled + ({m} - m_present) * 4294967296) <= {2.5 * m}
+         AND ({m} - m_present) > 0
+    THEN round({float(m)} * ln({float(m)} / ({m} - m_present)), 4)
+    ELSE round(({alpha} * {m} * {m} * 4294967296.0)
+           / (s_scaled + ({m} - m_present) * 4294967296), 4)
+  END AS hll_users
+  FROM acc
+), exact AS (
+  SELECT CAST(ts AS DATE) AS day,
+         cast(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY day
+)
+SELECT est.day AS day, est.hll_users, exact.exact_users
+FROM est JOIN exact ON est.day = exact.day
+ORDER BY day
+"""
+
+
+@register(
+    "streaming_hll_distinct_drain",
+    _hll_drain_oracle(),
+    tags=("streaming", "sketch", "window", "agg"),
+)
+def streaming_hll_distinct_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the topic log through a windowed HLL-register aggregate
+    (see section comment); finalize the drained registers and audit
+    against the batch exact distinct."""
+    import pandas as pd
+
+    from event_streaming_spark.functions.hashing import stable_hash32
+    from event_streaming_spark.operators.sketches import hll_finalize_by
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    b = 6
+    w_bits = 32 - b
+    root = tempfile.mkdtemp(prefix="est-hlldrain-")
+    batches: list = []
+    try:
+        agency = EventsAgency(spark, root=root, log_format="parquet")
+        ctx = agency._get_or_create("driver-gate", "hll-distinct")
+        ev = load(spark, sf_dir, "events")
+        ctx.publish(ev)
+
+        def registered(df: DataFrame) -> DataFrame:
+            h = stable_hash32(F.col("user_id").cast("string"))
+            w = h.bitwiseAND(F.lit((1 << w_bits) - 1))
+            rank = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+                F.lit(w_bits + 1) - F.length(F.bin(w))
+            )
+            return (
+                df.select(
+                    "ts",
+                    F.shiftright(h, w_bits).alias("bucket"),
+                    rank.alias("rank"),
+                )
+                .where(F.col("bucket").isNotNull())
+                .withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 day"), "bucket")
+                .agg(F.max("rank").alias("reg"))
+            )
+
+        def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
+            pdf = batch_df.select(
+                F.to_date(F.col("window.start")).alias("day"), "bucket", "reg"
+            ).toPandas()
+            pdf["_b"] = len(batches)
+            batches.append(pdf)
+
+        ctx.consume(
+            on_notify,
+            once=True,
+            transform=registered,
+            output_mode="update",
+            # state = windows × 64 register rows — the sketch's whole point
+            state_partitions=8,
+        )
+        agency.close(remove_logs=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    allu = pd.concat(batches, ignore_index=True)
+    final_regs = (
+        allu.sort_values("_b", kind="stable")
+        .groupby(["day", "bucket"], as_index=False)
+        .last()[["day", "bucket", "reg"]]
+    )
+    regs_df = spark.createDataFrame(final_regs, "day date, bucket long, reg long")
+    est = hll_finalize_by(regs_df, ["day"], b).withColumnRenamed(
+        "hll_estimate", "hll_users"
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return est.join(exact, "day").orderBy("day")
