@@ -111,6 +111,9 @@ _PRIORITY = [
     # r8 tranche 5: sketch-as-streaming-state + embedding eval audit.
     "streaming_hll_distinct_drain",
     "emb_knn_leave_one_out_accuracy",
+    # r8 tranche 6: incremental cluster-label maintenance + integer EWMA.
+    "streaming_cluster_label_maintenance",
+    "events_ewma_daily",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -639,3 +639,67 @@ def sketch_hll_trailing_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("exact_users_7d"))
     )
     return est.join(exact, "day").orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing of the daily event-count series — exponential smoothing
+# with rational α = 1/8 in pure integer fixed point:
+#   S_0 = 10⁶·n_0;  S_t = (7·S_{t−1} + 10⁶·n_t) div 8
+# (floor division each step, so both engines recurse bit-identically —
+# no float pow/decay drift).  The smoothing recursion is DAY-domain
+# work: the data-sized job is the one daily aggregate; the O(days)
+# recursion runs on the driver (the same boundary the k-means/IVF
+# centroid loops draw), and the oracle replays it as a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day
+), spine AS (
+  SELECT unnest(generate_series(min(CAST(ts AS DATE)), max(CAST(ts AS DATE)),
+                                INTERVAL 1 DAY))::DATE AS day
+  FROM events
+), filled AS (
+  SELECT spine.day, coalesce(daily.n, 0) AS n
+  FROM spine LEFT JOIN daily ON spine.day = daily.day
+), r(day, n, s) AS (
+  SELECT day, n, 1000000 * n FROM filled
+  WHERE day = (SELECT min(day) FROM filled)
+  UNION ALL
+  SELECT f.day, f.n, (7 * r.s + 1000000 * f.n) // 8
+  FROM r JOIN filled f ON f.day = r.day + INTERVAL 1 DAY
+)
+SELECT day, n AS n_events, cast(s AS BIGINT) AS ewma_scaled
+FROM r ORDER BY day
+"""
+
+
+@register(
+    "events_ewma_daily",
+    _EWMA_ORACLE,
+    tags=("events", "timeseries", "smoothing"),
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = (
+        ev.agg(
+            F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    filled = (
+        spine.join(daily, "day", "left").na.fill({"n": 0}).orderBy("day").collect()
+    )  # O(days) localization — the recursion's domain, never the fact table
+    rows = []
+    s = None
+    for r in filled:
+        n = int(r["n"])
+        s = 1_000_000 * n if s is None else (7 * s + 1_000_000 * n) // 8
+        rows.append((r["day"], n, s))
+    return spark.createDataFrame(
+        rows, "day date, n_events long, ewma_scaled long"
+    ).orderBy("day")

@@ -556,3 +556,67 @@ def streaming_semantic_index_restart_drain(spark: SparkSession, sf_dir: str) -> 
     single-drain variant: restart is an execution detail, not a semantic
     one."""
     return _run_semantic_index(spark, sf_dir, restart=True)
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL cluster-label maintenance: near-dup pairs arrive in waves
+# (the streaming index's output shape) and the cluster labeling advances
+# per wave by running connected components over the CONTRACTED graph —
+# current labels as star edges (node → component, O(nodes)) plus ONLY
+# the new wave's pairs.  Component contraction preserves connectivity,
+# so after every wave the labels provably equal the batch CC over all
+# pairs seen so far; the final state must hash-equal the full batch
+# clustering (same oracle as dedup_near_dup_clusters).  At scale this is
+# the maintenance story for the dedup cluster table: historical PAIRS
+# (which dwarf nodes) are never reprocessed — each wave costs
+# O(|Δpairs| + |nodes|) edges through the log-diameter CC rounds, and
+# the near-converged input collapses those rounds to 1-2.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_cluster_label_maintenance",
+    None,  # set right below (reuses the batch CC oracle)
+    tags=("streaming", "llm", "dedup", "iterative", "incremental"),
+)
+def streaming_cluster_label_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.components import connected_components
+    from event_streaming_spark.plans.llm_similarity import (
+        minhash_lsh_near_dup_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("component")
+    )
+    # three deterministic arrival waves over the pair stream
+    for w in range(3):
+        wave = pairs.where((F.col("doc_a") + F.col("doc_b")) % 3 == w)
+        star = labels.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_a"), F.col("component").alias("doc_b")
+        )
+        labels = connected_components(docs, star.unionByName(wave))
+        # keep the label frame a small materialized table between waves
+        # (connected_components materializes internally; the frame is
+        # O(nodes) either way)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+# reuse the batch clustering oracle: incremental maintenance is an
+# execution strategy, not a semantic one
+def _set_cluster_maint_oracle() -> None:
+    import dataclasses
+
+    from event_streaming_spark.plans.catalog import REGISTRY
+    from event_streaming_spark.plans.curation import _CC_ORACLE
+
+    q = REGISTRY["streaming_cluster_label_maintenance"]
+    REGISTRY["streaming_cluster_label_maintenance"] = dataclasses.replace(
+        q, oracle=_CC_ORACLE
+    )
+
+
+_set_cluster_maint_oracle()
