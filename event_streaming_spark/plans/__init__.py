@@ -112,7 +112,7 @@ _PRIORITY = [
     "streaming_hll_distinct_drain",
     "emb_knn_leave_one_out_accuracy",
     # r8 tranche 6: incremental cluster-label maintenance + integer EWMA.
-    "streaming_cluster_label_maintenance",
+    "dedup_cluster_incremental_maintenance",
     "events_ewma_daily",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50

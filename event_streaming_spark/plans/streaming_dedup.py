@@ -575,11 +575,11 @@ def streaming_semantic_index_restart_drain(spark: SparkSession, sf_dir: str) -> 
 
 
 @register(
-    "streaming_cluster_label_maintenance",
+    "dedup_cluster_incremental_maintenance",
     None,  # set right below (reuses the batch CC oracle)
     tags=("streaming", "llm", "dedup", "iterative", "incremental"),
 )
-def streaming_cluster_label_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_spark.operators.components import connected_components
     from event_streaming_spark.plans.llm_similarity import (
         minhash_lsh_near_dup_pairs,
@@ -613,8 +613,8 @@ def _set_cluster_maint_oracle() -> None:
     from event_streaming_spark.plans.catalog import REGISTRY
     from event_streaming_spark.plans.curation import _CC_ORACLE
 
-    q = REGISTRY["streaming_cluster_label_maintenance"]
-    REGISTRY["streaming_cluster_label_maintenance"] = dataclasses.replace(
+    q = REGISTRY["dedup_cluster_incremental_maintenance"]
+    REGISTRY["dedup_cluster_incremental_maintenance"] = dataclasses.replace(
         q, oracle=_CC_ORACLE
     )
 
