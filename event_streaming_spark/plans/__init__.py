@@ -114,6 +114,11 @@ _PRIORITY = [
     # r8 tranche 6: incremental cluster-label maintenance + integer EWMA.
     "dedup_cluster_incremental_maintenance",
     "events_ewma_daily",
+    # r8 tranche 7: 2-D sweep aging report, LPA communities, schema
+    # evolution under the oracle.
+    "orders_backlog_aging_buckets",
+    "graph_label_propagation_communities",
+    "versioned_schema_evolution_read",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -13,7 +13,7 @@ technique for train/eval splits that must never drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from event_streaming_spark.functions.hashing import sql_stable_hash32, stable_hash32
@@ -731,3 +731,94 @@ def corpus_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the near-dup graph — the DENSITY
+# clustering complement of connected components: CC merges anything
+# reachable (one spurious pair chains two cliques together); LPA's
+# mode-of-neighbors update keeps densely-connected groups while weak
+# bridges flip to the majority side.  Three SYNCHRONIZED rounds with a
+# deterministic tie-break (most frequent neighbor label, ties → smallest
+# label; isolated nodes keep their own), so both engines replay the
+# exact fixpoint prefix and the driver's hash pins every round.
+# Scale: each round is one edge-sized join + a (node, label)-sized
+# count + a top-1 rank — the same per-round cost envelope as a CC round,
+# with a fixed round budget instead of convergence detection.
+# ---------------------------------------------------------------------------
+
+
+def _lpa_oracle() -> str:
+    from event_streaming_spark.plans.llm_similarity import _LSH_ORACLE
+
+    round_cte = """
+, l{r} AS (
+  SELECT d.doc_id AS node,
+         coalesce(w.label, l{p}.label) AS label
+  FROM documents d
+  JOIN l{p} ON l{p}.node = d.doc_id
+  LEFT JOIN (
+    SELECT node, label FROM (
+      SELECT b.src AS node, lp.label,
+             row_number() OVER (
+               PARTITION BY b.src
+               ORDER BY count(*) DESC, lp.label) AS rn
+      FROM bidir b JOIN l{p} lp ON lp.node = b.dst
+      GROUP BY b.src, lp.label
+    ) WHERE rn = 1
+  ) w ON w.node = d.doc_id
+)"""
+    rounds = "".join(round_cte.format(r=r, p=r - 1) for r in (1, 2, 3))
+    return f"""
+WITH edges AS (
+  SELECT doc_a, doc_b FROM ({_LSH_ORACLE})
+), bidir AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+), l0 AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+){rounds}
+SELECT node AS doc_id, label AS community FROM l3 ORDER BY doc_id
+"""
+
+
+@register(
+    "graph_label_propagation_communities",
+    _lpa_oracle(),
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def graph_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.materialize import materialize
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = minhash_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    bidir = materialize(
+        fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        name="lpa-edges",
+    )
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+    for _ in range(3):
+        votes = (
+            bidir.join(labels, bidir.dst == labels.node)
+            .groupBy(F.col("src"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("label"))
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), F.col("label").alias("wlabel"))
+        )
+        labels = materialize(
+            labels.join(winner, "node", "left").select(
+                "node", F.coalesce("wlabel", "label").alias("label")
+            ),
+            name="lpa-labels",
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community")
+    ).orderBy("doc_id")

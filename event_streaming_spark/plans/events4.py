@@ -703,3 +703,106 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "day date, n_events long, ewma_scaled long"
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Backlog AGING report: open orders per day BY AGE BUCKET (0-7d / 7-30d /
+# 30d+) — the ops staple ("how much old backlog are we carrying?").
+# Generalizes the sweep-line reduction to 2-D: within its lifetime an
+# order migrates buckets at deterministic offsets, so each (order,
+# bucket) contributes at most one +1/−1 delta pair — 6 rows per order
+# max — and the per-bucket concurrency is a prefix sum over the day
+# spine (bucket count is config-sized: the per-bucket window is
+# domain-sized work, not data-sized).
+# ---------------------------------------------------------------------------
+
+_AGING_ORACLE = """
+WITH iv AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS s,
+         CAST(max(l.l_shipdate) AS DATE) AS e
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), d AS (
+  SELECT s AS day, '00-07d' AS bucket, 1 AS dlt FROM iv
+  UNION ALL
+  SELECT least(e, s + INTERVAL 6 DAY) + INTERVAL 1 DAY, '00-07d', -1 FROM iv
+  UNION ALL
+  SELECT s + INTERVAL 7 DAY, '07-30d', 1 FROM iv WHERE e >= s + INTERVAL 7 DAY
+  UNION ALL
+  SELECT least(e, s + INTERVAL 29 DAY) + INTERVAL 1 DAY, '07-30d', -1
+  FROM iv WHERE e >= s + INTERVAL 7 DAY
+  UNION ALL
+  SELECT s + INTERVAL 30 DAY, '30d+', 1 FROM iv WHERE e >= s + INTERVAL 30 DAY
+  UNION ALL
+  SELECT e + INTERVAL 1 DAY, '30d+', -1 FROM iv WHERE e >= s + INTERVAL 30 DAY
+), spine AS (
+  SELECT unnest(generate_series(min(s), max(e), INTERVAL 1 DAY))::DATE AS day
+  FROM iv
+), grid AS (
+  SELECT day, bucket
+  FROM spine, (VALUES ('00-07d'), ('07-30d'), ('30d+')) AS b(bucket)
+), nd AS (
+  SELECT CAST(day AS DATE) AS day, bucket, cast(sum(dlt) AS BIGINT) AS nd
+  FROM d GROUP BY 1, 2
+)
+SELECT g.day AS day, g.bucket AS bucket,
+       cast(sum(coalesce(nd.nd, 0)) OVER (
+         PARTITION BY g.bucket ORDER BY g.day) AS BIGINT) AS open_orders
+FROM grid g LEFT JOIN nd ON g.day = nd.day AND g.bucket = nd.bucket
+ORDER BY day, bucket
+"""
+
+
+@register(
+    "orders_backlog_aging_buckets",
+    _AGING_ORACLE,
+    tags=("relational", "timeseries", "window"),
+)
+def orders_backlog_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("s")
+    )
+    close = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("e"))
+    )
+    iv = o.join(close, o.o_orderkey == close.l_orderkey).select("s", "e")
+
+    def leg(cond, day_col, bucket, dlt):
+        src = iv.where(cond) if cond is not None else iv
+        return src.select(
+            day_col.alias("day"), F.lit(bucket).alias("bucket"), F.lit(dlt).alias("dlt")
+        )
+
+    one_after = lambda c: F.date_add(c, 1)  # noqa: E731
+    deltas = (
+        leg(None, F.col("s"), "00-07d", 1)
+        .unionByName(leg(None, one_after(F.least("e", F.date_add("s", 6))), "00-07d", -1))
+        .unionByName(leg(F.col("e") >= F.date_add("s", 7), F.date_add("s", 7), "07-30d", 1))
+        .unionByName(
+            leg(
+                F.col("e") >= F.date_add("s", 7),
+                one_after(F.least("e", F.date_add("s", 29))),
+                "07-30d",
+                -1,
+            )
+        )
+        .unionByName(leg(F.col("e") >= F.date_add("s", 30), F.date_add("s", 30), "30d+", 1))
+        .unionByName(leg(F.col("e") >= F.date_add("s", 30), one_after(F.col("e")), "30d+", -1))
+    )
+    nd = deltas.groupBy("day", "bucket").agg(F.sum("dlt").alias("nd"))
+    spine = (
+        iv.agg(F.min("s").alias("d0"), F.max("e").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    grid = spine.crossJoin(
+        spark.createDataFrame([("00-07d",), ("07-30d",), ("30d+",)], "bucket string")
+    )
+    base = grid.join(nd, ["day", "bucket"], "left").na.fill({"nd": 0})
+    w = Window.partitionBy("bucket").orderBy("day")  # 3 domain-sized partitions
+    return base.select(
+        "day",
+        "bucket",
+        F.sum("nd").over(w).cast("long").alias("open_orders"),
+    ).orderBy("day", "bucket")

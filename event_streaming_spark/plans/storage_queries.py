@@ -1310,3 +1310,87 @@ def streaming_branch_staged_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         pdf, "event_type string, n_events long, sum_cents long"
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution under the ORACLE: a new `channel` column arrives with
+# a later append (merge_schema=True — Delta semantics, enforced by
+# sources/versioned.py::_merged_schema); the evolved HEAD reads
+# pre-evolution rows with channel = NULL, while the PRE-evolution
+# snapshot still reads with its own recorded schema — schema time
+# travel, asserted in-plan.  The graded output is the head rollup by
+# channel including the NULL (pre-evolution) bucket, which the oracle
+# reconstructs from the raw table + the declared evolution rule.
+# Scale: evolution is a manifest-schema change — no data rewrite; old
+# files are projected to the evolved schema at read (NULL fill), the
+# same mergeSchema read every lakehouse ships.
+# ---------------------------------------------------------------------------
+
+_SCHEMA_EVO_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type,
+         cast(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), evolved AS (
+  SELECT event_id, event_type, cents, CAST(NULL AS VARCHAR) AS channel
+  FROM base
+  UNION ALL
+  SELECT event_id + 10000000, event_type, cents, event_type || '-web'
+  FROM base WHERE event_id % 9 = 2
+)
+SELECT coalesce(channel, '(pre-evolution)') AS channel,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(cents) AS BIGINT) AS sum_cents
+FROM evolved GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "versioned_schema_evolution_read",
+    _SCHEMA_EVO_ORACLE,
+    tags=("storage", "versioned", "schema"),
+)
+def versioned_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _sh
+
+    e_base = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="est-schevo-q-")
+    try:
+        store = VersionedStore(spark, f"{root}/t")
+        v0 = store.append(e_base)
+        evolved_rows = (
+            e_base.filter(F.col("event_id") % 9 == 2)
+            .withColumn("event_id", F.col("event_id") + 10_000_000)
+            .withColumn("channel", F.concat(F.col("event_type"), F.lit("-web")))
+        )
+        store.append(evolved_rows, merge_schema=True)
+
+        # schema time travel (-O-safe): the pre-evolution snapshot reads
+        # with the schema it was committed under — no channel column
+        if "channel" in store.read(v0).columns:
+            raise AssertionError("pre-evolution snapshot leaked the evolved column")
+        head = store.read()
+        if "channel" not in head.columns:
+            raise AssertionError("head read lost the evolved column")
+
+        out = (
+            head.groupBy(
+                F.coalesce("channel", F.lit("(pre-evolution)")).alias("channel")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("channel")
+        )
+        capture_plan("versioned_schema_evolution_read/head_rollup", out)
+        pdf = out.toPandas()  # result-sized localization before rmtree
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "channel string, n long, sum_cents long"
+    ).orderBy("channel")
