@@ -119,6 +119,8 @@ _PRIORITY = [
     "orders_backlog_aging_buckets",
     "graph_label_propagation_communities",
     "versioned_schema_evolution_read",
+    # r8: estimator calibration (est vs exact Jaccard error histogram).
+    "dedup_minhash_estimator_calibration",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

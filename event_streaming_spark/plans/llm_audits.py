@@ -663,3 +663,128 @@ def emb_knn_leave_one_out_accuracy(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator CALIBRATION: before trusting "est_jaccard >= 0.3" as
+# a dedup threshold, measure the 16-permutation estimator against EXACT
+# Jaccard on every LSH candidate pair (no threshold — the spread below
+# the cut is exactly what calibration needs) and report the |error|
+# histogram.  All integer ppm arithmetic, so the histogram is
+# hash-exact across engines.
+# Scale: candidates are band-collision-bounded (the LSH contract);
+# exact Jaccard costs one array_intersect per CANDIDATE pair — the
+# audit is exactly as expensive as the verify stage it calibrates.
+# ---------------------------------------------------------------------------
+
+
+def _calib_oracle() -> str:
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.mh{i:02d} = sb.mh{i:02d} THEN 1 ELSE 0 END)"
+        for i in range(S.MINHASH_K)
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id, {S.sql_shingle_hashes('text')} AS hs FROM documents
+), sig AS (
+  SELECT doc_id, {', '.join(S.sql_minhash_exprs('hs'))} FROM hs
+), banded AS (
+  SELECT doc_id, {', '.join(S.sql_band_hash_exprs())} FROM sig
+), bands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {j} AS band_idx, band{j} AS bh FROM banded" for j in range(S.LSH_BANDS))}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT c.doc_a, c.doc_b,
+         ({eq_sum}) * 1000000 // {S.MINHASH_K} AS est_ppm,
+         len(list_intersect(ha.hs, hb.hs)) * 1000000
+           // len(list_distinct(list_concat(ha.hs, hb.hs))) AS exact_ppm
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  JOIN hs ha ON ha.doc_id = c.doc_a
+  JOIN hs hb ON hb.doc_id = c.doc_b
+), err AS (
+  SELECT abs(est_ppm - exact_ppm) AS e FROM scored
+)
+SELECT CASE WHEN e <= 20000 THEN 'a_<=2pct'
+            WHEN e <= 50000 THEN 'b_2-5pct'
+            WHEN e <= 100000 THEN 'c_5-10pct'
+            ELSE 'd_>10pct' END AS err_bucket,
+       cast(count(*) AS BIGINT) AS n_pairs,
+       cast(sum(e) // count(*) AS BIGINT) AS mean_abs_err_ppm
+FROM err GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "dedup_minhash_estimator_calibration",
+    _calib_oracle(),
+    tags=("llm", "dedup", "sketch", "audit"),
+)
+def dedup_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    hs = materialize(
+        docs.select("doc_id", S.shingle_hashes(F.col("text")).alias("hs")),
+        name="calib-shingles",
+    )
+    sig = hs.select("doc_id", F.array(*S.minhash_cols(F.col("hs"))).alias("sig"))
+    sig = materialize(sig, name="calib-signatures")
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*S.band_hashes_over(F.col("sig")))).alias(
+            "band_idx", "bh"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    eq = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.size(F.array_distinct(F.concat("ha", "hb")))
+    scored = (
+        cand.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")),
+            "doc_b",
+        )
+        .join(hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")), "doc_a")
+        .join(hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")), "doc_b")
+        .select(
+            ((eq * 1_000_000) / S.MINHASH_K).cast("long").alias("est_ppm"),
+            ((inter * 1_000_000) / union).cast("long").alias("exact_ppm"),
+        )
+    )
+    e = F.abs(F.col("est_ppm") - F.col("exact_ppm"))
+    bucket = (
+        F.when(e <= 20_000, F.lit("a_<=2pct"))
+        .when(e <= 50_000, F.lit("b_2-5pct"))
+        .when(e <= 100_000, F.lit("c_5-10pct"))
+        .otherwise(F.lit("d_>10pct"))
+    )
+    return (
+        scored.select(bucket.alias("err_bucket"), e.alias("e"))
+        .groupBy("err_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.sum("e") / F.count(F.lit(1))).cast("long").alias("mean_abs_err_ppm"),
+        )
+        .orderBy("err_bucket")
+    )
