@@ -37,6 +37,7 @@ from event_streaming_spark.plans import codec_av  # noqa: F401,E402
 from event_streaming_spark.plans import streaming_dedup  # noqa: F401,E402
 from event_streaming_spark.plans import events4  # noqa: F401,E402
 from event_streaming_spark.plans import llm_audits  # noqa: F401,E402
+from event_streaming_spark.plans import events5  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
@@ -121,6 +122,14 @@ _PRIORITY = [
     "versioned_schema_evolution_read",
     # r8: estimator calibration (est vs exact Jaccard error histogram).
     "dedup_minhash_estimator_calibration",
+    # r8 tranche 9 (plans/events5.py + llm_audits.py): bitmap-index
+    # engagement, U-shaped multi-touch attribution, daily-series ACF,
+    # type-affinity Jaccard, k-anonymity governance audit.
+    "events_user_activity_bitmap",
+    "events_attribution_position_based",
+    "events_acf_daily_lags",
+    "events_type_affinity_jaccard",
+    "docs_kanon_quasi_identifier_risk",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -788,3 +788,92 @@ def dedup_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("err_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-ANONYMITY audit over quasi-identifiers: before releasing a corpus
+# (or its metadata) the governance question is "how many rows sit in a
+# quasi-identifier equivalence class smaller than k?" — those rows are
+# re-identifiable by joining the QI tuple against an external table.
+# QI here = (lang, source, 500-char length bucket); the report gives,
+# for k ∈ {2, 5, 10}, the class count below k, the rows that would need
+# suppression, and the suppression rate in exact ppm.
+# Scale: ONE groupBy over the (bounded-domain) QI tuple; everything
+# after runs on the classes-sized summary — the fact table is scanned
+# once regardless of how many k thresholds are reported.
+# ---------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH qi AS (
+  SELECT lang, source, n_chars // 500 AS size_bucket,
+         cast(count(*) AS BIGINT) AS g
+  FROM documents GROUP BY 1, 2, 3
+), tot AS (
+  SELECT cast(sum(g) AS BIGINT) AS n_rows,
+         cast(count(*) AS BIGINT) AS n_classes
+  FROM qi
+), ks AS (
+  SELECT unnest([2, 5, 10]) AS k
+)
+SELECT ks.k,
+       tot.n_classes,
+       cast(coalesce(sum(CASE WHEN qi.g < ks.k THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS classes_below_k,
+       cast(coalesce(sum(CASE WHEN qi.g < ks.k THEN qi.g ELSE 0 END), 0) AS BIGINT)
+         AS rows_suppressed,
+       cast(coalesce(sum(CASE WHEN qi.g < ks.k THEN qi.g ELSE 0 END), 0)
+            * 1000000 // tot.n_rows AS BIGINT) AS suppressed_ppm
+FROM ks CROSS JOIN tot CROSS JOIN qi
+GROUP BY ks.k, tot.n_classes, tot.n_rows
+ORDER BY ks.k
+"""
+
+
+@register(
+    "docs_kanon_quasi_identifier_risk",
+    _KANON_ORACLE,
+    tags=("llm", "governance", "audit"),
+)
+def docs_kanon_quasi_identifier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    qi = docs.groupBy(
+        "lang",
+        "source",
+        (F.col("n_chars") / 500).cast("long").alias("size_bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("g"))
+    tot = qi.agg(
+        F.sum("g").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+    )
+    ks = docs.sparkSession.range(0, 3).select(
+        F.element_at(F.array(F.lit(2), F.lit(5), F.lit(10)), (F.col("id") + 1).cast("int")).alias("k")
+    )
+    joined = ks.crossJoin(F.broadcast(tot)).crossJoin(qi)
+    out = (
+        joined.groupBy("k", "n_classes", "n_rows")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("g") < F.col("k"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("classes_below_k"),
+            F.coalesce(
+                F.sum(F.when(F.col("g") < F.col("k"), F.col("g")).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rows_suppressed"),
+        )
+        .select(
+            "k",
+            "n_classes",
+            "classes_below_k",
+            "rows_suppressed",
+            ((F.col("rows_suppressed") * 1_000_000) / F.col("n_rows"))
+            .cast("long")
+            .alias("suppressed_ppm"),
+        )
+        .orderBy("k")
+    )
+    capture_plan("docs_kanon_quasi_identifier_risk", out)
+    return out
