@@ -19,8 +19,8 @@ Scale design notes (the reason each query exists):
   split over middles, all in exact integer ppm (the floor remainder of
   the middle split goes to the FIRST touch so every conversion's
   credit sums to exactly 1,000,000).  One pass builds purchase epochs
-  with a running count (no self-join); touches equi-join to their
-  converting purchase on (user, epoch).
+  with a running count; converted/count/position are whole-partition
+  windows over (user, epoch) — one fact scan, zero joins.
 * The ACF query is "aggregate first, then analyze the tiny summary":
   the only data-sized op is the per-day count; lag products run on the
   days-sized series.  Integer-moments form (devs scaled by n so no
@@ -95,8 +95,16 @@ ORDER BY m.user_id
     tags=("events", "bitmap", "engagement"),
 )
 def events_user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.materialize import materialize
+
     ev = load(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    # One fact scan: the deduped (user, day) set is materialized and
+    # feeds anchor, mask, and streak branches — without the pin, each
+    # branch would re-scan events (4 scans in the dumped plan).
+    ud = materialize(
+        ev.select("user_id", F.to_date("ts").alias("day")).distinct(),
+        name="activity-user-days",
+    )
     anchor = ud.agg(F.max("day").alias("max_day"))
     idx = (
         ud.crossJoin(F.broadcast(anchor))
@@ -146,10 +154,11 @@ def events_user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distributes exactly 1,000,000 ppm of credit over the view/click
 # touches since the previous purchase — 40 % first, 40 % last, 20 %
 # split over middles (floor; remainder to the first touch).  Epochs come
-# from ONE running count of prior purchases per user; touches meet their
-# converting purchase with an equi-join on (user_id, epoch) — no
-# ts-range join, no self-join of the fact table against itself.
-# Touches after a user's final purchase never convert and drop out.
+# from ONE running count of prior purchases per user; the converted
+# flag, touch count, and touch position are whole-partition windows over
+# (user, epoch) in the SAME sort — one fact scan, no ts-range join, no
+# self-join (the oracle states the equivalent join form).  Touches after
+# a user's final purchase never convert and drop out.
 # ---------------------------------------------------------------------------
 
 _UATTR_ORACLE = """
@@ -215,18 +224,28 @@ def events_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataF
             F.lit(0),
         ).alias("epoch"),
     )
-    touches = seq.filter(F.col("event_type").isin("view", "click")).select(
-        "user_id", "epoch", F.col("event_type").alias("touch_type"), "ts", "event_id"
-    )
-    conv = seq.filter(F.col("event_type") == "purchase").select("user_id", "epoch")
+    # Within (user, epoch) the purchase — if the epoch converted at all —
+    # is by construction the LAST row and the ONLY purchase (rows after
+    # it advance to epoch+1).  So the touch↔conversion match needs no
+    # join: whole-partition windows over (user, epoch) supply the
+    # converted flag, the touch count n, and the running touch position
+    # p in the same sort the epoch window already established — ONE fact
+    # scan, one partition-sort family, zero self-joins.
+    is_touch = F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
     wp = Window.partitionBy("user_id", "epoch")
+    wrun = wp.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
     pos = (
-        touches.join(conv, ["user_id", "epoch"])
-        .select(
-            "touch_type",
-            F.row_number().over(wp.orderBy("ts", "event_id")).alias("p"),
-            F.count(F.lit(1)).over(wp).alias("n"),
+        seq.select(
+            F.col("event_type").alias("touch_type"),
+            is_touch.alias("is_touch"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .over(wp)
+            .alias("converted"),
+            F.sum(is_touch).over(wp).alias("n"),
+            F.sum(is_touch).over(wrun).alias("p"),
         )
+        .filter((F.col("is_touch") == 1) & (F.col("converted") == 1))
+        .select("touch_type", "p", "n")
     )
     n, p = F.col("n"), F.col("p")
     ppm = (
@@ -304,9 +323,17 @@ ORDER BY lag
     tags=("events", "timeseries", "stats"),
 )
 def events_acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.materialize import materialize
+
     ev = load(spark, sf_dir, "events")
-    cnt = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # Pin the days-sized summary: bounds/spine/tot/dev/den/num all read
+    # it — unpinned, each branch re-scans and re-aggregates the fact
+    # table (6 scans in the dumped plan; 1 after the pin).
+    cnt = materialize(
+        ev.groupBy(F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+        name="acf-daily-counts",
     )
     bounds = cnt.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = bounds.select(
@@ -390,8 +417,15 @@ ORDER BY type_a, type_b
     tags=("events", "similarity", "graph"),
 )
 def events_type_affinity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.materialize import materialize
+
     ev = load(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # Pin the deduped bipartite edges: both self-join sides and the
+    # per-type sizes read them — unpinned, each reference re-scans the
+    # fact table and re-runs the dedup shuffle.
+    ut = materialize(
+        ev.select("user_id", "event_type").distinct(), name="affinity-user-types"
+    )
     sz = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     a, b = ut.alias("a"), ut.alias("b")
     pairs = (

@@ -836,11 +836,16 @@ ORDER BY ks.k
 )
 def docs_kanon_quasi_identifier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    qi = docs.groupBy(
-        "lang",
-        "source",
-        (F.col("n_chars") / 500).cast("long").alias("size_bucket"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("g"))
+    # Pin the classes-sized QI summary: the totals and the per-k rollup
+    # both read it — unpinned, each branch re-scans the corpus.
+    qi = materialize(
+        docs.groupBy(
+            "lang",
+            "source",
+            (F.col("n_chars") / 500).cast("long").alias("size_bucket"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("g")),
+        name="kanon-qi-classes",
+    )
     tot = qi.agg(
         F.sum("g").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_classes"),

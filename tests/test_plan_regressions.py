@@ -490,3 +490,32 @@ def test_sweep_queries_use_distributed_prefix_sum(spark):
     ):
         p = _plan(spark, name)
         assert "rangepartitioning" in p.lower(), name
+
+
+def test_uattr_single_scan_no_join(spark):
+    """Position-based attribution must stay the single-scan window form:
+    the touch<->conversion match is whole-partition windows over
+    (user, epoch), never a self-join of the fact table (which would
+    scan events twice and add a join shuffle)."""
+    import re
+
+    p = _plan(spark, "events_attribution_position_based")
+    # formatted mode lists each operator in the tree AND a detail
+    # section — count the numbered detail headers, one per scan.
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+
+
+def test_bitmap_and_affinity_pin_the_dedup(spark):
+    """The bitmap/affinity/ACF plans must read their deduped or
+    aggregated intermediate from a materialized pin (lineage-truncated
+    scan), not re-derive it per branch — unpinned, the dumped plans
+    re-scanned the fact table 4-6 times."""
+    for name in (
+        "events_user_activity_bitmap",
+        "events_type_affinity_jaccard",
+        "events_acf_daily_lags",
+    ):
+        p = _plan(spark, name)
+        if "Scan parquet" in p:
+            raise AssertionError(f"{name}: fact re-scan survived the pin")
