@@ -130,6 +130,9 @@ _PRIORITY = [
     "events_acf_daily_lags",
     "events_type_affinity_jaccard",
     "docs_kanon_quasi_identifier_risk",
+    # r8 tranche 10: bounded-state STREAMING heavy hitters (cross-batch
+    # Misra-Gries GroupState + exact candidate rescan with proof).
+    "streaming_heavy_hitters_drain",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

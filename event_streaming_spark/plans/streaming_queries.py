@@ -1493,3 +1493,139 @@ def streaming_hll_distinct_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("exact_users"))
     )
     return est.join(exact, "day").orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: bounded Misra-Gries state ACROSS micro-batches
+# (streaming/state.py::heavy_hitters_stream) + one exact batch rescan of
+# the candidates — the streaming twin of `text_heavy_hitters_mg_rescan`.
+# Three arrival waves (doc_id % 3) force the candidate set to form
+# incrementally through GroupState; streaming state never exceeds
+# #salts × capacity counters no matter the vocabulary (an exact
+# streaming top-k would hold the whole vocabulary in the state store).
+# Correctness is PROVEN per run: each term lives in exactly one salt
+# group, so a group's realized decrement total bounds the undercount of
+# any term it dropped; the plan asserts min(top-20 exact count) >
+# max_g(dec_total_g) and raises otherwise — on return the output
+# provably equals the exact global top-20 the oracle computes.
+# ---------------------------------------------------------------------------
+
+
+def _shh_oracle() -> str:
+    from event_streaming_spark.functions.hashing import sql_normalize_text
+
+    return f"""
+WITH t AS (
+  SELECT unnest(string_split({sql_normalize_text('text')}, ' ')) AS term
+  FROM documents
+), c AS (
+  SELECT term, cast(count(*) AS BIGINT) AS n FROM t GROUP BY 1
+), r AS (
+  SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM c
+)
+SELECT term, n, rnk FROM r WHERE rnk <= 20
+"""
+
+
+_SHH_CAPACITY = 64
+_SHH_SALTS = 8
+
+
+@register(
+    "streaming_heavy_hitters_drain",
+    _shh_oracle(),
+    tags=("streaming", "sketch", "state", "text"),
+)
+def streaming_heavy_hitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the documents topic through the bounded-state MG operator in
+    three arrival waves; exact-rescan the final candidates and prove
+    top-20 completeness from the realized decrement totals."""
+    from pyspark.sql import Window
+
+    from event_streaming_spark.functions.hashing import tokens as tok_fn
+    from event_streaming_spark.plans.catalog import spread
+    from event_streaming_spark.streaming.agency import EventsAgency
+    from event_streaming_spark.streaming.state import heavy_hitters_stream
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 3).cast("int").alias("wave"), "text"
+    )
+    root = tempfile.mkdtemp(prefix="est-shh-")
+    batches: list = []
+    try:
+        agency = EventsAgency(spark, root=root, log_format="parquet")
+        ctx = agency._get_or_create("driver-gate", "hh-docs")
+        ctx.schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("wave", T.IntegerType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+
+        def summarized(df: DataFrame) -> DataFrame:
+            toks = df.select(F.explode(tok_fn(F.col("text"))).alias("term")).select(
+                F.pmod(F.hash("term"), F.lit(_SHH_SALTS)).cast("int").alias("salt"),
+                "term",
+            )
+            out = heavy_hitters_stream(toks, capacity=_SHH_CAPACITY)
+            capture_plan("streaming_heavy_hitters_drain/stateful_plan", out)
+            return out
+
+        def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
+            pdf = batch_df.toPandas()
+            pdf["_b"] = len(batches)
+            batches.append(pdf)
+
+        for w in range(3):
+            ctx.publish(docs.filter(F.col("wave") == w))
+            ctx.consume(
+                on_notify,
+                once=True,
+                transform=summarized,
+                output_mode="update",
+                # state = salts × capacity counter rows — the whole point
+                state_partitions=_SHH_SALTS,
+            )
+        agency.close(remove_logs=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    import pandas as pd
+
+    allb = pd.concat([b for b in batches if not b.empty], ignore_index=True)
+    # final snapshot per salt group = its last emission
+    last_b = allb.groupby("salt")["_b"].transform("max")
+    final = allb[allb["_b"] == last_b]
+    maxdec = int(final["dec_total"].max())
+    cand = spark.createDataFrame(
+        final[["term"]].drop_duplicates(), "term string"
+    )
+
+    # exact rescan of candidates only; global top-20 via TakeOrdered,
+    # rank window applied post-limit on 20 rows
+    stream = spread(load(spark, sf_dir, "documents")).select(
+        F.explode(tok_fn(F.col("text"))).alias("term")
+    )
+    exact = (
+        stream.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    top = exact.orderBy(F.col("n").desc(), "term").limit(20)
+    ranked = top.select(
+        "term",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("term")))
+        .alias("rnk"),
+    ).cache()
+
+    floor = min(r["n"] for r in ranked.collect())
+    if floor <= maxdec:  # -O-safe
+        raise AssertionError(
+            f"MG capacity {_SHH_CAPACITY}×{_SHH_SALTS} cannot prove top-20 "
+            f"completeness: min exact count {floor} ≤ realized decrement "
+            f"bound {maxdec}; raise _SHH_CAPACITY"
+        )
+    return ranked

@@ -196,3 +196,105 @@ def sessionize_stream(
     return events.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def mg_merge(
+    terms: list, counts: list, batch_counts: dict, capacity: int
+) -> tuple[list, list, int]:
+    """Pure Misra-Gries merge: fold EXACT per-batch counts into a bounded
+    counter set (≤ ``capacity`` survivors).
+
+    Batched decrement (merge form of the classic one-at-a-time rule):
+    when the combined set exceeds capacity, subtract the (capacity+1)-th
+    largest count from every counter and drop the non-positive — at most
+    ``capacity`` values can exceed that threshold, so one round always
+    suffices.  Returns the new (terms, counts) in sorted-term order (a
+    deterministic state encoding) plus the decrement applied: any term's
+    UNDERCOUNT after a sequence of merges is at most the sum of the
+    returned decrements, which is the realized completeness bound the
+    consuming plan asserts against (tighter than the n/(capacity+1)
+    worst case).
+    """
+    c = dict(zip(list(terms), [int(x) for x in counts]))
+    for t, n in batch_counts.items():
+        c[t] = c.get(t, 0) + int(n)
+    dec = 0
+    if len(c) > capacity:
+        kth = sorted(c.values(), reverse=True)[capacity]
+        c = {t: n - kth for t, n in c.items() if n - kth > 0}
+        dec = int(kth)
+    ts = sorted(c)
+    return ts, [c[t] for t in ts], dec
+
+
+def heavy_hitters_stream(
+    tokens_df: DataFrame,
+    capacity: int = 64,
+    salt_col: str = "salt",
+    term_col: str = "term",
+) -> DataFrame:
+    """Bounded-state streaming heavy hitters: a capacity-C Misra-Gries
+    summary PER SALT GROUP maintained ACROSS micro-batches through
+    ``applyInPandasWithState`` — the streaming complement of the batch
+    `text_heavy_hitters_mg_rescan` two-pass plan (state never exceeds
+    #salts × capacity counters regardless of stream length or
+    vocabulary; an exact streaming top-k would hold the vocabulary).
+
+    Each term hashes to exactly ONE salt group, so a group's realized
+    decrement total bounds the undercount of every term absent from its
+    candidate set — the consuming plan's completeness proof.  Every
+    micro-batch emits the group's full candidate SNAPSHOT (plus the
+    running n_seen / dec_total); the subscriber keeps the last snapshot
+    per group.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(salt_col, T.IntegerType()),
+            T.StructField(term_col, T.StringType()),
+            T.StructField("mg_count", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("dec_total", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("terms", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("dec_total", T.LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        terms, counts, n_seen, dec_total = (
+            state.get if state.exists else ([], [], 0, 0)
+        )
+        batch: dict = {}
+        new_rows = 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            new_rows += len(pdf)
+            for t, n in pdf[term_col].value_counts().items():
+                batch[t] = batch.get(t, 0) + int(n)
+        if not batch:
+            return
+        terms, counts, dec = mg_merge(terms, counts, batch, capacity)
+        n_seen = int(n_seen) + new_rows
+        dec_total = int(dec_total) + dec
+        state.update((list(terms), [int(x) for x in counts], n_seen, dec_total))
+        yield pd.DataFrame(
+            {
+                salt_col: [int(key[0])] * len(terms),
+                term_col: list(terms),
+                "mg_count": [int(x) for x in counts],
+                "n_seen": [n_seen] * len(terms),
+                "dec_total": [dec_total] * len(terms),
+            }
+        )
+
+    return tokens_df.groupBy(salt_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

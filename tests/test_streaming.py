@@ -738,3 +738,40 @@ def test_custom_sessionizer_timeout_flushes_without_new_events(spark, tmp_path):
     )
     assert len(out) == 1
     assert (out.loc[0, "user_id"], out.loc[0, "n_events"]) == (5, 1)
+
+
+# -- bounded-state streaming heavy hitters (Misra-Gries GroupState) ----------
+
+
+def test_mg_merge_overflow_decrements_and_bounds():
+    """The fixture vocabulary (31 tokens) never overflows the production
+    capacity, so the decrement path is pinned here directly: overflow
+    subtracts the (capacity+1)-th largest from all, keeps ≤ capacity
+    survivors, and the returned decrement is exactly the undercount any
+    dropped term incurred (the completeness bound the drain asserts)."""
+    from event_streaming_spark.streaming.state import mg_merge
+
+    terms, counts, dec = mg_merge([], [], {"a": 10, "b": 7, "c": 3, "d": 1}, 2)
+    # kth largest (cap+1 = 3rd) = 3 → a:7, b:4 survive; c,d dropped
+    assert (terms, counts, dec) == (["a", "b"], [7, 4], 3)
+    # merging more mass accumulates; state order is deterministic (sorted)
+    terms, counts, dec2 = mg_merge(terms, counts, {"d": 6, "a": 1}, 2)
+    # combined a:8, b:4, d:6 → kth = 4 → a:4, d:2
+    assert (terms, counts, dec2) == (["a", "d"], [4, 2], 4)
+    # undercount bound: true(d) = 7, stored 2, undercount 5 ≤ dec+dec2 = 7
+    assert 7 - 2 <= dec + dec2
+
+
+def test_mg_merge_no_overflow_is_exact():
+    from event_streaming_spark.streaming.state import mg_merge
+
+    terms, counts, dec = mg_merge(["x"], [5], {"y": 2, "x": 1}, 8)
+    assert (terms, counts, dec) == (["x", "y"], [6, 2], 0)
+
+
+def test_mg_merge_tie_at_threshold_keeps_within_capacity():
+    from event_streaming_spark.streaming.state import mg_merge
+
+    # all values tie: the (cap+1)-th largest equals them all → all drop
+    terms, counts, dec = mg_merge([], [], {"a": 5, "b": 5, "c": 5}, 2)
+    assert terms == [] and counts == [] and dec == 5
