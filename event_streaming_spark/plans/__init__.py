@@ -131,8 +131,10 @@ _PRIORITY = [
     "events_type_affinity_jaccard",
     "docs_kanon_quasi_identifier_risk",
     # r8 tranche 10: bounded-state STREAMING heavy hitters (cross-batch
-    # Misra-Gries GroupState + exact candidate rescan with proof).
+    # Misra-Gries GroupState + exact candidate rescan with proof), plus
+    # its kill+resume variant (delta-only + token-conservation proofs).
     "streaming_heavy_hitters_drain",
+    "streaming_heavy_hitters_restart_drain",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -1531,15 +1531,7 @@ _SHH_CAPACITY = 64
 _SHH_SALTS = 8
 
 
-@register(
-    "streaming_heavy_hitters_drain",
-    _shh_oracle(),
-    tags=("streaming", "sketch", "state", "text"),
-)
-def streaming_heavy_hitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drain the documents topic through the bounded-state MG operator in
-    three arrival waves; exact-rescan the final candidates and prove
-    top-20 completeness from the realized decrement totals."""
+def _run_heavy_hitters(spark: SparkSession, sf_dir: str, restart: bool) -> DataFrame:
     from pyspark.sql import Window
 
     from event_streaming_spark.functions.hashing import tokens as tok_fn
@@ -1552,6 +1544,7 @@ def streaming_heavy_hitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     root = tempfile.mkdtemp(prefix="est-shh-")
     batches: list = []
+    phase = [1]  # restart path: 1 = first query instance, 2 = resumed
     try:
         agency = EventsAgency(spark, root=root, log_format="parquet")
         ctx = agency._get_or_create("driver-gate", "hh-docs")
@@ -1569,24 +1562,51 @@ def streaming_heavy_hitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame
                 "term",
             )
             out = heavy_hitters_stream(toks, capacity=_SHH_CAPACITY)
-            capture_plan("streaming_heavy_hitters_drain/stateful_plan", out)
+            capture_plan(
+                "streaming_heavy_hitters"
+                + ("_restart" if restart else "")
+                + "_drain/stateful_plan",
+                out,
+            )
             return out
 
         def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
             pdf = batch_df.toPandas()
             pdf["_b"] = len(batches)
+            pdf["_phase"] = phase[0]
             batches.append(pdf)
 
-        for w in range(3):
+        # arrival schedule: the restart variant holds wave 2 back until
+        # the first query instance has been killed
+        for w in range(2 if restart else 3):
             ctx.publish(docs.filter(F.col("wave") == w))
+        ctx.consume(
+            on_notify,
+            once=True,
+            transform=summarized,
+            output_mode="update",
+            # state = salts x capacity counter rows -- the whole point
+            state_partitions=_SHH_SALTS,
+            max_files_per_trigger=16,  # force >1 micro-batch per instance
+        )
+        if restart:
+            # KILL the query instance (availableNow already terminated it;
+            # stop() drops the handle so nothing survives but the
+            # checkpoint + the GroupState store), publish the held-back
+            # wave, and RESUME from the same checkpoint.
+            ctx.stop()
+            phase[0] = 2
+            ctx.publish(docs.filter(F.col("wave") == 2))
             ctx.consume(
                 on_notify,
                 once=True,
                 transform=summarized,
                 output_mode="update",
-                # state = salts × capacity counter rows — the whole point
                 state_partitions=_SHH_SALTS,
+                max_files_per_trigger=16,
             )
+            if not any(p["_phase"].eq(2).any() for p in batches if not p.empty):
+                raise AssertionError("resumed query emitted no snapshots")  # -O-safe
         agency.close(remove_logs=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1598,15 +1618,14 @@ def streaming_heavy_hitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame
     last_b = allb.groupby("salt")["_b"].transform("max")
     final = allb[allb["_b"] == last_b]
     maxdec = int(final["dec_total"].max())
-    cand = spark.createDataFrame(
-        final[["term"]].drop_duplicates(), "term string"
-    )
+    cand = spark.createDataFrame(final[["term"]].drop_duplicates(), "term string")
 
     # exact rescan of candidates only; global top-20 via TakeOrdered,
     # rank window applied post-limit on 20 rows
     stream = spread(load(spark, sf_dir, "documents")).select(
         F.explode(tok_fn(F.col("text"))).alias("term")
     )
+    total_tokens = stream.count()
     exact = (
         stream.join(F.broadcast(cand), "term")
         .groupBy("term")
@@ -1621,11 +1640,74 @@ def streaming_heavy_hitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("rnk"),
     ).cache()
 
+    # TOKEN-CONSERVATION proof: summed over salt groups, the final
+    # snapshots' running n_seen must equal the batch-leg token count
+    # exactly -- every token folded into the state ONCE (a lost
+    # GroupState across the kill would undercount; a source-offset
+    # re-delivery would overcount).  On the tiny fixture vocabulary the
+    # oracle alone could not distinguish a state reset (the last wave
+    # re-covers every term), so this equality, not the rank match, is
+    # what pins cross-instance state persistence.
+    seen_sum = int(final.drop_duplicates(["salt"])["n_seen"].sum())
+    if seen_sum != total_tokens:  # -O-safe
+        raise AssertionError(
+            f"token conservation violated across the drain: state n_seen "
+            f"{seen_sum} != {total_tokens} stream tokens (lost or "
+            f"re-delivered micro-batches)"
+        )
+    if restart:
+        # delta-only proof: the resumed instance's contribution equals
+        # EXACTLY the held-back wave's token count
+        pre = allb[allb["_phase"] == 1]
+        pre_last = pre.groupby("salt")["_b"].transform("max")
+        pre_seen = int(pre[pre["_b"] == pre_last].drop_duplicates(["salt"])["n_seen"].sum())
+        wave2 = (
+            spread(load(spark, sf_dir, "documents"))
+            .filter((F.col("doc_id") % 3) == 2)
+            .select(F.explode(tok_fn(F.col("text"))).alias("term"))
+            .count()
+        )
+        if seen_sum - pre_seen != wave2:  # -O-safe
+            raise AssertionError(
+                f"resumed instance processed {seen_sum - pre_seen} tokens, "
+                f"expected exactly the post-kill delta {wave2}"
+            )
+
     floor = min(r["n"] for r in ranked.collect())
     if floor <= maxdec:  # -O-safe
         raise AssertionError(
-            f"MG capacity {_SHH_CAPACITY}×{_SHH_SALTS} cannot prove top-20 "
-            f"completeness: min exact count {floor} ≤ realized decrement "
+            f"MG capacity {_SHH_CAPACITY}x{_SHH_SALTS} cannot prove top-20 "
+            f"completeness: min exact count {floor} <= realized decrement "
             f"bound {maxdec}; raise _SHH_CAPACITY"
         )
     return ranked
+
+
+@register(
+    "streaming_heavy_hitters_drain",
+    _shh_oracle(),
+    tags=("streaming", "sketch", "state", "text"),
+)
+def streaming_heavy_hitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the documents topic through the bounded-state MG operator in
+    three arrival waves; exact-rescan the final candidates, prove top-20
+    completeness from the realized decrement totals, and prove token
+    conservation (state n_seen == stream token count exactly)."""
+    return _run_heavy_hitters(spark, sf_dir, restart=False)
+
+
+@register(
+    "streaming_heavy_hitters_restart_drain",
+    _shh_oracle(),
+    tags=("streaming", "sketch", "state", "text", "restart"),
+)
+def streaming_heavy_hitters_restart_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION restart path for the bounded MG state: drain two
+    waves, KILL the query, publish the held-back wave, resume from the
+    same checkpoint.  The resumed instance must carry the predecessor's
+    GroupState forward (token conservation: final n_seen == total stream
+    tokens) and must process EXACTLY the post-kill delta (n_seen growth
+    == held-back wave's token count) -- both asserted in-plan.  Same
+    oracle as the single-run variant: restart is an execution detail,
+    not a semantic one."""
+    return _run_heavy_hitters(spark, sf_dir, restart=True)
