@@ -135,6 +135,8 @@ _PRIORITY = [
     # its kill+resume variant (delta-only + token-conservation proofs).
     "streaming_heavy_hitters_drain",
     "streaming_heavy_hitters_restart_drain",
+    # r8 tranche 11: clickstream path mining (ordered journey strings).
+    "events_top_session_paths",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -466,3 +466,67 @@ def events_type_affinity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capture_plan("events_type_affinity_jaccard", out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Clickstream PATH MINING: the top-10 most frequent ordered event-type
+# sequences per (user, day) journey, with a deterministic tie-break —
+# the "what do users actually do" complement of the Markov transition
+# matrix (which only sees adjacent pairs).  The journey build is one
+# keyed aggregate: collect the day's (ts, event_id, type) structs,
+# array_sort (struct order = field order, so the (ts, event_id) total
+# order), then project the types — no window, no self-join; the
+# frequency count is a wordcount-shaped shuffle over journey strings.
+# Scale: journeys are bounded by per-user-per-day activity (a data
+# property, not a plan property — the collect_list is per (user, day),
+# never per user); the top-10 is TakeOrdered on the path vocabulary.
+# ---------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH j AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), c AS (
+  SELECT path, cast(count(*) AS BIGINT) AS n_journeys FROM j GROUP BY path
+), r AS (
+  SELECT path, n_journeys,
+         row_number() OVER (ORDER BY n_journeys DESC, path) AS rnk
+  FROM c
+)
+SELECT path, n_journeys, rnk FROM r WHERE rnk <= 10
+"""
+
+
+@register(
+    "events_top_session_paths",
+    _PATHS_ORACLE,
+    tags=("events", "sequence", "agg"),
+)
+def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    journeys = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = journeys.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_journeys")
+    )
+    top = counts.orderBy(F.col("n_journeys").desc(), "path").limit(10)
+    return top.select(
+        "path",
+        "n_journeys",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_journeys").desc(), F.col("path")))
+        .alias("rnk"),
+    )
