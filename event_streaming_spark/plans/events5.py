@@ -93,6 +93,7 @@ ORDER BY m.user_id
     "events_user_activity_bitmap",
     _BITMAP_ORACLE,
     tags=("events", "bitmap", "engagement"),
+    bench=True,  # r8: new capability class — tracked round-over-round
 )
 def events_user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_spark.operators.materialize import materialize
@@ -502,6 +503,7 @@ SELECT path, n_journeys, rnk FROM r WHERE rnk <= 10
     "events_top_session_paths",
     _PATHS_ORACLE,
     tags=("events", "sequence", "agg"),
+    bench=True,  # r8: new capability class — tracked round-over-round
 )
 def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

@@ -20,6 +20,16 @@ coverage (OOV rate), and exact containment detection.
   rarest shingles must hit B, so the candidate join is A-prefix ×
   full-index on RARE keys only — bucket sizes bounded by the prefix
   shingle's document frequency, never the 'the'-bucket.
+
+Late-session additions (same audit discipline):
+
+* ``dedup_minhash_estimator_calibration`` — the 16-permutation
+  estimator measured against EXACT Jaccard on every LSH candidate pair
+  (ppm |error| histogram); costs exactly the verify stage it
+  calibrates.
+* ``docs_kanon_quasi_identifier_risk`` — k-anonymity suppression report
+  over the (lang, source, length-bucket) quasi-identifier tuple for
+  k ∈ {2, 5, 10}.
 """
 
 from __future__ import annotations
@@ -723,6 +733,7 @@ FROM err GROUP BY 1 ORDER BY 1
     "dedup_minhash_estimator_calibration",
     _calib_oracle(),
     tags=("llm", "dedup", "sketch", "audit"),
+    bench=True,  # r8: heaviest session addition — tracked round-over-round
 )
 def dedup_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents"))

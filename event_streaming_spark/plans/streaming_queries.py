@@ -1687,6 +1687,7 @@ def _run_heavy_hitters(spark: SparkSession, sf_dir: str, restart: bool) -> DataF
     "streaming_heavy_hitters_drain",
     _shh_oracle(),
     tags=("streaming", "sketch", "state", "text"),
+    bench=True,  # r8: heaviest streaming addition — tracked round-over-round
 )
 def streaming_heavy_hitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the documents topic through the bounded-state MG operator in
