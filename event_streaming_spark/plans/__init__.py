@@ -135,8 +135,10 @@ _PRIORITY = [
     # its kill+resume variant (delta-only + token-conservation proofs).
     "streaming_heavy_hitters_drain",
     "streaming_heavy_hitters_restart_drain",
-    # r8 tranche 11: clickstream path mining (ordered journey strings).
+    # r8 tranche 11: clickstream path mining (ordered journey strings)
+    # and the lang-ID confusion-matrix audit.
     "events_top_session_paths",
+    "docs_lang_id_confusion_matrix",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -472,3 +472,58 @@ def text_quality_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score_fp", "kept")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lang-ID CONFUSION MATRIX: the marker-word classifier audited against
+# the corpus's declared lang label — (label × predicted) counts plus
+# each cell's share of its label row in exact ppm.  The eval that turns
+# "we have a lang-ID heuristic" into "here is where it is wrong":
+# off-diagonal hot cells localize marker lists that need work before
+# the classifier gates a data mix.
+# Scale: one classify pass (JVM-side token filters) + one groupBy over
+# the (|langs|+1)² cell domain; label totals join classes-sized rows.
+# ---------------------------------------------------------------------------
+
+_LANGCM_ORACLE = f"""
+WITH p AS (
+  SELECT lang AS label, {T.sql_lang_id('text')} AS predicted_lang
+  FROM documents
+), cells AS (
+  SELECT label, predicted_lang, cast(count(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY 1, 2
+), totals AS (
+  SELECT label, cast(sum(n_docs) AS BIGINT) AS label_total FROM cells GROUP BY 1
+)
+SELECT c.label, c.predicted_lang, c.n_docs,
+       c.n_docs * 1000000 // t.label_total AS share_of_label_ppm
+FROM cells c JOIN totals t ON t.label = c.label
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "docs_lang_id_confusion_matrix",
+    _LANGCM_ORACLE,
+    tags=("llm", "text", "audit"),
+)
+def docs_lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    cells = (
+        docs.select(F.col("lang").alias("label"), T.lang_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("label", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    totals = cells.groupBy("label").agg(F.sum("n_docs").cast("long").alias("label_total"))
+    return (
+        cells.join(F.broadcast(totals), "label")
+        .select(
+            "label",
+            "predicted_lang",
+            "n_docs",
+            ((F.col("n_docs") * 1_000_000) / F.col("label_total"))
+            .cast("long")
+            .alias("share_of_label_ppm"),
+        )
+        .orderBy("label", "predicted_lang")
+    )
