@@ -1,6 +1,7 @@
-"""Round-8 tranche 9: bitmap-index engagement analytics, position-based
-multi-touch attribution, autocorrelation of the daily series, and
-type-affinity Jaccard — four capability classes the catalog lacked.
+"""Round-8 tranches 9/11: bitmap-index engagement analytics,
+position-based multi-touch attribution, autocorrelation of the daily
+series, type-affinity Jaccard, and clickstream path mining — capability
+classes the catalog lacked.
 
 Scale design notes (the reason each query exists):
 
@@ -31,6 +32,10 @@ Scale design notes (the reason each query exists):
   types WITHOUT a user×user join: the per-user distinct type set is
   bounded by |types|, so the pair explosion is ≤ C(|types|,2) rows per
   user — linear in users, never quadratic.
+* PATH MINING builds each (user, day) journey with one keyed collect +
+  array_sort (struct field order = the (ts, event_id) total order) —
+  no window, no self-join; identical paths count through a
+  wordcount-shaped shuffle.
 
 Determinism: engine-boundary values are exact integers (ppm floor
 division per the repo convention) except the ACF's final round(·, 6),
