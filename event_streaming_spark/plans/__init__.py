@@ -139,6 +139,8 @@ _PRIORITY = [
     # and the lang-ID confusion-matrix audit.
     "events_top_session_paths",
     "docs_lang_id_confusion_matrix",
+    # r8 tranche 12: winnowing (MOSS) fingerprint pairs.
+    "docs_winnowing_fingerprint_pairs",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -527,3 +527,121 @@ def docs_lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("label", "predicted_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# WINNOWING fingerprints (the MOSS algorithm): within every window of
+# W consecutive POSITIONAL k-gram hashes, select the minimum — any two
+# documents sharing a substring of ≥ W+k−1 tokens are guaranteed to
+# share a fingerprint, at ~2/(W+1) the density of full shingling.  The
+# pair stage is an inverted-index equi-join on the selected
+# fingerprints, with stop-fingerprints (document frequency > 50 —
+# boilerplate phrases every doc carries) dropped before the join so
+# bucket sizes stay df-bounded, never corpus-bounded.  Unlike the
+# MinHash candidates (probabilistic), shared-winnow counts are exact
+# and deterministic — the plagiarism-detection standard.
+# Scale: positions explode ~tokens rows once; the window min is one
+# keyed sort per doc; the join carries (doc, fp) pairs at winnow
+# density.  Docs shorter than W+k−1 tokens have no full window and
+# drop out (standard winnowing).
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # window size in k-grams (k = 3 tokens)
+_WINNOW_MAX_DF = 50
+_WINNOW_MIN_SHARED = 2
+
+
+def _winnow_oracle() -> str:
+    from event_streaming_spark.functions.hashing import (
+        sql_normalize_text,
+        sql_stable_hash32,
+    )
+
+    toks = f"string_split({sql_normalize_text('text')}, ' ')"
+    # POSITIONAL k-gram hashes: same construction as sql_shingle_hashes
+    # but WITHOUT list_distinct — winnowing needs the sequence.
+    gram = "array_to_string((" + toks + ")[i:i+2], ' ')"
+    hs = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 2, 0)),"
+        f" i -> {sql_stable_hash32(gram)})"
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id, {hs} AS hs FROM documents
+), pos AS (
+  SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS ord,
+         len(hs) AS n
+  FROM hs
+), sel AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY ord
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+             AS fp,
+           ord, n
+    FROM pos) WHERE ord <= n - {_WINNOW_W - 1}
+), df AS (
+  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= {_WINNOW_MAX_DF}
+), kept AS (
+  SELECT sel.doc_id, sel.fp FROM sel JOIN df ON df.fp = sel.fp
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(count(*) AS BIGINT) AS n_shared_fps
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_WINNOW_MIN_SHARED}
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "docs_winnowing_fingerprint_pairs",
+    _winnow_oracle(),
+    tags=("llm", "dedup", "fingerprint", "join"),
+)
+def docs_winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from event_streaming_spark.functions.hashing import normalize_text, stable_hash32
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(normalize_text(F.col("text")), " ")
+    # positional 3-token shingle hashes (ordered, not deduped)
+    hs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: stable_hash32(F.array_join(F.slice(toks, i, 3), " ")),
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode(hs).alias("ord", "h")
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("ord")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    sel = (
+        pos.select("doc_id", F.min("h").over(w).alias("fp"), "ord", "n")
+        # posexplode is 0-based (DuckDB ordinality is 1-based): same
+        # "full windows only" cut, ord ≤ n − W expressed 0-based
+        .filter(F.col("ord") <= F.col("n") - _WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    df_ok = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _WINNOW_MAX_DF
+    )
+    kept = sel.join(F.broadcast(df_ok.select("fp")), "fp")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= _WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
