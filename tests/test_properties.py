@@ -742,3 +742,44 @@ def test_mg_rescan_fails_loudly_when_capacity_too_small(spark):
             )
     finally:
         lt._MG_CAPACITY = old
+
+
+@given(
+    batches=st.lists(
+        st.dictionaries(
+            st.sampled_from([f"t{i}" for i in range(12)]),
+            st.integers(min_value=1, max_value=50),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    capacity=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_mg_merge_bound_and_capacity_invariants(batches, capacity):
+    """Misra-Gries merge invariants under arbitrary batch sequences:
+    (1) the counter set never exceeds the capacity; (2) every term's
+    UNDERCOUNT (true count − stored count, 0 if dropped) is at most the
+    sum of returned decrements — the exact bound the streaming drain's
+    completeness proof relies on; (3) stored counts never exceed true
+    counts (MG never overcounts)."""
+    from collections import Counter
+
+    from event_streaming_spark.streaming.state import mg_merge
+
+    terms: list = []
+    counts: list = []
+    true: Counter = Counter()
+    dec_total = 0
+    for b in batches:
+        true.update(b)
+        terms, counts, dec = mg_merge(terms, counts, b, capacity)
+        dec_total += dec
+        assert len(terms) <= capacity
+    stored = dict(zip(terms, counts))
+    for t, n in true.items():
+        s = stored.get(t, 0)
+        assert 0 < s <= n or s == 0
+        assert n - s <= dec_total, (t, n, s, dec_total)
