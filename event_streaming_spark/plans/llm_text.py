@@ -619,13 +619,20 @@ def docs_winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy("ord")
         .rowsBetween(Window.currentRow, _WINNOW_W - 1)
     )
-    sel = (
+    from event_streaming_spark.operators.materialize import materialize
+
+    # Pin the winnowed (doc, fp) set: the df filter and BOTH self-join
+    # sides read it — unpinned, the dumped plan re-ran the whole winnow
+    # pass (explode + two sorts + two windows over every gram) once per
+    # consumer.
+    sel = materialize(
         pos.select("doc_id", F.min("h").over(w).alias("fp"), "ord", "n")
         # posexplode is 0-based (DuckDB ordinality is 1-based): same
         # "full windows only" cut, ord ≤ n − W expressed 0-based
         .filter(F.col("ord") <= F.col("n") - _WINNOW_W)
         .select("doc_id", "fp")
-        .distinct()
+        .distinct(),
+        name="winnow-fingerprints",
     )
     df_ok = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _WINNOW_MAX_DF

@@ -519,3 +519,13 @@ def test_bitmap_and_affinity_pin_the_dedup(spark):
         p = _plan(spark, name)
         if "Scan parquet" in p:
             raise AssertionError(f"{name}: fact re-scan survived the pin")
+
+
+def test_winnowing_pins_the_fingerprint_set(spark):
+    """The winnow pass (explode + two sorts + two windows over every
+    positional gram) must run ONCE: the df filter and both pair-join
+    sides read the materialized (doc, fp) pin, so no parquet scan (and
+    no Window) survives in the final plan."""
+    p = _plan(spark, "docs_winnowing_fingerprint_pairs")
+    if "Scan parquet" in p:
+        raise AssertionError("winnow pass re-ran per consumer (fact re-scan)")
