@@ -508,11 +508,16 @@ ORDER BY 1, 2
     tags=("llm", "text", "audit"),
 )
 def docs_lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.materialize import materialize
+
     docs = spread(load(spark, sf_dir, "documents"))
-    cells = (
+    # Pin the cells-sized matrix: label totals and the join both read
+    # it — unpinned, the classify pass runs twice over the corpus.
+    cells = materialize(
         docs.select(F.col("lang").alias("label"), T.lang_id(F.col("text")).alias("predicted_lang"))
         .groupBy("label", "predicted_lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs")),
+        name="langid-confusion-cells",
     )
     totals = cells.groupBy("label").agg(F.sum("n_docs").cast("long").alias("label_total"))
     return (

@@ -529,3 +529,12 @@ def test_winnowing_pins_the_fingerprint_set(spark):
     p = _plan(spark, "docs_winnowing_fingerprint_pairs")
     if "Scan parquet" in p:
         raise AssertionError("winnow pass re-ran per consumer (fact re-scan)")
+
+
+def test_langid_confusion_single_classify_pass(spark):
+    """The lang-ID classify pass (marker-token filters over every doc)
+    must run once: label totals and the share join read the pinned
+    cells-sized matrix, not a second corpus scan."""
+    p = _plan(spark, "docs_lang_id_confusion_matrix")
+    if "Scan parquet" in p:
+        raise AssertionError("classify pass re-ran per consumer (fact re-scan)")
