@@ -373,3 +373,92 @@ def bloom_semi_join(
     if not exact:
         return thinned
     return thinned.join(keys.withColumnRenamed("__k", key), key, "left_semi")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    tie_cols: list[str] | None = None,
+    gap_col: str = "asof_gap",
+) -> DataFrame:
+    """NEAREST as-of join (pandas ``merge_asof(direction='nearest')``):
+    match each left row to the right row whose ``on`` is closest in
+    absolute distance, inclusive in both directions; an exact distance
+    tie between an earlier and a later right row resolves BACKWARD (the
+    earlier row).
+
+    ``on`` must be NUMERIC (convert timestamps with ``unix_micros``
+    first) — the gap arithmetic and the output ``gap_col``
+    (``matched_on − left_on``: negative = matched earlier) need a
+    subtractable key.
+
+    Same union-and-carry shape as :func:`asof_join`, run in BOTH
+    directions: one backward pass (right rows sort before left at equal
+    ``on``; ``last`` carries the latest right struct) and one forward
+    pass (right rows sort after left; ``first`` grabs the next right
+    struct), then a per-row choice by absolute gap.  Among several
+    right rows at the SAME matched instant the backward leg picks the
+    GREATEST ``tie_cols`` and the forward leg the LEAST (each leg's
+    deterministic carry order) — a total order either way.
+    Cost: two keyed window sorts of left+right — no range join, no
+    per-row probe.
+    """
+    tie_cols = value_cols if tie_cols is None else tie_cols
+    unknown = set(tie_cols) - set(value_cols)
+    if unknown:
+        raise ValueError(f"tie_cols must be a subset of value_cols; unknown: {sorted(unknown)}")
+    lcols = [c for c in left.columns]
+    rtypes = dict(right.dtypes)
+    rv_type = (
+        "struct<__ron: " + dict(left.select(F.col(on)).dtypes)[on] + ", "
+        + ", ".join(f"{c}: {rtypes[c]}" for c in value_cols) + ">"
+    )
+    l_tagged = left.select(
+        *by,
+        F.col(on).alias("__on"),
+        F.lit(1).alias("__side"),  # backward: right(0) first at equal on
+        F.struct(*lcols).alias("__left"),
+        F.lit(None).cast(rv_type).alias("__rv"),
+    )
+    r_tagged = right.filter(F.col(on).isNotNull()).select(
+        *by,
+        F.col(on).alias("__on"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
+        F.struct(F.col(on).alias("__ron"), *[F.col(c) for c in value_cols]).alias("__rv"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    ties_asc = [F.asc_nulls_first(F.col(f"__rv.{c}")) for c in tie_cols]
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy("__on", "__side", *ties_asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: left (__side=1) must sort BEFORE right (0) at equal __on
+    # so the frame starting at the left row still sees the equal-instant
+    # right row → order __side DESCENDING in the forward pass.
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy("__on", F.desc("__side"), *ties_asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "__side",
+        "__on",
+        "__left",
+        F.last("__rv", ignorenulls=True).over(wb).alias("__b"),
+        F.first("__rv", ignorenulls=True).over(wf).alias("__f"),
+    ).filter(F.col("__side") == 1)
+    b, f = F.col("__b"), F.col("__f")
+    bgap = F.col("__on") - b["__ron"]          # ≥ 0
+    fgap = f["__ron"] - F.col("__on")          # ≥ 0
+    take_b = b.isNotNull() & (f.isNull() | (bgap <= fgap))
+    chosen = F.when(take_b, b).otherwise(f)
+    return carried.select(
+        *[F.col(f"__left.{c}").alias(c) for c in lcols],
+        *[chosen[c].alias(c) for c in value_cols],
+        (chosen["__ron"] - F.col("__on")).cast("long").alias(gap_col),
+    )

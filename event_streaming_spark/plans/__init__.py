@@ -139,8 +139,9 @@ _PRIORITY = [
     # and the lang-ID confusion-matrix audit.
     "events_top_session_paths",
     "docs_lang_id_confusion_matrix",
-    # r8 tranche 12: winnowing (MOSS) fingerprint pairs.
+    # r8 tranche 12: winnowing (MOSS) fingerprint pairs; nearest as-of.
     "docs_winnowing_fingerprint_pairs",
+    "events_asof_nearest_error_context",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -537,3 +537,87 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("n_journeys").desc(), F.col("path")))
         .alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NEAREST as-of enrichment: each purchase matched to the user's closest
+# 'error' event in EITHER direction (operators/joins.py
+# ``asof_join_nearest`` — the pandas merge_asof direction='nearest'
+# analogue; the catalog's existing as-of is backward-only).  Exact-tie
+# distances resolve backward; several errors at the same matched
+# instant resolve max-event_id backward / min-event_id forward (each
+# leg's deterministic carry order).  The oracle states the same
+# semantics with monotone max/min carries plus a per-instant id
+# resolution join.
+# Scale: two keyed window sorts over purchases+errors — no ts-range
+# join, no per-row probe; gap arithmetic in exact µs longs.
+# ---------------------------------------------------------------------------
+
+_NEAREST_ORACLE = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS isr
+  FROM events WHERE event_type IN ('error', 'purchase')
+), carried AS (
+  SELECT user_id, us, event_id, isr,
+         max(CASE WHEN isr = 1 THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, isr DESC, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bus,
+         min(CASE WHEN isr = 1 THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, isr, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fus
+  FROM t
+), eagg AS (
+  SELECT user_id, us, max(event_id) AS max_eid, min(event_id) AS min_eid
+  FROM t WHERE isr = 1 GROUP BY 1, 2
+), chosen AS (
+  SELECT c.user_id, c.event_id AS purchase_id, c.us,
+         CASE WHEN c.bus IS NOT NULL
+                   AND (c.fus IS NULL OR (c.us - c.bus) <= (c.fus - c.us))
+              THEN TRUE ELSE FALSE END AS take_b,
+         coalesce(CASE WHEN c.bus IS NOT NULL
+                            AND (c.fus IS NULL OR (c.us - c.bus) <= (c.fus - c.us))
+                       THEN c.bus END, c.fus) AS mus
+  FROM carried c WHERE c.isr = 0
+)
+SELECT ch.user_id, ch.purchase_id,
+       CASE WHEN ch.take_b THEN e.max_eid ELSE e.min_eid END AS error_id,
+       cast(ch.mus - ch.us AS BIGINT) AS gap_us
+FROM chosen ch
+LEFT JOIN eagg e ON e.user_id = ch.user_id AND e.us = ch.mus
+ORDER BY ch.purchase_id
+"""
+
+
+@register(
+    "events_asof_nearest_error_context",
+    _NEAREST_ORACLE,
+    tags=("events", "join", "asof"),
+)
+def events_asof_nearest_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.joins import asof_join_nearest
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "purchase")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("us"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("error_id"),
+    )
+    out = asof_join_nearest(
+        purchases,
+        errors,
+        on="us",
+        by=["user_id"],
+        value_cols=["error_id"],
+        gap_col="gap_us",
+    )
+    return out.select("user_id", "purchase_id", "error_id", "gap_us").orderBy(
+        "purchase_id"
+    )

@@ -783,3 +783,43 @@ def test_mg_merge_bound_and_capacity_invariants(batches, capacity):
         s = stored.get(t, 0)
         assert 0 < s <= n or s == 0
         assert n - s <= dec_total, (t, n, s, dec_total)
+
+
+@given(left=st.lists(row, min_size=1, max_size=12), right=st.lists(row, max_size=12))
+@SETTINGS
+def test_asof_join_nearest_matches_bruteforce(spark, left, right):
+    """Nearest as-of semantics against a brute-force reference: minimum
+    absolute gap; exact-distance ties resolve backward; among several
+    right rows at the matched instant the backward leg picks the
+    greatest tie value and the forward leg the least."""
+    from event_streaming_spark.operators.joins import asof_join_nearest
+
+    lrows = [(r[0], r[1], i) for i, r in enumerate(left)]
+    rrows = [(r[0], r[1], 1000 + i) for i, r in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "k INT, us LONG, lid INT")
+    rdf = (
+        spark.createDataFrame(rrows, "k INT, us LONG, rid INT")
+        if rrows
+        else spark.createDataFrame([], "k INT, us LONG, rid INT")
+    )
+    out = asof_join_nearest(
+        ldf, rdf, on="us", by=["k"], value_cols=["rid"], gap_col="gap"
+    )
+    got = {r["lid"]: (r["rid"], r["gap"]) for r in out.collect()}
+
+    for k, us, lid in lrows:
+        cands = [(rus, rid) for (rk, rus, rid) in rrows if rk == k]
+        if not cands:
+            assert got[lid] == (None, None), (lid, got[lid])
+            continue
+        back = [(rus, rid) for rus, rid in cands if rus <= us]
+        fwd = [(rus, rid) for rus, rid in cands if rus >= us]
+        b = max(back)[0] if back else None          # nearest earlier instant
+        f = min(fwd)[0] if fwd else None            # nearest later instant
+        if b is not None and (f is None or (us - b) <= (f - us)):
+            want_us = b
+            want_rid = max(rid for rus, rid in cands if rus == want_us)
+        else:
+            want_us = f
+            want_rid = min(rid for rus, rid in cands if rus == want_us)
+        assert got[lid] == (want_rid, want_us - us), (lid, got[lid], want_rid)
