@@ -412,8 +412,10 @@ def asof_join_nearest(
         raise ValueError(f"tie_cols must be a subset of value_cols; unknown: {sorted(unknown)}")
     lcols = [c for c in left.columns]
     rtypes = dict(right.dtypes)
+    # __ron is filled from RIGHT's `on`; the left rows' NULL struct must
+    # cast to that same type or the union fails on mixed key widths.
     rv_type = (
-        "struct<__ron: " + dict(left.select(F.col(on)).dtypes)[on] + ", "
+        "struct<__ron: " + rtypes[on] + ", "
         + ", ".join(f"{c}: {rtypes[c]}" for c in value_cols) + ">"
     )
     l_tagged = left.select(
