@@ -806,3 +806,108 @@ def orders_backlog_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.sum("nd").over(w).cast("long").alias("open_orders"),
     ).orderBy("day", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# HOLT double-exponential smoothing (level + trend) of the daily series,
+# with a 7-day linear forecast — the trend-aware upgrade of the EWMA
+# above, in the same pure integer fixed point (α = β = 1/8, integer
+# division each step so both engines recurse bit-identically).  The
+# trend numerator goes NEGATIVE on declining series, where DuckDB's //
+# TRUNCATES toward zero while Python's floors — the engine recursion
+# therefore uses an explicit truncating div to match the oracle's
+# C-style semantics (measured divergence of 3 ppm-units by day 5
+# before the fix):
+#   L_0 = 10⁶·n_0;                T_0 = 0
+#   L_t = (10⁶·n_t + 7·(L_{t−1} + T_{t−1})) div 8
+#   T_t = ((L_t − L_{t−1}) + 7·T_{t−1}) div 8
+#   forecast_h = L_N + h·T_N,  h = 1..7
+# Fitted value for day t is the one-step-ahead prediction L_{t−1}+T_{t−1}.
+# Same scale boundary as the EWMA: the data-sized job is one daily
+# aggregate; the O(days) recursion is driver-domain work.
+# ---------------------------------------------------------------------------
+
+_HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day
+), spine AS (
+  SELECT unnest(generate_series(min(CAST(ts AS DATE)), max(CAST(ts AS DATE)),
+                                INTERVAL 1 DAY))::DATE AS day
+  FROM events
+), filled AS (
+  SELECT spine.day, coalesce(daily.n, 0) AS n
+  FROM spine LEFT JOIN daily ON spine.day = daily.day
+), r(day, n, l, t, fitted) AS (
+  SELECT day, n, 1000000 * n, CAST(0 AS BIGINT), 1000000 * n FROM filled
+  WHERE day = (SELECT min(day) FROM filled)
+  UNION ALL
+  SELECT f.day, f.n,
+         (1000000 * f.n + 7 * (r.l + r.t)) // 8,
+         (((1000000 * f.n + 7 * (r.l + r.t)) // 8 - r.l) + 7 * r.t) // 8,
+         r.l + r.t
+  FROM r JOIN filled f ON f.day = r.day + INTERVAL 1 DAY
+), tail AS (
+  SELECT l, t, day FROM r WHERE day = (SELECT max(day) FROM r)
+), fc AS (
+  SELECT (tail.day + to_days(h::INT))::DATE AS day, h
+  , tail.l + h * tail.t AS f FROM tail, unnest([1,2,3,4,5,6,7]) AS u(h)
+)
+SELECT day, 'obs' AS kind, n AS n_events,
+       cast(l AS BIGINT) AS level_scaled, cast(t AS BIGINT) AS trend_scaled,
+       cast(fitted AS BIGINT) AS fitted_scaled
+FROM r
+UNION ALL
+SELECT day, 'forecast', NULL, NULL, NULL, cast(f AS BIGINT) FROM fc
+ORDER BY day, kind
+"""
+
+
+@register(
+    "events_holt_linear_forecast",
+    _HOLT_ORACLE,
+    tags=("events", "timeseries", "smoothing", "forecast"),
+)
+def events_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = (
+        ev.agg(
+            F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    filled = (
+        spine.join(daily, "day", "left").na.fill({"n": 0}).orderBy("day").collect()
+    )  # O(days) localization — the recursion's domain, never the fact table
+    def tdiv(a: int, b: int) -> int:
+        # truncate toward zero — DuckDB's // semantics (Python's floors)
+        return -((-a) // b) if a < 0 else a // b
+
+    rows = []
+    lvl = trd = None
+    for r in filled:
+        n = int(r["n"])
+        if lvl is None:
+            lvl, trd, fitted = 1_000_000 * n, 0, 1_000_000 * n
+        else:
+            fitted = lvl + trd
+            new_l = tdiv(1_000_000 * n + 7 * (lvl + trd), 8)
+            trd = tdiv((new_l - lvl) + 7 * trd, 8)
+            lvl = new_l
+        rows.append((r["day"], "obs", n, lvl, trd, fitted))
+    last_day = filled[-1]["day"]
+    for h in range(1, 8):
+        rows.append(
+            (last_day + _dt.timedelta(days=h), "forecast", None, None, None,
+             lvl + h * trd)
+        )
+    return spark.createDataFrame(
+        rows,
+        "day date, kind string, n_events long, level_scaled long, "
+        "trend_scaled long, fitted_scaled long",
+    ).orderBy("day", "kind")
