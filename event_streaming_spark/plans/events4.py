@@ -911,3 +911,92 @@ def events_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day date, kind string, n_events long, level_scaled long, "
         "trend_scaled long, fitted_scaled long",
     ).orderBy("day", "kind")
+
+
+# ---------------------------------------------------------------------------
+# Seasonality-ADJUSTED anomaly report: the plain z-score flags every
+# weekend as anomalous on weekly-cyclic traffic; this query scores each
+# day against its OWN day-of-week's mean.  Exact integer form: for day t
+# with count n_t on dow d (days_d days, total_d events across the dow
+# group), the scaled residual is
+#   resid_d(t) = n_t · days_d − total_d    ( = days_d · (n_t − mean_d) )
+# and the flag is |resid| · 2 > total_d  ⇔  |n_t − mean_d| > mean_d / 2
+# (a ±50 % band), all division-free so both engines agree bit-exactly.
+# Scale: one daily aggregate (data-sized), then dow-group joins on the
+# days-sized summary — aggregate first, analyze the tiny series.
+# ---------------------------------------------------------------------------
+
+_DOWRES_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day
+), spine AS (
+  SELECT unnest(generate_series(min(CAST(ts AS DATE)), max(CAST(ts AS DATE)),
+                                INTERVAL 1 DAY))::DATE AS day
+  FROM events
+), filled AS (
+  SELECT spine.day, dayofweek(spine.day) + 1 AS dow, coalesce(daily.n, 0) AS n
+  FROM spine LEFT JOIN daily ON spine.day = daily.day
+), g AS (
+  SELECT dow, cast(count(*) AS BIGINT) AS days_d,
+         cast(sum(n) AS BIGINT) AS total_d
+  FROM filled GROUP BY dow
+)
+SELECT f.day, f.dow, f.n AS n_events, g.days_d, g.total_d,
+       f.n * g.days_d - g.total_d AS resid_scaled,
+       CASE WHEN abs(f.n * g.days_d - g.total_d) * 2 > g.total_d
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM filled f JOIN g ON g.dow = f.dow
+ORDER BY f.day
+"""
+
+
+@register(
+    "events_dow_adjusted_anomaly",
+    _DOWRES_ORACLE,
+    tags=("events", "timeseries", "anomaly"),
+)
+def events_dow_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.materialize import materialize
+
+    ev = load(spark, sf_dir, "events")
+    # Pin the days-sized dense series: the dow-group summary and the
+    # residual join both read it — unpinned, each branch re-scans and
+    # re-aggregates the fact table.
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    spine = (
+        ev.agg(
+            F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    filled = materialize(
+        spine.join(daily, "day", "left").select(
+            "day",
+            F.dayofweek("day").alias("dow"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        ),
+        name="dow-anomaly-daily",
+    )
+    g = filled.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("days_d"),
+        F.sum("n").cast("long").alias("total_d"),
+    )
+    resid = F.col("n") * F.col("days_d") - F.col("total_d")
+    return (
+        filled.join(F.broadcast(g), "dow")
+        .select(
+            "day",
+            "dow",
+            F.col("n").alias("n_events"),
+            "days_d",
+            "total_d",
+            resid.alias("resid_scaled"),
+            F.when(F.abs(resid) * 2 > F.col("total_d"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
