@@ -145,6 +145,7 @@ _PRIORITY = [
     # r9 rotation target (window full at 50): Holt level+trend forecast.
     "events_holt_linear_forecast",
     "events_dow_adjusted_anomaly",
+    "events_bounce_rate_daily",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -1000,3 +1000,78 @@ def events_dow_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily BOUNCE RATE over the same gap-based 30-minute sessions as
+# `events_sessionize_30m`: share of sessions (attributed to their start
+# day) with exactly one event, in exact ppm — the standard engagement
+# KPI the sessionizer family lacked.  Same single user-keyed shuffle to
+# build sessions; the per-day rollup runs on the sessions-sized summary.
+# ---------------------------------------------------------------------------
+
+_BOUNCE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+           AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id,
+         CAST(min(ts) AS DATE) AS day,
+         cast(count(*) AS BIGINT) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT day,
+       cast(count(*) AS BIGINT) AS n_sessions,
+       cast(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       cast(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS bounce_ppm
+FROM per_session
+GROUP BY day ORDER BY day
+"""
+
+
+@register(
+    "events_bounce_rate_daily",
+    _BOUNCE_ORACLE,
+    tags=("events", "session", "agg"),
+)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_ms <= 30 * 60 * 1000, F.lit(0)).otherwise(F.lit(1)),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.to_date(F.min("ts")).alias("day"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    is_bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return (
+        per_session.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(is_bounce).cast("long").alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            ((F.col("n_bounces") * 1_000_000) / F.col("n_sessions"))
+            .cast("long")
+            .alias("bounce_ppm"),
+        )
+        .orderBy("day")
+    )
