@@ -146,6 +146,7 @@ _PRIORITY = [
     "events_holt_linear_forecast",
     "events_dow_adjusted_anomaly",
     "events_bounce_rate_daily",
+    "orders_fulfillment_sla_percentiles",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

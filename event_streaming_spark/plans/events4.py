@@ -1075,3 +1075,72 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment SLA percentiles per order priority: exact p50/p90/p99 of
+# order→last-shipment latency (days), through the same distributed
+# order-statistics machinery as the gap-percentile query — the rank
+# runs range-partitioned (operators/ranks.with_group_rank), never one
+# task per priority, and the type-7 interpolation is the hand-computed
+# exact-integer form shared by both engines.  The ops report that tells
+# you whether '1-URGENT' actually ships faster.
+# ---------------------------------------------------------------------------
+
+_SLA_PCTS = (50, 90, 99)
+
+
+def _sla_oracle() -> str:
+    from event_streaming_spark.functions.numeric import sql_exact_pct_agg
+
+    pct_cols = ", ".join(
+        f"{sql_exact_pct_agg(p)} AS p{p}_days" for p in _SLA_PCTS
+    )
+    return f"""
+WITH lat AS (
+  SELECT o.o_orderpriority AS priority,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(max(l.l_shipdate) AS DATE)) AS days
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+), pos AS (
+  SELECT priority, days AS val,
+         row_number() OVER (PARTITION BY priority ORDER BY days) AS rv,
+         count(*) OVER (PARTITION BY priority) AS n
+  FROM lat
+)
+SELECT priority, max(n) AS n_orders, {pct_cols}
+FROM pos GROUP BY priority ORDER BY priority
+"""
+
+
+@register(
+    "orders_fulfillment_sla_percentiles",
+    _sla_oracle(),
+    tags=("relational", "agg", "percentile"),
+)
+def orders_fulfillment_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.functions.numeric import exact_pct_agg
+    from event_streaming_spark.operators.ranks import with_group_rank
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    ship = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("sd"))
+    )
+    lat = o.join(ship, o.o_orderkey == ship.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("sd", "od").alias("val"),
+    )
+    pos = with_group_rank(lat, "priority", "val")
+    return (
+        pos.groupBy("priority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            *[exact_pct_agg(p).alias(f"p{p}_days") for p in _SLA_PCTS],
+        )
+        .orderBy("priority")
+    )
