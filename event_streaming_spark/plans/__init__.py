@@ -147,6 +147,7 @@ _PRIORITY = [
     "events_dow_adjusted_anomaly",
     "events_bounce_rate_daily",
     "orders_fulfillment_sla_percentiles",
+    "events_user_engagement_gini",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -1144,3 +1144,58 @@ def orders_fulfillment_sla_percentiles(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# GINI coefficient of user engagement — the inequality measure behind
+# "how concentrated is our traffic?" (the Pareto top-share query shows
+# one point of the Lorenz curve; Gini integrates it).  Closed form over
+# ascending-sorted per-user counts x_(1..n):
+#   G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+# — integer numerator and denominator, reported in exact ppm (floor).
+# The global rank over per-user counts runs range-partitioned
+# (operators/ranks.with_global_row_number): no single-task window at
+# any user cardinality; the Σ i·x_(i) moment is one map-side-combined
+# aggregate over the ranked rows.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH c AS (
+  SELECT user_id, cast(count(*) AS BIGINT) AS x FROM events GROUP BY user_id
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+         count(*) OVER () AS n
+  FROM c
+)
+SELECT cast(max(n) AS BIGINT) AS n_users,
+       cast(sum(x) AS BIGINT) AS n_events,
+       cast((2 * sum(i * x) - (max(n) + 1) * sum(x)) * 1000000
+            // (max(n) * sum(x)) AS BIGINT) AS gini_ppm
+FROM ranked
+"""
+
+
+@register(
+    "events_user_engagement_gini",
+    _GINI_ORACLE,
+    tags=("events", "stats", "agg"),
+)
+def events_user_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.ranks import with_global_row_number
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ranked, n = with_global_row_number(
+        c, [F.asc("x"), F.asc("user_id")], out_col="i"
+    )
+    agg = ranked.agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+    )
+    num = 2 * F.col("six") - (F.lit(n) + 1) * F.col("sx")
+    den = F.lit(n) * F.col("sx")
+    return agg.select(
+        F.lit(n).cast("long").alias("n_users"),
+        F.col("sx").alias("n_events"),
+        ((num * 1_000_000) / den).cast("long").alias("gini_ppm"),
+    )
