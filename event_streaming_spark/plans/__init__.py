@@ -148,6 +148,7 @@ _PRIORITY = [
     "events_bounce_rate_daily",
     "orders_fulfillment_sla_percentiles",
     "events_user_engagement_gini",
+    "events_type_mix_drift_daily",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

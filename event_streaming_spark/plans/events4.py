@@ -1199,3 +1199,117 @@ def events_user_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").alias("n_events"),
         ((num * 1_000_000) / den).cast("long").alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Type-mix DRIFT monitor: each day's event-type mix compared to the
+# PRIOR 7 days' mix by total-variation distance,
+#   TVD = ½ · Σ_types |share_day − share_prior|    (exact ppm),
+# — the drift alarm a training-data pipeline runs on every ingest day
+# (a source changing its composition shows up here before any model
+# does).  Shares are floored ppm on BOTH engines, so the distance is
+# bit-exact.  The prior-week type counts come from the bounded ×7
+# fanout rewrite (each (day, type) count contributes to exactly the 7
+# following days' windows) — one data-sized aggregate, then everything
+# runs on the (days × types)-sized dense grid.
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH cnt AS (
+  SELECT CAST(ts AS DATE) AS day, event_type AS t,
+         cast(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), days AS (SELECT DISTINCT day FROM cnt),
+types AS (SELECT DISTINCT t FROM cnt),
+dense AS (
+  SELECT days.day, types.t, coalesce(cnt.c, 0) AS c
+  FROM days CROSS JOIN types
+  LEFT JOIN cnt ON cnt.day = days.day AND cnt.t = types.t
+), prior AS (
+  SELECT d2.day, dense.t, cast(sum(dense.c) AS BIGINT) AS pc
+  FROM dense
+  JOIN days d2 ON d2.day BETWEEN dense.day + INTERVAL 1 DAY
+                             AND dense.day + INTERVAL 7 DAY
+  GROUP BY d2.day, dense.t
+), tot AS (
+  SELECT day, cast(sum(c) AS BIGINT) AS day_total FROM dense GROUP BY day
+), ptot AS (
+  SELECT day, cast(sum(pc) AS BIGINT) AS prior_total FROM prior GROUP BY day
+), shares AS (
+  SELECT dense.day, dense.t,
+         dense.c * 1000000 // tot.day_total AS s_day,
+         prior.pc * 1000000 // ptot.prior_total AS s_prior
+  FROM dense
+  JOIN tot ON tot.day = dense.day
+  JOIN prior ON prior.day = dense.day AND prior.t = dense.t
+  JOIN ptot ON ptot.day = dense.day
+  WHERE tot.day_total > 0 AND ptot.prior_total > 0
+)
+SELECT day,
+       cast(sum(abs(s_day - s_prior)) // 2 AS BIGINT) AS tvd_ppm
+FROM shares GROUP BY day ORDER BY day
+"""
+
+
+@register(
+    "events_type_mix_drift_daily",
+    _DRIFT_ORACLE,
+    tags=("events", "timeseries", "drift", "quality"),
+)
+def events_type_mix_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.materialize import materialize
+
+    ev = load(spark, sf_dir, "events")
+    # Pin the (days × types)-sized dense grid: five downstream consumers
+    # (prior fanout, both totals, both share joins) read it.
+    cnt = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type").alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    days = cnt.select("day").distinct()
+    types = cnt.select("t").distinct()
+    dense = materialize(
+        days.crossJoin(types)
+        .join(cnt, ["day", "t"], "left")
+        .select("day", "t", F.coalesce("c", F.lit(0)).alias("c")),
+        name="drift-dense-grid",
+    )
+    # bounded ×7 fanout: each (day, t) count lands in the prior-week
+    # windows of days day+1 .. day+7 (only days present in the data)
+    fan = dense.select(
+        F.explode(F.sequence(F.date_add("day", 1), F.date_add("day", 7))).alias(
+            "day2"
+        ),
+        "t",
+        "c",
+    )
+    prior = (
+        fan.join(days.select(F.col("day").alias("day2")), "day2")
+        .groupBy(F.col("day2").alias("day"), "t")
+        .agg(F.sum("c").cast("long").alias("pc"))
+    )
+    tot = dense.groupBy("day").agg(F.sum("c").cast("long").alias("day_total"))
+    ptot = prior.groupBy("day").agg(F.sum("pc").cast("long").alias("prior_total"))
+    shares = (
+        dense.join(tot, "day")
+        .join(prior, ["day", "t"])
+        .join(ptot, "day")
+        .filter((F.col("day_total") > 0) & (F.col("prior_total") > 0))
+        .select(
+            "day",
+            ((F.col("c") * 1_000_000) / F.col("day_total"))
+            .cast("long")
+            .alias("s_day"),
+            ((F.col("pc") * 1_000_000) / F.col("prior_total"))
+            .cast("long")
+            .alias("s_prior"),
+        )
+    )
+    return (
+        shares.groupBy("day")
+        .agg(
+            (F.sum(F.abs(F.col("s_day") - F.col("s_prior"))) / 2)
+            .cast("long")
+            .alias("tvd_ppm")
+        )
+        .orderBy("day")
+    )
