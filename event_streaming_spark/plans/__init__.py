@@ -38,6 +38,7 @@ from event_streaming_spark.plans import streaming_dedup  # noqa: F401,E402
 from event_streaming_spark.plans import events4  # noqa: F401,E402
 from event_streaming_spark.plans import llm_audits  # noqa: F401,E402
 from event_streaming_spark.plans import events5  # noqa: F401,E402
+from event_streaming_spark.plans import events6  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness

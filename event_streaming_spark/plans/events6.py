@@ -1,0 +1,266 @@
+"""Round-8 tranche 13: time-series decomposition, interval-estimate
+analytics, and cohort lifetime value — three capability classes the
+catalog lacked (the reference's events surface stops at scalar time
+formatting, include/events-agency.h:70-76; these are the standard
+analytics a production deployment layers on the same event log).
+
+Scale design notes (the reason each query exists):
+
+* STL-STYLE DECOMPOSITION is "aggregate first, then analyze the tiny
+  summary" (the ACF/Holt recipe): the only data-sized op is the per-day
+  count; the centered 7-row moving average, day-of-week seasonal means,
+  and residuals all run on the days-sized series.  Exactness recipe:
+  every intermediate is an INTEGER (detrended values are carried ×7 so
+  the /7 never happens mid-pipeline — ``detr7 = 7·n − sum7``); the only
+  float ops are the boundary divisions, written as the identical
+  expression tree on both engines (IEEE division is deterministic).
+* WILSON CONFIDENCE INTERVALS upgrade a share-of-traffic point estimate
+  to an interval the way an experimentation platform must (a 2 %
+  purchase share over 40 events is not a 2 % purchase share over
+  40 M events).  The per-group inputs are two exact integers (x, n);
+  the score-interval formula is a fixed expression over them — sqrt is
+  IEEE-correctly-rounded, so both engines agree bit-for-bit.  One fact
+  scan, one tiny groupBy.
+* COHORT LTV is the classic acquisition-cohort × months-since-first
+  revenue triangle.  The first-order month is a per-customer MIN — a
+  partial-agg-friendly shuffle on o_custkey — joined back to orders on
+  the same key (co-partitioned, no second shuffle of the fact table at
+  scale when both sides hash-partition on custkey); month arithmetic is
+  pure integers (y·12+m), revenue the repo's exact fixed-point sum.
+
+Determinism: integer counts, integer month offsets, exact-decimal money
+sums, and boundary-only float division/sqrt rounded to 6 — bit-identical
+across Spark and DuckDB per the repo convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_streaming_spark.functions.numeric import exact_sum, sql_exact_sum
+from event_streaming_spark.plans.catalog import load, register
+
+# ---------------------------------------------------------------------------
+# STL-style additive decomposition of the daily event count:
+#   trend    = centered 7-row moving average (full windows only)
+#   seasonal = per-day-of-week mean of the detrended series
+#   residual = observed − trend − seasonal
+# Carried ×7 in integers until the boundary: detr7 = 7·n − sum7, so
+# trend = sum7/7, seasonal = Σdetr7/(7·cnt), residual = detr7/7 − seasonal.
+# ---------------------------------------------------------------------------
+
+_STL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY CAST(ts AS DATE)
+), win AS (
+  SELECT day, n,
+         sum(n)   OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+         count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+  FROM daily
+), mid AS (
+  SELECT day, n, sum7, dayofweek(day) + 1 AS dow, 7 * n - sum7 AS detr7
+  FROM win WHERE cnt7 = 7
+), seas AS (
+  SELECT dow, sum(detr7) AS s_num, count(*) AS s_cnt FROM mid GROUP BY dow
+)
+SELECT mid.day, mid.n AS n_events,
+       round(cast(sum7 AS double) / 7.0, 6) AS trend,
+       round(cast(s_num AS double) / (7.0 * s_cnt), 6) AS seasonal,
+       round(cast(detr7 AS double) / 7.0
+             - cast(s_num AS double) / (7.0 * s_cnt), 6) AS residual
+FROM mid JOIN seas USING (dow)
+ORDER BY day
+"""
+
+
+@register(
+    "events_stl_decompose_daily",
+    _STL_ORACLE,
+    tags=("events", "timeseries", "window"),
+)
+def events_stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of the daily count.
+
+    One fact scan → days-sized series; every op after the first groupBy
+    touches O(#days) rows.  The 7-row centered window is a single-node
+    series op here by design (days ≪ data); at 100 TB the daily rollup
+    is the partial-agg shuffle and this stays exactly as cheap.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w7).alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("cnt7"),
+    )
+    mid = win.where(F.col("cnt7") == 7).select(
+        "day",
+        "n",
+        "sum7",
+        F.dayofweek("day").alias("dow"),
+        (F.lit(7) * F.col("n") - F.col("sum7")).alias("detr7"),
+    )
+    seas = mid.groupBy("dow").agg(
+        F.sum("detr7").alias("s_num"), F.count(F.lit(1)).alias("s_cnt")
+    )
+    seasonal = F.col("s_num").cast("double") / (F.lit(7.0) * F.col("s_cnt"))
+    return (
+        mid.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            F.col("n").alias("n_events"),
+            F.round(F.col("sum7").cast("double") / F.lit(7.0), 6).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(
+                F.col("detr7").cast("double") / F.lit(7.0) - seasonal, 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson 95 % score intervals for the purchase share of each day-of-week.
+# x, n are exact integers per group; the interval is
+#   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n),  z = 1.96.
+# The expression tree is written identically on both engines — every
+# operand derives from (x, n) by IEEE-deterministic ops (÷, ×, √).
+# ---------------------------------------------------------------------------
+
+_WILSON_EXPR = (
+    "round((p + {zz} / (2.0 * n) - {z} * sqrt(p * (1.0 - p) / n"
+    " + {zz} / (4.0 * n * n))) / (1.0 + {zz} / n), 6)",
+    "round((p + {zz} / (2.0 * n) + {z} * sqrt(p * (1.0 - p) / n"
+    " + {zz} / (4.0 * n * n))) / (1.0 + {zz} / n), 6)",
+)
+_Z = "1.96"
+_ZZ = "3.8416"  # z² exactly (1.96² = 3.8416, exact in binary? no — but the
+# LITERAL 3.8416 parses to the same double in both engines, which is all
+# determinism needs; deriving it as 1.96*1.96 would also match, but a
+# shared literal removes even that dependency)
+
+_WILSON_ORACLE = f"""
+WITH g AS (
+  SELECT dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+         count(*) AS n_events,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+  FROM events GROUP BY 1
+), p AS (
+  SELECT dow, n_events, purchases,
+         cast(purchases AS double) / n_events AS p,
+         cast(n_events AS double) AS n
+  FROM g
+)
+SELECT dow, n_events, purchases,
+       round(p, 6) AS p_hat,
+       {_WILSON_EXPR[0].format(z=_Z, zz=_ZZ)} AS wilson_low,
+       {_WILSON_EXPR[1].format(z=_Z, zz=_ZZ)} AS wilson_high
+FROM p
+ORDER BY dow
+"""
+
+
+@register(
+    "events_wilson_ci_purchase_share",
+    _WILSON_ORACLE,
+    tags=("events", "stats"),
+)
+def events_wilson_ci_purchase_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95 % score interval for the per-day-of-week purchase share.
+
+    One fact scan, one 7-group rollup; the interval math runs on the
+    7-row summary.  The Wilson form (unlike the naive Wald interval)
+    stays inside [0,1] and is well-behaved at small n — the estimator an
+    experimentation readout actually needs.
+    """
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy(F.dayofweek(F.to_date("ts")).alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+    )
+    p = F.col("purchases").cast("double") / F.col("n_events")
+    n = F.col("n_events").cast("double")
+    z, zz = F.lit(1.96), F.lit(3.8416)
+    half = zz / (F.lit(2.0) * n)
+    rad = F.sqrt(p * (F.lit(1.0) - p) / n + zz / (F.lit(4.0) * n * n))
+    denom = F.lit(1.0) + zz / n
+    return g.select(
+        "dow",
+        "n_events",
+        "purchases",
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + half - z * rad) / denom, 6).alias("wilson_low"),
+        F.round((p + half + z * rad) / denom, 6).alias("wilson_high"),
+    ).orderBy("dow")
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV triangle: customers grouped by first-order month; revenue
+# per (cohort month, months-since-first).  Month arithmetic in integers
+# (y·12 + m); revenue via the exact fixed-point sum.
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = f"""
+WITH first_o AS (
+  SELECT o_custkey,
+         min(date_trunc('month', CAST(o_orderdate AS DATE))) AS cohort_month
+  FROM orders GROUP BY o_custkey
+), joined AS (
+  SELECT f.cohort_month,
+         (year(CAST(o.o_orderdate AS DATE)) * 12 + month(CAST(o.o_orderdate AS DATE)))
+         - (year(f.cohort_month) * 12 + month(f.cohort_month)) AS month_offset,
+         o.o_custkey, o.o_totalprice
+  FROM orders o JOIN first_o f ON f.o_custkey = o.o_custkey
+)
+SELECT cohort_month, month_offset,
+       count(DISTINCT o_custkey) AS active_customers,
+       count(*) AS n_orders,
+       {sql_exact_sum('o_totalprice')} AS revenue
+FROM joined
+GROUP BY cohort_month, month_offset
+ORDER BY cohort_month, month_offset
+"""
+
+
+@register(
+    "orders_cohort_ltv_matrix",
+    _LTV_ORACLE,
+    tags=("orders", "cohort", "agg"),
+)
+def orders_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort × month-offset revenue triangle over orders.
+
+    Two shuffles on the SAME key (o_custkey): the per-customer MIN and
+    the join back — at scale both sides hash-partition identically, so
+    the join is co-partitioned (no third fact-table shuffle); the final
+    rollup output is months² rows.  This is the canonical LTV shape: no
+    window over the fact table, no per-customer driver loop.
+    """
+    orders = load(spark, sf_dir, "orders")
+    first_o = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.to_date("o_orderdate")).cast("date")).alias(
+            "cohort_month"
+        )
+    )
+    mnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    joined = orders.join(first_o, "o_custkey").select(
+        F.col("cohort_month"),
+        (mnum(F.to_date("o_orderdate")) - mnum(F.col("cohort_month"))).alias(
+            "month_offset"
+        ),
+        "o_custkey",
+        "o_totalprice",
+    )
+    return (
+        joined.groupBy("cohort_month", "month_offset")
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
