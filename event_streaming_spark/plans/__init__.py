@@ -39,6 +39,7 @@ from event_streaming_spark.plans import events4  # noqa: F401,E402
 from event_streaming_spark.plans import llm_audits  # noqa: F401,E402
 from event_streaming_spark.plans import events5  # noqa: F401,E402
 from event_streaming_spark.plans import events6  # noqa: F401,E402
+from event_streaming_spark.plans import text_ml  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
