@@ -632,6 +632,149 @@ def streaming_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream FULL OUTER interval join: the last uncovered streaming
+# join class (inner and left-outer above).  Both unmatched classes emit
+# null-padded under watermark-driven eviction: views with no purchase in
+# the FOLLOWING hour AND purchases with no view in the PRECEDING hour.
+# Same two-drain mechanics as the left-outer variant — one checkpoint,
+# sentinel rows 3 h past max(ts) on BOTH sides advance the committed
+# watermark, and the resumed second drain's batch evicts every closed
+# window on both sides (a view closes at v_ts+1h, a purchase at p_ts —
+# the range condition bounds each side's state horizon symmetrically).
+# Oracle: the batch FULL OUTER interval join, null rows on both sides.
+#
+# Scale: per-side state is watermark-horizon-bounded exactly as in the
+# inner/left variants; null emission touches only evicted state.
+# ---------------------------------------------------------------------------
+
+_FOJ_ORACLE = """
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       round(cast(epoch_ms(p.ts) - epoch_ms(v.ts) AS double) / 1000.0, 3)
+         AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY view_id NULLS LAST, purchase_id NULLS LAST
+"""
+
+
+@register(
+    "streaming_full_outer_interval_join",
+    _FOJ_ORACLE,
+    tags=("streaming", "join", "outer"),
+)
+def streaming_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER time-range join; matched pairs plus
+    watermark-finalized null rows on BOTH sides hash-equal the batch
+    full outer join."""
+    import datetime
+
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    root = tempfile.mkdtemp(prefix="est-foj-")
+    batches: list = []
+    try:
+        agency = EventsAgency(spark, root=root, log_format="parquet")
+        ctx_v = agency._get_or_create("driver-gate", "views-fo")
+        ctx_p = agency._get_or_create("driver-gate", "purchases-fo")
+        ev = load(spark, sf_dir, "events")
+        ctx_v.publish(ev.where(F.col("event_type") == "view"))
+        ctx_p.publish(ev.where(F.col("event_type") == "purchase"))
+        max_ts = ev.agg(F.max("ts")).first()[0]  # 1-row scalar probe
+        sentinel = [
+            {
+                "event_id": -1,
+                "ts": (max_ts + datetime.timedelta(hours=3)).isoformat(sep="T"),
+                "user_id": -1,
+                "event_type": "__flush__",
+                "value": 0.0,
+                "props": "{}",
+            }
+        ]
+        ctx_v.publish(sentinel)
+        ctx_p.publish(sentinel)
+
+        def build_join() -> DataFrame:
+            views = (
+                ctx_v.stream()
+                .withWatermark("ts", "1 hour")
+                .select(
+                    F.col("event_id").alias("view_id"),
+                    F.col("user_id").alias("v_user"),
+                    F.col("ts").alias("v_ts"),
+                )
+            )
+            purchases = (
+                ctx_p.stream()
+                .withWatermark("ts", "1 hour")
+                .select(
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("p_user"),
+                    F.col("ts").alias("p_ts"),
+                )
+            )
+            return views.join(
+                purchases,
+                F.expr(
+                    "v_user = p_user AND p_ts >= v_ts"
+                    " AND p_ts <= v_ts + INTERVAL 1 HOUR"
+                ),
+                "fullOuter",
+            ).select(
+                "view_id",
+                "purchase_id",
+                F.round(
+                    (F.unix_millis("p_ts") - F.unix_millis("v_ts")).cast("double")
+                    / 1000.0,
+                    3,
+                ).alias("gap_s"),
+            )
+
+        def cb(batch_df: DataFrame, batch_id: int) -> None:
+            batches.append(batch_df.toPandas())
+
+        ckpt = os.path.join(root, "_ckpt-foj")
+
+        def drain() -> None:
+            q = (
+                build_join()
+                .writeStream.foreachBatch(cb)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()  # all matches, single batch, watermark 0 -> commits max+2h
+        sentinel2 = [dict(sentinel[0], event_id=-2)]
+        ctx_v.publish(sentinel2)
+        ctx_p.publish(sentinel2)
+        drain()  # resumed state + committed watermark -> both null classes
+        agency.close(remove_logs=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    import pandas as pd
+
+    if not batches:
+        return spark.createDataFrame([], _IVJ_SCHEMA)
+    out = pd.concat(batches, ignore_index=True)
+    # Drop the watermark sentinels from EITHER side (unmatched sentinel
+    # rows surface with the id on their own side and NULL on the other).
+    keep = ~((out["view_id"] < 0) | (out["purchase_id"] < 0))
+    out = out[keep.fillna(True)].copy()
+    out = out.sort_values(
+        ["view_id", "purchase_id"], na_position="last"
+    ).reset_index(drop=True)
+    out = out.astype(object).where(pd.notna(out), None)
+    return spark.createDataFrame(out, _IVJ_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Stream-static enrichment: the topic stream joined per micro-batch to a
 # STATIC dimension (customer), then a watermarked daily aggregate per
 # nation.  The stream-static join is the standard enrichment shape — the
