@@ -239,11 +239,15 @@ def _textrank_oracle() -> str:
     edges_sql = f"""
 WITH pos AS ({_TR_POS}),
 nodes AS ({nodes_sql}),
+shifted AS (
+  SELECT doc_id, pos - 1 AS pos, tok AS tok_b FROM pos
+  UNION ALL
+  SELECT doc_id, pos - 2 AS pos, tok AS tok_b FROM pos
+),
 pairs AS (
-  SELECT least(a.tok, b.tok) AS src, greatest(a.tok, b.tok) AS dst
-  FROM pos a JOIN pos b
-    ON b.doc_id = a.doc_id AND b.pos - a.pos IN (1, 2)
-  WHERE a.tok <> b.tok AND a.tok <> '' AND b.tok <> ''
+  SELECT least(a.tok, b.tok_b) AS src, greatest(a.tok, b.tok_b) AS dst
+  FROM pos a JOIN shifted b USING (doc_id, pos)
+  WHERE a.tok <> b.tok_b AND a.tok <> '' AND b.tok_b <> ''
 )
 SELECT DISTINCT src, dst
 FROM pairs
@@ -284,18 +288,23 @@ def text_textrank_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") >= _TR_FLOOR)
         .select(F.col("tok").alias("node"))
     )
-    right = pos.select("doc_id", "pos", F.col("tok").alias("tok_b"))
-    pairs = (
-        pos.alias("a")
-        .join(
-            right.alias("b"),
-            (F.col("b.doc_id") == F.col("a.doc_id"))
-            & ((F.col("b.pos") - F.col("a.pos")).isin(1, 2)),
+    # Shift the sequence by 1 and 2 and equi-join on (doc_id, pos): the
+    # window-2 adjacency becomes a co-partitionable equi-join — LINEAR in
+    # tokens.  (Keying on doc_id alone with a position post-filter would
+    # square each document's token count inside the join.)
+    shifted = pos.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("tok_b")
+    ).unionAll(
+        pos.select(
+            "doc_id", (F.col("pos") - 2).alias("pos"), F.col("tok").alias("tok_b")
         )
-        .where(F.col("a.tok") != F.col("b.tok_b"))
+    )
+    pairs = (
+        pos.join(shifted, ["doc_id", "pos"])
+        .where(F.col("tok") != F.col("tok_b"))
         .select(
-            F.least("a.tok", "b.tok_b").alias("src"),
-            F.greatest("a.tok", "b.tok_b").alias("dst"),
+            F.least("tok", "tok_b").alias("src"),
+            F.greatest("tok", "tok_b").alias("dst"),
         )
     )
     edges = (
