@@ -151,6 +151,15 @@ _PRIORITY = [
     "orders_fulfillment_sla_percentiles",
     "events_user_engagement_gini",
     "events_type_mix_drift_daily",
+    # r9 rotation target, continued (late-r8 tranches 13/14 + the full-
+    # outer streaming join; each hash-verified at sf0.001/sf0.01 and —
+    # batch queries — at the 10× replica, all hostile-session green):
+    "events_stl_decompose_daily",
+    "events_wilson_ci_purchase_share",
+    "orders_cohort_ltv_matrix",
+    "docs_naive_bayes_lang_holdout",
+    "text_textrank_keyphrases",
+    "streaming_full_outer_interval_join",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from event_streaming_spark.functions.hashing import sql_normalize_text, tokens
-from event_streaming_spark.plans.catalog import load, register
+from event_streaming_spark.plans.catalog import capture_plan, load, register
 
 # ---------------------------------------------------------------------------
 # Multinomial NB with Laplace smoothing: train on even doc_ids, classify
@@ -130,24 +130,39 @@ def docs_naive_bayes_lang_holdout(spark: SparkSession, sf_dir: str) -> DataFrame
     log-weights) is vocabulary-bounded and broadcast; scoring is one
     exact decimal sum per (doc, class) and one per-doc argmax window.
     """
+    from event_streaming_spark.operators.materialize import materialize
+
     docs = load(spark, sf_dir, "documents")
     tok = (
         docs.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
         .where(F.col("tok") != "")
     )
-    train = tok.where(F.col("doc_id") % 2 == 0)
-    test = tok.where(F.col("doc_id") % 2 == 1)
+    # ONE corpus scan: the document-term matrix (doc, lang, tok, tf) is
+    # pinned; every model branch (class priors, vocabulary, totals,
+    # token weights) and both scoring branches read the pin — unpinned,
+    # each branch re-tokenized the corpus (6 scans).
+    dtm = materialize(
+        tok.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("tf")),
+        "nb-dtm",
+    )
+    train = dtm.where(F.col("doc_id") % 2 == 0)
+    test = dtm.where(F.col("doc_id") % 2 == 1)
 
-    cls = train.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_docs"))
+    cls = (
+        train.select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     n_train = cls.agg(F.sum("n_docs")).first()[0]  # scalar: #train docs
     vocab = train.select("tok").distinct()
     v_size = vocab.count()  # scalar: train vocabulary size
 
-    totals = train.groupBy("lang").agg(F.count(F.lit(1)).alias("total_c"))
+    totals = train.groupBy("lang").agg(F.sum("tf").alias("total_c"))
     dec = "decimal(18,6)"
     w = (
         train.groupBy("lang", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("tf").alias("cnt"))
         .join(F.broadcast(totals), "lang")
         .select(
             "lang",
@@ -176,10 +191,8 @@ def docs_naive_bayes_lang_holdout(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("prior"),
     )
 
-    test_tf = (
-        test.join(vocab, "tok")  # OOV tokens dropped (vocab is model-sized)
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    test_tf = test.join(vocab, "tok").select(  # OOV tokens dropped
+        "doc_id", "tok", "tf"
     )
     contrib = (
         test_tf.crossJoin(F.broadcast(w0))
@@ -188,6 +201,7 @@ def docs_naive_bayes_lang_holdout(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum(F.col("tf") * F.coalesce(F.col("w"), F.col("w0"))).alias("body"))
     )
     test_docs = test.select("doc_id", F.col("lang").alias("true_lang")).distinct()
+    # (distinct over the pin's (doc, lang) projection — doc-count-sized)
     prior_c = prior.select(F.col("lang").alias("cand"), "prior")
     scored = (
         test_docs.crossJoin(F.broadcast(prior_c))
@@ -275,12 +289,19 @@ def text_textrank_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank loop) is vocabulary-sized, independent of corpus scale.
     """
     from event_streaming_spark.operators.graph import pagerank_integer
+    from event_streaming_spark.operators.materialize import materialize
 
     docs = load(spark, sf_dir, "documents")
-    pos = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok").where(
-        F.col("tok") != ""
+    # ONE corpus scan: the positional token stream feeds the node-floor
+    # count, the pair-join left side, and both shifted projections — pin
+    # it so the tokenize pass runs once.
+    pos = materialize(
+        docs.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "tok")
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+        .where(F.col("tok") != ""),
+        "textrank-pos",
     )
     nodes = (
         pos.groupBy("tok")
@@ -314,6 +335,7 @@ def text_textrank_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    capture_plan("text_textrank_keyphrases/adjacency_build", edges)
     pr = pagerank_integer(nodes, edges, iters=3)
     return (
         pr.select(F.col("node").alias("token"), "pr_scaled")

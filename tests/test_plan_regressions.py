@@ -538,3 +538,40 @@ def test_langid_confusion_single_classify_pass(spark):
     p = _plan(spark, "docs_lang_id_confusion_matrix")
     if "Scan parquet" in p:
         raise AssertionError("classify pass re-ran per consumer (fact re-scan)")
+
+
+def test_textrank_adjacency_is_pos_equi_join(spark):
+    """TextRank's co-occurrence build must equi-join on (doc_id, pos) —
+    keying on doc_id alone with a position post-filter squares each
+    document's token count inside the join (measured 7.2× slower at the
+    10× replica).  The pagerank kernel pins its edge input, so the
+    adjacency build's plan is read via the capture hook; the tokenize
+    pass must also be pinned (one corpus scan feeding nodes, pair-left,
+    and both shifted projections)."""
+    import re
+
+    from event_streaming_spark.plans import catalog as _catalog
+
+    _catalog.PLAN_SINK = {}
+    try:
+        _plan(spark, "text_textrank_keyphrases")
+        plan = _catalog.PLAN_SINK["text_textrank_keyphrases/adjacency_build"]
+    finally:
+        _catalog.PLAN_SINK = None
+    if "Scan parquet" in plan:
+        raise AssertionError("tokenize pass re-ran per consumer (corpus re-scan)")
+    key_lines = [
+        ln for ln in plan.splitlines() if re.search(r"(Left|Right) keys \[\d+\]", ln)
+    ]
+    pos_keyed = [ln for ln in key_lines if "doc_id" in ln and "pos" in ln]
+    assert pos_keyed, "no join keyed on (doc_id, pos):\n" + "\n".join(key_lines)
+
+
+def test_naive_bayes_single_corpus_scan(spark):
+    """NB's document-term matrix is pinned: class priors, vocabulary,
+    totals, token weights, and both scoring branches all read the pin —
+    no parquet scan may survive in the final plan (unpinned, the corpus
+    tokenized 6 times)."""
+    p = _plan(spark, "docs_naive_bayes_lang_holdout")
+    if "Scan parquet" in p:
+        raise AssertionError("corpus re-tokenized per branch (fact re-scan)")
