@@ -40,6 +40,7 @@ from event_streaming_spark.plans import llm_audits  # noqa: F401,E402
 from event_streaming_spark.plans import events5  # noqa: F401,E402
 from event_streaming_spark.plans import events6  # noqa: F401,E402
 from event_streaming_spark.plans import text_ml  # noqa: F401,E402
+from event_streaming_spark.plans import multimodal_dedup  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
@@ -160,6 +161,7 @@ _PRIORITY = [
     "docs_naive_bayes_lang_holdout",
     "text_textrank_keyphrases",
     "streaming_full_outer_interval_join",
+    "multimodal_phash_band_clusters",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are
