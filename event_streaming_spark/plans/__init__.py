@@ -162,6 +162,7 @@ _PRIORITY = [
     "text_textrank_keyphrases",
     "streaming_full_outer_interval_join",
     "multimodal_phash_band_clusters",
+    "events_attribution_markov_removal",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -575,3 +575,26 @@ def test_naive_bayes_single_corpus_scan(spark):
     p = _plan(spark, "docs_naive_bayes_lang_holdout")
     if "Scan parquet" in p:
         raise AssertionError("corpus re-tokenized per branch (fact re-scan)")
+
+
+def test_markov_transition_build_single_scan(spark):
+    """The Markov-attribution transition build must stay the one-scan
+    two-window form (both windows share the (user_id, day) partitioning
+    → one keyed exchange; transitions emit through one explode).  The
+    first cut's seq⋈fp⋈lastk join tree scanned the fact table 5 times
+    with 7 exchanges."""
+    import re
+
+    from event_streaming_spark.plans import catalog as _catalog
+
+    _catalog.PLAN_SINK = {}
+    try:
+        _plan(spark, "events_attribution_markov_removal")
+        plan = _catalog.PLAN_SINK[
+            "events_attribution_markov_removal/transition_count"
+        ]
+    finally:
+        _catalog.PLAN_SINK = None
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, f"expected 1 fact scan, found {scans}"
+    assert "Join" not in plan, "transition build regressed to the join tree"
