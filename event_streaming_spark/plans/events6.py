@@ -497,3 +497,142 @@ def events_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataF
         out, "channel string, removal_effect_ppm long, attribution_share_ppm long"
     ).orderBy("channel")
 
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival curve for time-to-first-purchase.  Each user
+# enters at their first event; converts at their first purchase
+# (duration in whole days) or is right-censored at the global max
+# timestamp.  Standard KM: at each distinct conversion time t,
+#   n_t = #users with duration ≥ t   (censored-at-t count as at-risk),
+#   d_t = #conversions at exactly t,
+#   S(t) = Π_{t_i ≤ t} (1 − d_i/n_i).
+# Determinism recipe: the product is computed as exp of a RUNNING sum
+# (ordered by t — a fixed accumulation order on both engines) of
+# per-step ln factors each rounded to 9 decimals; the d=n terminal step
+# (factor 0) is flagged and forces S=0 from there on instead of ln(0).
+# Inputs to every ln are identical doubles from exact integers (d, n) —
+# the tfidf/ltv precedent; one round(·, 6) at the boundary.
+#
+# Scale: one fact scan → per-user (first event, first purchase) via a
+# single groupBy on user_id; the curve lives on the duration-days grid
+# (calendar-bounded).  The classic survival shape: no per-user loop, no
+# per-time rescan.
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(ts) AS t0,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS tp
+  FROM events GROUP BY user_id
+), g AS (SELECT max(ts) AS tmax FROM events),
+dur AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN datediff('day', t0, tp)
+              ELSE datediff('day', t0, tmax) END AS t_days,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS conv
+  FROM per_user, g
+), grid AS (
+  SELECT t_days, count(*) AS n_exit,
+         cast(sum(conv) AS BIGINT) AS d_conv
+  FROM dur GROUP BY t_days
+), risk AS (
+  SELECT t_days, d_conv,
+         cast(sum(n_exit) OVER (ORDER BY t_days DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS n_risk
+  FROM grid
+), steps AS (
+  SELECT t_days, d_conv, n_risk,
+         CASE WHEN d_conv < n_risk
+              THEN round(ln(1.0 - cast(d_conv AS double) / n_risk), 9)
+              ELSE 0.0 END AS lnf,
+         CASE WHEN d_conv = n_risk THEN 1 ELSE 0 END AS zf
+  FROM risk WHERE d_conv > 0
+), cum AS (
+  SELECT t_days, d_conv, n_risk,
+         sum(lnf) OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cs,
+         sum(zf)  OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS zc
+  FROM steps
+)
+SELECT t_days, n_risk, d_conv,
+       CASE WHEN zc > 0 THEN 0.0 ELSE round(exp(cs), 6) END AS s_hat
+FROM cum ORDER BY t_days
+"""
+
+
+@register(
+    "events_survival_km_purchase",
+    _KM_ORACLE,
+    tags=("events", "stats", "timeseries"),
+)
+def events_survival_km_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier curve of time-to-first-purchase (days), right-
+    censored at the global max timestamp.
+
+    One user-keyed groupBy is the only data-sized op; the at-risk
+    counts, step factors, and running product all live on the
+    duration-days grid.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    tmax = ev.agg(F.max("ts")).first()[0]  # 1-row scalar probe
+    dur = per_user.select(
+        F.when(
+            F.col("tp").isNotNull(), F.datediff(F.to_date("tp"), F.to_date("t0"))
+        )
+        .otherwise(F.datediff(F.to_date(F.lit(tmax)), F.to_date("t0")))
+        .alias("t_days"),
+        F.when(F.col("tp").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("conv"),
+    )
+    grid = dur.groupBy("t_days").agg(
+        F.count(F.lit(1)).alias("n_exit"), F.sum("conv").alias("d_conv")
+    )
+    w_desc = Window.orderBy(F.col("t_days").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select(
+        "t_days", "d_conv", F.sum("n_exit").over(w_desc).alias("n_risk")
+    )
+    steps = risk.where(F.col("d_conv") > 0).select(
+        "t_days",
+        "d_conv",
+        "n_risk",
+        F.when(
+            F.col("d_conv") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    F.lit(1.0) - F.col("d_conv").cast("double") / F.col("n_risk")
+                ),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lnf"),
+        F.when(F.col("d_conv") == F.col("n_risk"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("zf"),
+    )
+    w_asc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = steps.select(
+        "t_days",
+        "d_conv",
+        "n_risk",
+        F.sum("lnf").over(w_asc).alias("cs"),
+        F.sum("zf").over(w_asc).alias("zc"),
+    )
+    return cum.select(
+        "t_days",
+        "n_risk",
+        "d_conv",
+        F.when(F.col("zc") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cs")), 6))
+        .alias("s_hat"),
+    ).orderBy("t_days")

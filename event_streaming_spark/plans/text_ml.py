@@ -121,6 +121,7 @@ ORDER BY true_lang, pred_lang
     "docs_naive_bayes_lang_holdout",
     _NB_ORACLE,
     tags=("llm", "text", "model"),
+    bench=True,  # new learned-model class -> regression-tracked
 )
 def docs_naive_bayes_lang_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes lang classifier: fit on even doc_ids,
@@ -280,6 +281,7 @@ JOIN nodes nb ON nb.node = pairs.dst
     "text_textrank_keyphrases",
     _textrank_oracle(),
     tags=("llm", "text", "graph", "iterative"),
+    bench=True,  # new learned-model class -> regression-tracked
 )
 def text_textrank_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 TextRank keyphrases over the corpus co-occurrence graph.
