@@ -164,6 +164,7 @@ _PRIORITY = [
     "multimodal_phash_band_clusters",
     "events_attribution_markov_removal",
     "events_survival_km_purchase",
+    "events_bootstrap_ci_value_mean",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from event_streaming_spark.functions.hashing import sql_stable_hash32
 from event_streaming_spark.functions.numeric import exact_sum, sql_exact_sum
 from event_streaming_spark.plans.catalog import capture_plan, load, register
 
@@ -636,3 +637,125 @@ def events_survival_km_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("cs")), 6))
         .alias("s_hat"),
     ).orderBy("t_days")
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap 95 % CI for the mean event value — the one-pass
+# bootstrap that actually works at 100 TB (Chamandy et al., "Estimating
+# Uncertainty for Massive Data Streams", Google 2012, public paper):
+# instead of materializing B resamples, each row draws a Poisson(1) weight
+# per replicate from a DETERMINISTIC hash (md5 of 'boot|event_id|b'
+# bucketed through the exact integer Poisson CDF thresholds), so the
+# whole bootstrap is one map-side projection + a B-group partial
+# aggregate.  Replicate means use the repo's scaled-long exact sums; the
+# CI is read off the rank-ordered replicate means (ranks 3/98 of B=100
+# ≈ the 2.5/97.5 percentiles).  Every value both engines compare is an
+# exact integer or a fixed IEEE chain on identical integers.
+#
+# Scale: B× per-row weight draws are embarrassingly parallel and
+# map-side-combined — the shuffle carries B×|partitions| partial rows,
+# never B× the data; the rank pass runs on B rows.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 100
+# Poisson(1) CDF × 1000, floored: P(k≤0)=.3679, ≤1=.7358, ≤2=.9197,
+# ≤3=.9810, ≤4=.9963, ≤5=.9994 → thresholds on h ∈ [0, 999]:
+_BOOT_THRESH = (368, 736, 920, 981, 996, 999)
+
+
+def _boot_w_sql(h: str) -> str:
+    cases = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+_BOOT_ORACLE = f"""
+WITH b AS (SELECT cast(range AS BIGINT) AS b FROM range(0, {_BOOT_B})),
+w AS (
+  SELECT b.b,
+         {_boot_w_sql(sql_stable_hash32(
+             "'boot|' || cast(event_id AS VARCHAR) || '|' || cast(b.b AS VARCHAR)"
+         ) + " % 1000")} AS w,
+         cast(round(value * 1e6) AS BIGINT) AS xv
+  FROM events CROSS JOIN b
+), means AS (
+  SELECT b, round(cast(sum(w * xv) AS double) / 1e6 / sum(w), 6) AS m
+  FROM w GROUP BY b
+), ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM means
+)
+SELECT
+  (SELECT round(cast(sum(cast(round(value * 1e6) AS BIGINT)) AS double)
+                / 1e6 / count(*), 6) FROM events) AS mean_value,
+  (SELECT m FROM ranked WHERE rk = 3) AS ci_low,
+  (SELECT m FROM ranked WHERE rk = {_BOOT_B - 2}) AS ci_high,
+  {_BOOT_B} AS n_resamples
+"""
+
+
+@register(
+    "events_bootstrap_ci_value_mean",
+    _BOOT_ORACLE,
+    tags=("events", "stats", "sampling"),
+)
+def events_bootstrap_ci_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson-bootstrap 95 % CI for mean(value), B=100
+    deterministic hash-drawn replicates.
+
+    The replicate dimension explodes map-side and partial-aggregates
+    before the shuffle — the exchange carries B×partitions rows, never
+    B× the data; ranks run on the B-row replicate table.
+    """
+    from event_streaming_spark.functions.hashing import stable_hash32
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    xv = F.round(F.col("value") * 1e6).cast("long")
+    h = (
+        stable_hash32(
+            F.concat(
+                F.lit("boot|"),
+                F.col("event_id").cast("string"),
+                F.lit("|"),
+                F.col("b").cast("string"),
+            )
+        )
+        % 1000
+    )
+    w_expr = F.when(h < _BOOT_THRESH[0], 0)
+    for k, t in enumerate(_BOOT_THRESH[1:], start=1):
+        w_expr = w_expr.when(h < t, k)
+    w_expr = w_expr.otherwise(6)
+    w = ev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        xv.alias("xv"),
+        F.col("event_id"),
+    ).select("b", w_expr.alias("w"), "xv")
+    means = w.groupBy("b").agg(
+        F.round(
+            F.sum(F.col("w") * F.col("xv")).cast("double")
+            / F.lit(1e6)
+            / F.sum("w"),
+            6,
+        ).alias("m")
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("rk")
+    )
+    point = ev.agg(
+        F.round(
+            F.sum(xv).cast("double") / F.lit(1e6) / F.count(F.lit(1)), 6
+        ).alias("mean_value")
+    )
+    lo = ranked.where(F.col("rk") == 3).select(F.col("m").alias("ci_low"))
+    hi = ranked.where(F.col("rk") == _BOOT_B - 2).select(F.col("m").alias("ci_high"))
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "mean_value",
+            "ci_low",
+            "ci_high",
+            F.lit(_BOOT_B).cast("int").alias("n_resamples"),
+        )
+    )
