@@ -165,6 +165,8 @@ _PRIORITY = [
     "events_attribution_markov_removal",
     "events_survival_km_purchase",
     "events_bootstrap_ci_value_mean",
+    "events_diff_in_diff_signup",
+    "events_mde_planner_by_type",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are

@@ -759,3 +759,191 @@ def events_bootstrap_ci_value_mean(spark: SparkSession, sf_dir: str) -> DataFram
             F.lit(_BOOT_B).cast("int").alias("n_resamples"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences: mean event value of a deterministic
+# hash-assigned user cohort vs the rest, before/after the calendar
+# midpoint (the synthetic fixture has no natural treatment roster — the
+# md5 split plays that role and guarantees both cohorts are populated at
+# every SF; swap in a real assignment table in production).  The classic 2×2 causal read on observational
+# event data: DiD = (T_post − T_pre) − (C_post − C_pre).  Every cell
+# mean is the repo's exact scaled-long sum over integer-keyed groups;
+# the midpoint is exact integer day arithmetic; the final subtraction
+# is one fixed IEEE chain on the four identical doubles.
+# Scale: one user-keyed semi-aggregate for the treatment flag broadcast
+# back into a single fact scan (the flag table is users-sized), then a
+# 4-cell rollup.
+# ---------------------------------------------------------------------------
+
+_DID_ORACLE = """
+WITH treat AS (
+  SELECT DISTINCT user_id,
+         cast(('0x' || substr(md5('did|' || cast(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS treated
+  FROM events
+), bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events
+), cells AS (
+  SELECT t.treated,
+         CASE WHEN datediff('day', b.d0, CAST(e.ts AS DATE))
+                   >= datediff('day', b.d0, b.d1) // 2
+              THEN 1 ELSE 0 END AS post,
+         count(*) AS n,
+         cast(sum(cast(round(e.value * 1e6) AS BIGINT)) AS BIGINT) AS sv
+  FROM events e JOIN treat t USING (user_id) CROSS JOIN bounds b
+  GROUP BY 1, 2
+), m AS (
+  SELECT treated, post, n,
+         cast(sv AS double) / 1e6 / n AS mean_v
+  FROM cells
+)
+SELECT
+  round((SELECT mean_v FROM m WHERE treated = 1 AND post = 1), 6) AS t_post,
+  round((SELECT mean_v FROM m WHERE treated = 1 AND post = 0), 6) AS t_pre,
+  round((SELECT mean_v FROM m WHERE treated = 0 AND post = 1), 6) AS c_post,
+  round((SELECT mean_v FROM m WHERE treated = 0 AND post = 0), 6) AS c_pre,
+  round(((SELECT mean_v FROM m WHERE treated = 1 AND post = 1)
+       - (SELECT mean_v FROM m WHERE treated = 1 AND post = 0))
+      - ((SELECT mean_v FROM m WHERE treated = 0 AND post = 1)
+       - (SELECT mean_v FROM m WHERE treated = 0 AND post = 0)), 6) AS did
+"""
+
+
+@register(
+    "events_diff_in_diff_signup",
+    _DID_ORACLE,
+    tags=("events", "stats", "causal"),
+)
+def events_diff_in_diff_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 diff-in-differences of mean event value: hash-assigned
+    cohort vs rest, pre/post the calendar midpoint."""
+    ev = load(spark, sf_dir, "events")
+    from event_streaming_spark.functions.hashing import stable_hash32
+
+    treat = ev.select("user_id").distinct().select(
+        "user_id",
+        (
+            stable_hash32(F.concat(F.lit("did|"), F.col("user_id").cast("string")))
+            % 2
+        ).alias("treated"),
+    )
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).first()
+    half = (b["d1"] - b["d0"]).days // 2
+    cells = (
+        ev.join(treat, "user_id")
+        .select(
+            "treated",
+            F.when(
+                F.datediff(F.to_date("ts"), F.lit(b["d0"])) >= F.lit(half),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("post"),
+            F.round(F.col("value") * 1e6).cast("long").alias("xv"),
+        )
+        .groupBy("treated", "post")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("xv").alias("sv"))
+        .select(
+            "treated",
+            "post",
+            (F.col("sv").cast("double") / F.lit(1e6) / F.col("n")).alias("mean_v"),
+        )
+    )
+    import pandas as pd  # 4-cell grid — bounded collect
+
+    g = {(r["treated"], r["post"]): r["mean_v"] for r in cells.collect()}
+    did = (g[(1, 1)] - g[(1, 0)]) - (g[(0, 1)] - g[(0, 0)])
+    row = [
+        (
+            round(g[(1, 1)], 6),
+            round(g[(1, 0)], 6),
+            round(g[(0, 1)], 6),
+            round(g[(0, 0)], 6),
+            round(did, 6),
+        )
+    ]
+    return spark.createDataFrame(
+        row, "t_post double, t_pre double, c_post double, c_pre double, did double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Minimum-detectable-effect planner per event type: given the observed
+# exact variance and daily volume, the two-sample MDE at α=.05 / power
+# .8 is (z_α/2 + z_β)·√(2σ²/n) for a 14-day 50/50 test.  Moments come
+# from the exact scaled-integer sums with the squared moment in
+# DECIMAL(19,0)² (the z-test recipe — int64 overflows on Σx²); the
+# final chain is fixed IEEE ops on identical doubles.  The planning
+# readout every experimentation platform ships next to its z-test.
+# ---------------------------------------------------------------------------
+
+_MDE_Z = "2.8016"  # z_{.025} + z_{.20} = 1.9600 + 0.8416, shared literal
+
+_MDE_ORACLE = f"""
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n_events,
+         sum(cast(round(value * 1e6) AS BIGINT)) AS s1,
+         sum(cast(round(value * 1e6) AS DECIMAL(19,0))
+             * cast(round(value * 1e6) AS DECIMAL(19,0))) AS s2,
+         max(CAST(ts AS DATE)) AS dmax,
+         min(CAST(ts AS DATE)) AS dmin
+  FROM events GROUP BY event_type
+), v AS (
+  SELECT event_type, n_events,
+         (cast(s2 AS DOUBLE) / 1e12 - (cast(s1 AS DOUBLE) / 1e6)
+            * (cast(s1 AS DOUBLE) / 1e6) / n_events) / (n_events - 1)
+           AS variance,
+         cast(n_events AS double)
+           / (datediff('day', dmin, dmax) + 1) * 14.0 / 2.0 AS n_arm
+  FROM m
+)
+SELECT event_type, n_events,
+       round(variance, 6) AS variance,
+       round({_MDE_Z} * sqrt(2.0 * variance / n_arm), 6) AS mde_14d
+FROM v ORDER BY event_type
+"""
+
+
+@register(
+    "events_mde_planner_by_type",
+    _MDE_ORACLE,
+    tags=("events", "stats"),
+)
+def events_mde_planner_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample minimum detectable effect per event type for a 14-day
+    50/50 experiment at α=.05, power=.8 — exact integer moments, one
+    IEEE chain at the boundary."""
+    ev = load(spark, sf_dir, "events")
+    xv = F.round(F.col("value") * 1e6).cast("long")
+    xd = xv.cast("decimal(19,0)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(xv).alias("s1"),
+        F.sum(xd * xd).alias("s2"),
+        F.max(F.to_date("ts")).alias("dmax"),
+        F.min(F.to_date("ts")).alias("dmin"),
+    )
+    s1d = F.col("s1").cast("double") / F.lit(1e6)
+    variance = (
+        F.col("s2").cast("double") / F.lit(1e12)
+        - s1d * s1d / F.col("n_events")
+    ) / (F.col("n_events") - 1)
+    n_arm = (
+        F.col("n_events").cast("double")
+        / (F.datediff("dmax", "dmin") + 1)
+        * F.lit(14.0)
+        / F.lit(2.0)
+    )
+    return m.select(
+        "event_type",
+        "n_events",
+        F.round(variance, 6).alias("variance"),
+        F.round(
+            F.lit(2.8016) * F.sqrt(F.lit(2.0) * variance / n_arm), 6
+        ).alias("mde_14d"),
+    ).orderBy("event_type")
