@@ -823,3 +823,80 @@ def test_asof_join_nearest_matches_bruteforce(spark, left, right):
             want_us = f
             want_rid = min(rid for rus, rid in cands if rus == want_us)
         assert got[lid] == (want_rid, want_us - us), (lid, got[lid], want_rid)
+
+
+# ---------------------------------------------------------------------------
+# Invariants of the round-8 tranche 13-17 statistical operators.  The
+# differential oracle already pins exact values; these pin the
+# MATHEMATICAL contracts that survive any refactor of either side.
+# ---------------------------------------------------------------------------
+
+
+def test_km_curve_invariants(spark):
+    """S(t) is a survival curve: within [0,1], non-increasing in t;
+    at-risk counts non-increasing; conversions never exceed at-risk."""
+    from event_streaming_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["events_survival_km_purchase"].fn(spark, SF_SMALL).collect()
+    assert rows, "empty curve"
+    prev_s, prev_n = 1.0, float("inf")
+    for r in rows:
+        assert 0.0 <= r["s_hat"] <= 1.0
+        assert r["s_hat"] <= prev_s + 1e-9, "S(t) increased"
+        assert r["n_risk"] <= prev_n, "at-risk count increased"
+        assert 0 < r["d_conv"] <= r["n_risk"]
+        prev_s, prev_n = r["s_hat"], r["n_risk"]
+
+
+def test_markov_attribution_invariants(spark):
+    """Removal effects are non-negative (deleting a channel cannot raise
+    absorption under the shared floor-div iteration) and shares are a
+    ppm partition: each in [0, 1e6], summing to ≤ 1e6 (floor losses)."""
+    from event_streaming_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["events_attribution_markov_removal"].fn(spark, SF_SMALL).collect()
+    assert rows
+    total_share = 0
+    for r in rows:
+        assert r["removal_effect_ppm"] >= 0
+        assert 0 <= r["attribution_share_ppm"] <= 1_000_000
+        total_share += r["attribution_share_ppm"]
+    assert total_share <= 1_000_000
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    """The bootstrap interval is ordered and brackets the point mean
+    (B=100 Poisson resamples of a 6k-row fixture can't miss the mean)."""
+    from event_streaming_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    r = REGISTRY["events_bootstrap_ci_value_mean"].fn(spark, SF_SMALL).collect()[0]
+    assert r["ci_low"] <= r["ci_high"]
+    assert r["ci_low"] <= r["mean_value"] <= r["ci_high"]
+    assert r["n_resamples"] == 100
+
+
+def test_wilson_interval_contains_p_hat(spark):
+    """Wilson bounds are ordered, inside [0,1], and contain p̂."""
+    from event_streaming_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["events_wilson_ci_purchase_share"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["wilson_low"] <= r["p_hat"] <= r["wilson_high"] <= 1.0
+
+
+def test_stl_components_reconstruct_series(spark):
+    """trend + seasonal + residual == observed count (to the rounding
+    grain) on every full-window day."""
+    from event_streaming_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["events_stl_decompose_daily"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        recon = r["trend"] + r["seasonal"] + r["residual"]
+        assert abs(recon - r["n_events"]) < 2e-6, (r["day"], recon, r["n_events"])
