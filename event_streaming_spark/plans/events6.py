@@ -385,6 +385,7 @@ FROM eff, tot ORDER BY channel
     "events_attribution_markov_removal",
     _markov_oracle(),
     tags=("events", "attribution", "iterative"),
+    bench=True,  # heaviest tranche-15 addition -> regression-tracked
 )
 def events_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov-chain attribution: per-channel removal effect and share.
@@ -698,6 +699,7 @@ SELECT
     "events_bootstrap_ci_value_mean",
     _BOOT_ORACLE,
     tags=("events", "stats", "sampling"),
+    bench=True,  # B x rows weight draws -> regression-tracked
 )
 def events_bootstrap_ci_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass Poisson-bootstrap 95 % CI for mean(value), B=100
