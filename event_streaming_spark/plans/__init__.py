@@ -167,6 +167,7 @@ _PRIORITY = [
     "events_bootstrap_ci_value_mean",
     "events_diff_in_diff_signup",
     "events_mde_planner_by_type",
+    "docs_split_leakage_audit",
     # ----------------------------------------------------------------------
     # r7 rotation (VERDICT r6 "Next round" #1): the FINAL rotation — the 50
     # queries that have never had a driver CORRECTNESS row (all 50 are
