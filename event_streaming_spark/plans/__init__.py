@@ -53,6 +53,41 @@ from event_streaming_spark.plans import multimodal_dedup  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # ----------------------------------------------------------------------
+    # r9 rotation (VERDICT r8 "Next round" #1): the 19 late-r8 additions —
+    # the only catalog entries that have never had a driver CORRECTNESS row
+    # (all 19 are inside the judge's independent r8 270/270 full-catalog
+    # oracle run AND the 19/19 hostile-session sim; each hash-verified at
+    # 2-4 scales per the BASELINE.md tranche tables) — enter the graded
+    # 50-prefix, heaviest first per the verdict.  Plus the two previously
+    # rows-only entries (agg_approx_distinct_sketch, text_bpe_train_merges),
+    # which gain DuckDB oracles this round (VERDICT r8 #3) and re-enter the
+    # window so their first HASH-GATED driver rows land in CORRECTNESS_r09.
+    # The displaced tail of the r8 window is ALL driver-green in
+    # CORRECTNESS_r08.json and remains judge-verified by the full-catalog
+    # run each round.
+    "events_bootstrap_ci_value_mean",
+    "text_textrank_keyphrases",
+    "docs_naive_bayes_lang_holdout",
+    "streaming_full_outer_interval_join",
+    "multimodal_phash_band_clusters",
+    "events_attribution_markov_removal",
+    "events_survival_km_purchase",
+    "events_diff_in_diff_signup",
+    "events_mde_planner_by_type",
+    "docs_split_leakage_audit",
+    "events_stl_decompose_daily",
+    "events_wilson_ci_purchase_share",
+    "orders_cohort_ltv_matrix",
+    "events_holt_linear_forecast",
+    "events_dow_adjusted_anomaly",
+    "events_bounce_rate_daily",
+    "orders_fulfillment_sla_percentiles",
+    "events_user_engagement_gini",
+    "events_type_mix_drift_daily",
+    # newly oracle-paired this round (previously rows-only):
+    "agg_approx_distinct_sketch",
+    "text_bpe_train_merges",
+    # ----------------------------------------------------------------------
     # r8 rotation (VERDICT r7 "Next round" #1): the 13 round-7 session
     # additions — the only catalog entries that have never had a driver
     # CORRECTNESS row (all 13 are inside the judge's independent r7

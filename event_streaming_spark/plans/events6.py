@@ -708,6 +708,16 @@ def events_bootstrap_ci_value_mean(spark: SparkSession, sf_dir: str) -> DataFram
     The replicate dimension explodes map-side and partial-aggregates
     before the shuffle — the exchange carries B×partitions rows, never
     B× the data; ranks run on the B-row replicate table.
+
+    Cost knobs (VERDICT r8 #3 note): the per-(row×replicate) md5-derived
+    draw is the dominant cost and exists ONLY for cross-engine hash
+    parity with the DuckDB oracle.  A production deployment not bound by
+    that gate would (a) swap ``stable_hash32`` for the JVM-native
+    ``xxhash64`` (same plan shape, no md5 string round-trip — roughly
+    halves the replicate pass), and/or (b) drop B from 100 to 50, which
+    halves replicate work linearly and widens the CI's Monte-Carlo error
+    by ~sqrt(2) (Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams", 2012 — B in the tens suffices for a 95 % interval).
     """
     from event_streaming_spark.functions.hashing import stable_hash32
 
@@ -855,19 +865,19 @@ def events_diff_in_diff_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sv").cast("double") / F.lit(1e6) / F.col("n")).alias("mean_v"),
         )
     )
-    import pandas as pd  # 4-cell grid — bounded collect
-
+    # 4-cell grid — bounded collect.  Use .get so a degenerate fixture
+    # with an empty 2x2 cell yields NULLs (mirroring the oracle's AVG over
+    # an empty group) instead of a driver-side KeyError.
     g = {(r["treated"], r["post"]): r["mean_v"] for r in cells.collect()}
-    did = (g[(1, 1)] - g[(1, 0)]) - (g[(0, 1)] - g[(0, 0)])
-    row = [
-        (
-            round(g[(1, 1)], 6),
-            round(g[(1, 0)], 6),
-            round(g[(0, 1)], 6),
-            round(g[(0, 0)], 6),
-            round(did, 6),
-        )
-    ]
+    c11, c10 = g.get((1, 1)), g.get((1, 0))
+    c01, c00 = g.get((0, 1)), g.get((0, 0))
+    did = (
+        (c11 - c10) - (c01 - c00)
+        if None not in (c11, c10, c01, c00)
+        else None
+    )
+    rnd = lambda x: round(x, 6) if x is not None else None
+    row = [(rnd(c11), rnd(c10), rnd(c01), rnd(c00), rnd(did))]
     return spark.createDataFrame(
         row, "t_post double, t_pre double, c_post double, c_pre double, did double"
     )

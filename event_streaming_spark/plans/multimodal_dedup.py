@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from event_streaming_spark.plans.catalog import capture_plan, load, register
 from event_streaming_spark.plans.scale_ops3 import (
     _PH_N_DOCS,
-    _PHASH_RT_ORACLE,
+    _PHASH_RT_BODY,
     multimodal_phash_roundtrip,
 )
 
@@ -44,7 +44,7 @@ _BANDS_SQL = " UNION ALL ".join(
 )
 
 _PHC_ORACLE = f"""
-WITH RECURSIVE ph AS ({_PHASH_RT_ORACLE.replace("ORDER BY doc_id", "")}),
+WITH RECURSIVE ph AS ({_PHASH_RT_BODY}),
 bands AS ({_BANDS_SQL}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ph_a,

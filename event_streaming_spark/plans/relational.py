@@ -458,13 +458,57 @@ def agg_distinct_and_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# approx sketch variant — engine-specific HLL, no ANSI oracle (rows-only).
-@register("agg_approx_distinct_sketch", None, tags=("agg", "approx"))
+# approx sketch variant.  r1-r8 this used Spark's engine-native
+# approx_count_distinct (HLL++ with engine-internal hashing — not
+# replicable in any other engine, hence rows-only).  r9 (VERDICT r8 #3):
+# rebuilt on the repo's md5-derived cross-engine HLL
+# (operators/sketches.py), whose registers are bit-identical in Spark and
+# DuckDB, so the approximate answer itself is now full value-hash-gated.
+# The exact count rides along to exhibit the approximation error, exactly
+# as sketch_hll_distinct_cross_engine does.  Same plan shape at scale:
+# one (grp, bucket) map-side-combined shuffle, ≤ m registers per group.
+
+
+def _approx_sketch_oracle() -> str:
+    from event_streaming_spark.operators.sketches import sql_hll_estimate_by
+
+    est = sql_hll_estimate_by("l_returnflag", "l_partkey", "lineitem")
+    return f"""
+WITH est AS ({est}),
+cnt AS (
+  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+         count(*) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT c.l_returnflag, e.hll_estimate AS approx_parts, c.exact_parts, c.n_rows
+FROM cnt c JOIN est e ON e.grp = c.l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_approx_distinct_sketch",
+    _approx_sketch_oracle(),
+    tags=("agg", "approx", "sketch"),
+)
 def agg_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.sketches import hll_estimate_by
+
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    est = hll_estimate_by(li, F.col("l_returnflag"), F.col("l_partkey"))
+    cnt = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        cnt.join(est, "grp")
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            F.col("hll_estimate").alias("approx_parts"),
+            "exact_parts",
+            "n_rows",
+        )
+        .orderBy("l_returnflag")
     )
 
 

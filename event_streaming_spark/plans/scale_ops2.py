@@ -2,8 +2,8 @@
 
 - HyperLogLog and Count-Min with md5-derived hashes: the sketch is
   REPRODUCIBLE, so the approximate answers are full value-hash-verified
-  against the oracle (vs. the rows-only check engine-native sketches
-  force — see `agg_approx_distinct_sketch`);
+  against the oracle (engine-native sketches would force a rows-only
+  check; as of r9 `agg_approx_distinct_sketch` uses this same recipe);
 - parent-chain resolution by pointer doubling, pinned by a plain
   WITH RECURSIVE oracle — the recursive-CTE capability Spark lacks,
   re-expressed in O(log depth) shuffle rounds.

@@ -582,7 +582,7 @@ def streaming_versioned_ingest_exactly_once(spark: SparkSession, sf_dir: str) ->
         agency = EventsAgency(
             spark, root=os.path.join(root, "topic"), log_format="parquet"
         )
-        ctx = agency._get_or_create("driver-gate", "ingest")
+        ctx = agency.topic("driver-gate", "ingest")
         ctx.schema = ev.schema
         store = VersionedStore(spark, os.path.join(root, "store"))
         ckpt = os.path.join(root, "ckpt")
@@ -852,7 +852,7 @@ def streaming_cdc_ivm_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
         agency = EventsAgency(
             spark, root=os.path.join(root, "topic"), log_format="parquet"
         )
-        ctx = agency._get_or_create("driver-gate", "civm")
+        ctx = agency.topic("driver-gate", "civm")
         ctx.schema = ev.schema
         store = VersionedStore(spark, os.path.join(root, "store"))
         cursor = store.append(ev.limit(0))  # empty v0: the cursor origin
@@ -1269,7 +1269,7 @@ def streaming_branch_staged_ingest(spark: SparkSession, sf_dir: str) -> DataFram
 
         br = store.branch("ingest-stage")
         agency = EventsAgency(spark, root=os.path.join(root, "topic"), log_format="parquet")
-        ctx = agency._get_or_create("driver-gate", "staged")
+        ctx = agency.topic("driver-gate", "staged")
         updates = ev.filter(F.col("event_id") % 4 == 1).withColumn(
             "cents", F.col("cents") * 2
         )

@@ -129,7 +129,7 @@ def _run_minhash_index(spark: SparkSession, sf_dir: str, restart: bool) -> DataF
     found: list = []  # bounded: the final near-dup PAIR set, not the corpus
     try:
         agency = EventsAgency(spark, root=root, log_format="parquet")
-        ctx = agency._get_or_create("driver-gate", "docs")
+        ctx = agency.topic("driver-gate", "docs")
         # topic payload is documents, not the default event envelope
         ctx.schema = T.StructType(
             [
@@ -383,7 +383,7 @@ def _run_semantic_index(spark: SparkSession, sf_dir: str, restart: bool) -> Data
     found: list = []
     try:
         agency = EventsAgency(spark, root=root, log_format="parquet")
-        ctx = agency._get_or_create("driver-gate", "vecs")
+        ctx = agency.topic("driver-gate", "vecs")
         ctx.schema = T.StructType(
             [
                 T.StructField("vec_id", T.LongType()),

@@ -71,7 +71,7 @@ def streaming_drain_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches: list = []
     try:
         agency = EventsAgency(spark, root=root, log_format="parquet")
-        ctx = agency._get_or_create("driver-gate", "events")
+        ctx = agency.topic("driver-gate", "events")
         ev = load(spark, sf_dir, "events")
         ctx.publish(ev)
 
@@ -218,7 +218,7 @@ def streaming_session_window_drain(
     batches: list = []
     try:
         agency = EventsAgency(spark, root=root, log_format="parquet")
-        ctx = agency._get_or_create("driver-gate", "events-sessions")
+        ctx = agency.topic("driver-gate", "events-sessions")
         ev = load(spark, sf_dir, "events")
         max_ts = ev.agg(F.max("ts")).first()[0]  # 1-row scalar probe
         waves: list[DataFrame] = []
@@ -410,8 +410,8 @@ def streaming_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame
     batches: list = []
     try:
         agency = EventsAgency(spark, root=root, log_format="parquet")
-        ctx_v = agency._get_or_create("driver-gate", "views")
-        ctx_p = agency._get_or_create("driver-gate", "purchases")
+        ctx_v = agency.topic("driver-gate", "views")
+        ctx_p = agency.topic("driver-gate", "purchases")
         ev = load(spark, sf_dir, "events")
         ctx_v.publish(ev.where(F.col("event_type") == "view"))
         ctx_p.publish(ev.where(F.col("event_type") == "purchase"))
@@ -538,8 +538,8 @@ def streaming_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
     batches: list = []
     try:
         agency = EventsAgency(spark, root=root, log_format="parquet")
-        ctx_v = agency._get_or_create("driver-gate", "views-lo")
-        ctx_p = agency._get_or_create("driver-gate", "purchases-lo")
+        ctx_v = agency.topic("driver-gate", "views-lo")
+        ctx_p = agency.topic("driver-gate", "purchases-lo")
         ev = load(spark, sf_dir, "events")
         ctx_v.publish(ev.where(F.col("event_type") == "view"))
         ctx_p.publish(ev.where(F.col("event_type") == "purchase"))
@@ -678,8 +678,8 @@ def streaming_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
     batches: list = []
     try:
         agency = EventsAgency(spark, root=root, log_format="parquet")
-        ctx_v = agency._get_or_create("driver-gate", "views-fo")
-        ctx_p = agency._get_or_create("driver-gate", "purchases-fo")
+        ctx_v = agency.topic("driver-gate", "views-fo")
+        ctx_p = agency.topic("driver-gate", "purchases-fo")
         ev = load(spark, sf_dir, "events")
         ctx_v.publish(ev.where(F.col("event_type") == "view"))
         ctx_p.publish(ev.where(F.col("event_type") == "purchase"))
@@ -818,7 +818,7 @@ def streaming_static_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame
     batches: list = []
     try:
         agency = EventsAgency(spark, root=root, log_format="parquet")
-        ctx = agency._get_or_create("driver-gate", "events-enrich")
+        ctx = agency.topic("driver-gate", "events-enrich")
         ev = load(spark, sf_dir, "events")
         ctx.publish(ev)
         dim = (
@@ -916,7 +916,7 @@ def streaming_hopping_window_drain(spark: SparkSession, sf_dir: str) -> DataFram
     batches: list = []
     try:
         agency = EventsAgency(spark, root=root, log_format="parquet")
-        ctx = agency._get_or_create("driver-gate", "events-hopping")
+        ctx = agency.topic("driver-gate", "events-hopping")
         ev = load(spark, sf_dir, "events")
         ctx.publish(ev)
 
@@ -1059,7 +1059,7 @@ def _run_ingest_dlq(
         # JSON log: schema-on-read is what turns the corrupt-string key
         # into a NULL field instead of a dead consumer
         agency = EventsAgency(spark, root=os.path.join(root, "topic"), log_format="json")
-        ctx = agency._get_or_create("driver-gate", "ingest-dlq")
+        ctx = agency.topic("driver-gate", "ingest-dlq")
         ctx.publish(ev)
         ctx.publish(corrupt_a)  # string event_id -> JSON field-null on read
         if not restart:
@@ -1246,7 +1246,7 @@ def _run_late_data_recon(
     updates: list = []
     try:
         agency = EventsAgency(spark, root=root, log_format="parquet")
-        ctx = agency._get_or_create("driver-gate", "recon")
+        ctx = agency.topic("driver-gate", "recon")
 
         def daily(df: DataFrame) -> DataFrame:
             return (
@@ -1438,7 +1438,7 @@ def streaming_custom_state_sessionizer(spark: SparkSession, sf_dir: str) -> Data
     batches: list = []
     try:
         agency = EventsAgency(spark, root=root, log_format="parquet")
-        ctx = agency._get_or_create("driver-gate", "custom-sessions")
+        ctx = agency.topic("driver-gate", "custom-sessions")
         ev = load(spark, sf_dir, "events")
         max_ts = ev.agg(F.max("ts")).first()[0]
         pivot = int(
@@ -1579,7 +1579,7 @@ def streaming_hll_distinct_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches: list = []
     try:
         agency = EventsAgency(spark, root=root, log_format="parquet")
-        ctx = agency._get_or_create("driver-gate", "hll-distinct")
+        ctx = agency.topic("driver-gate", "hll-distinct")
         ev = load(spark, sf_dir, "events")
         ctx.publish(ev)
 
@@ -1690,7 +1690,7 @@ def _run_heavy_hitters(spark: SparkSession, sf_dir: str, restart: bool) -> DataF
     phase = [1]  # restart path: 1 = first query instance, 2 = resumed
     try:
         agency = EventsAgency(spark, root=root, log_format="parquet")
-        ctx = agency._get_or_create("driver-gate", "hh-docs")
+        ctx = agency.topic("driver-gate", "hh-docs")
         ctx.schema = T.StructType(
             [
                 T.StructField("doc_id", T.LongType()),

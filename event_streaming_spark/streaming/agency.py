@@ -429,6 +429,16 @@ class EventsAgency:
                 self._topics[key] = TopicContext(broker=broker, topic=topic, agency=self)
             return self._topics[key]
 
+    def topic(self, broker: str | None, topic: str | None) -> TopicContext:
+        """Public get-or-create accessor — the publish-side entry point.
+
+        ``subscribe`` is the consume-side contract (find-or-create +
+        replace-latest callback, src/events-agency.c:198-230); publishers
+        that only need a handle to push events call this instead of
+        reaching into the private registry.
+        """
+        return self._get_or_create(broker, topic)
+
     # -- O4 subscribe (find-or-create; REPLACE callback with latest) -----------
     def subscribe(
         self,
