@@ -120,6 +120,97 @@ def sql_pagerank_integer(
     return ",\n".join(parts) + f"\nSELECT node, pr_scaled FROM r{iters}"
 
 
+def ppr_integer(
+    nodes: DataFrame, edges: DataFrame, iters: int = 4, directed: bool = False
+) -> DataFrame:
+    """Personalized PageRank, same exact-integer recurrence as
+    :func:`pagerank_integer` but with the teleport mass restricted to a
+    SEED set — the 'expand this flagged set through the similarity
+    graph' primitive (contamination spread, trust propagation, dedup
+    cluster seeding).
+
+    ``nodes``: columns ``(node, is_seed)`` with is_seed ∈ {0, 1}.
+    r₀(v) = SCALE·is_seed; each round
+    r_{k+1}(v) = is_seed(v)·BASE + (DAMP_NUM·Σ c_k(u)) div DAMP_DEN.
+    Non-seed sinks decay toward 0; mass concentrates around the seeds'
+    neighborhoods.  Every op is int64, bit-identical across engines.
+    """
+    e = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    )
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = materialize(e.distinct(), "ppr-edges")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = nodes.select(
+        F.col("node"),
+        F.col("is_seed").cast("long").alias("is_seed"),
+        (F.col("is_seed") * SCALE).cast("long").alias("pr_scaled"),
+    )
+    ranks = base
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, ranks.node == deg.src, "inner")
+            .select("src", F.expr("pr_scaled div outdeg").alias("c"))
+            .join(e, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = materialize(
+            base.select("node", "is_seed")
+            .join(contrib, F.col("node") == contrib.dst, "left")
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.col("is_seed") * F.lit(BASE)
+                    + F.expr(f"({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}")
+                )
+                .cast("long")
+                .alias("pr_scaled"),
+            ),
+            "ppr-ranks",
+        )
+    return ranks
+
+
+def sql_ppr_integer(
+    nodes_sql: str, edges_sql: str, iters: int = 4, directed: bool = False
+) -> str:
+    """ANSI twin of :func:`ppr_integer` — ``nodes_sql`` yields
+    ``(node, is_seed)``; ``edges_sql`` yields ``(src, dst)``."""
+    undirect = (
+        "SELECT src, dst FROM raw UNION SELECT dst AS src, src AS dst FROM raw"
+        if not directed
+        else "SELECT DISTINCT src, dst FROM raw"
+    )
+    parts = [
+        f"WITH raw AS ({edges_sql})",
+        f"e AS ({undirect})",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "b AS (SELECT node, cast(is_seed AS BIGINT) AS is_seed "
+        f"FROM ({nodes_sql}))",
+        f"r0 AS (SELECT node, is_seed, (is_seed * {SCALE})::BIGINT AS pr_scaled FROM b)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""s{k} AS (
+  SELECT e.dst, sum(r{k}.pr_scaled // deg.outdeg) AS s
+  FROM r{k} JOIN deg ON deg.src = r{k}.node JOIN e ON e.src = r{k}.node
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{k + 1} AS (
+  SELECT b.node, b.is_seed,
+         (b.is_seed * {BASE}
+          + ({DAMP_NUM} * coalesce(s{k}.s, 0)) // {DAMP_DEN})::BIGINT AS pr_scaled
+  FROM b LEFT JOIN s{k} ON s{k}.dst = b.node
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT node, is_seed, pr_scaled FROM r{iters}"
+
+
 # ---------------------------------------------------------------------------
 # Degree-oriented triangle enumeration (Schank/Wagner ordering).
 # ---------------------------------------------------------------------------

@@ -41,6 +41,8 @@ from event_streaming_spark.plans import events5  # noqa: F401,E402
 from event_streaming_spark.plans import events6  # noqa: F401,E402
 from event_streaming_spark.plans import text_ml  # noqa: F401,E402
 from event_streaming_spark.plans import multimodal_dedup  # noqa: F401,E402
+from event_streaming_spark.plans import events7  # noqa: F401,E402
+from event_streaming_spark.plans import curation4  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
@@ -87,6 +89,16 @@ _PRIORITY = [
     # newly oracle-paired this round (previously rows-only):
     "agg_approx_distinct_sketch",
     "text_bpe_train_merges",
+    # r9 session additions (driver rows on arrival, the r4+ convention):
+    "events_burst_detection_trailing",
+    "events_seasonal_naive_backtest",
+    "docs_gopher_quality_flags",
+    "docs_temperature_sampling_weights",
+    "docs_ldiversity_sensitive_audit",
+    "text_zipf_rank_slope_by_source",
+    "text_bpe_fertility_by_lang",
+    "emb_binary_sign_hamming_recall",
+    "graph_ppr_seed_expansion",
     # ----------------------------------------------------------------------
     # r8 rotation (VERDICT r7 "Next round" #1): the 13 round-7 session
     # additions — the only catalog entries that have never had a driver

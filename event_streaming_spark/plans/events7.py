@@ -1,0 +1,202 @@
+"""Round-9 events analytics: burst detection and the seasonal-naive
+forecast backtest.
+
+* ``events_burst_detection_trailing`` — per (event_type, day) volume
+  against its own trailing-7-day baseline: a day is a BURST when its
+  count is at least twice the trailing mean on a minimum absolute
+  floor.  The on-call anomaly primitive (Kleinberg's burst model's
+  zeroth-order approximation) phrased so every comparison is an
+  integer cross-multiplication — no division, no doubles, so the
+  flag can never drift between engines.
+* ``events_seasonal_naive_backtest`` — the honest forecasting baseline:
+  predict day d's per-type total with day d-7's, then score MAE and
+  weighted sMAPE per type.  Any model the engine ships (Holt, STL,
+  EWMA — plans/events4-6) has to beat THIS row to justify itself;
+  publishing the baseline next to the models is the backtest
+  discipline every forecasting pipeline needs.
+
+Both are one fact-table scan feeding day×type-sized frames (≤ 37·5
+rows at any SF — the day spine is data-bounded, never corpus-sized);
+the trailing window and the d-7 self-join run on that tiny frame.
+100 TB shape: the only corpus-sized stage is the map-side-combined
+daily count/sum aggregate, a wordcount-shaped shuffle.
+
+Reference parity note: the reference engine has no analytics surface
+(SURVEY §2 — its queries are keyed lookups); these extend the driver's
+LLM/analytics mandate like the rest of plans/events*.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_streaming_spark.plans.catalog import load, register
+
+# ---------------------------------------------------------------------------
+# Burst detection: cnt_d >= 2 * mean(cnt over the 7 preceding days),
+# cross-multiplied (cnt_d * n_prev >= 2 * sum_prev) so the test is
+# exact-integer, plus an absolute floor so a 1-then-3-events type never
+# "bursts".  Days with no trailing history emit NULL ratio and never
+# flag.  ratio_ppm = cnt * n_prev * 1e6 // sum_prev (floor division on
+# nonnegative ints — identical truncation in both engines).
+# ---------------------------------------------------------------------------
+
+_BURST_MIN = 20  # absolute floor: bursts need at least this many events
+
+_BURST_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         cast(count(*) AS BIGINT) AS cnt,
+         CAST(ts AS DATE) - DATE '1970-01-01' AS day_num
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), trailed AS (
+  SELECT event_type, day, cnt,
+         cast(sum(cnt) OVER w AS BIGINT) AS prev_sum,
+         cast(count(cnt) OVER w AS BIGINT) AS prev_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, cnt,
+       prev_sum, prev_n,
+       CASE WHEN prev_sum > 0
+            THEN cast(cnt * prev_n * 1000000 // prev_sum AS BIGINT) END
+         AS ratio_ppm,
+       CASE WHEN prev_n > 0 AND cnt >= {_BURST_MIN}
+                 AND cnt * prev_n >= 2 * prev_sum
+            THEN 1 ELSE 0 END AS is_burst
+FROM trailed
+ORDER BY event_type, day
+"""
+
+
+@register(
+    "events_burst_detection_trailing",
+    _BURST_ORACLE,
+    tags=("events", "anomaly", "window"),
+)
+def events_burst_detection_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    daily = daily.withColumn(
+        "day_num", F.datediff("day", F.lit("1970-01-01"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-7, -1)
+    )
+    trailed = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("prev_sum"),
+        F.count("cnt").over(w).cast("long").alias("prev_n"),
+    )
+    ratio = F.when(
+        F.col("prev_sum") > 0,
+        (F.col("cnt") * F.col("prev_n") * 1_000_000 / F.col("prev_sum")).cast(
+            "long"
+        ),
+    )
+    burst = F.when(
+        (F.col("prev_n") > 0)
+        & (F.col("cnt") >= _BURST_MIN)
+        & (F.col("cnt") * F.col("prev_n") >= 2 * F.col("prev_sum")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return trailed.select(
+        "event_type",
+        "day",
+        "cnt",
+        "prev_sum",
+        "prev_n",
+        ratio.alias("ratio_ppm"),
+        burst.alias("is_burst"),
+    ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive backtest: forecast(type, d) = actual(type, d-7); score
+# only days whose d-7 exists (an equi-join on (type, day_num-7), not a
+# lag, so calendar gaps never misalign the season).  Per-type readout:
+# days scored, MAE in exact µ-value units (long div long), and weighted
+# sMAPE = Σ|a-f| / Σ(|a|+|f|) as ONE double division of two exact long
+# sums, rounded 6 (the ACF convention: exact integers until the last
+# IEEE-identical op; Σ here stays < 2^53 through a 100× replica —
+# beyond that the sums move to DECIMAL(38,0), shape unchanged).
+# ---------------------------------------------------------------------------
+
+_SNAIVE_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(ts AS DATE) - DATE '1970-01-01' AS day_num,
+         cast(sum(cast(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), scored AS (
+  SELECT a.event_type, a.day_num, a.v AS actual, f.v AS forecast
+  FROM daily a JOIN daily f
+    ON f.event_type = a.event_type AND f.day_num = a.day_num - 7
+)
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n_days,
+       cast(cast(sum(abs(actual - forecast)) AS BIGINT) // count(*)
+            AS BIGINT) AS mae_micro,
+       CASE WHEN sum(abs(actual) + abs(forecast)) > 0
+            THEN round(cast(sum(abs(actual - forecast)) AS DOUBLE)
+                       / cast(sum(abs(actual) + abs(forecast)) AS DOUBLE), 6)
+       END AS smape
+FROM scored
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "events_seasonal_naive_backtest",
+    _SNAIVE_ORACLE,
+    tags=("events", "forecast", "backtest"),
+)
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    xv = F.round(F.col("value") * 1_000_000).cast("long")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num"),
+    ).agg(F.sum(xv).cast("long").alias("v"))
+    fc = daily.select(
+        F.col("event_type").alias("f_type"),
+        (F.col("day_num") + 7).alias("f_day"),
+        F.col("v").alias("forecast"),
+    )
+    scored = daily.join(
+        fc,
+        (F.col("event_type") == F.col("f_type"))
+        & (F.col("day_num") == F.col("f_day")),
+    ).select("event_type", "day_num", F.col("v").alias("actual"), "forecast")
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    denom = F.abs(F.col("actual")) + F.abs(F.col("forecast"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(err).cast("long").alias("sum_err"),
+            F.sum(denom).cast("long").alias("sum_denom"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.expr("CAST(sum_err DIV n_days AS BIGINT)").alias("mae_micro"),
+            F.when(
+                F.col("sum_denom") > 0,
+                F.round(
+                    F.col("sum_err").cast("double")
+                    / F.col("sum_denom").cast("double"),
+                    6,
+                ),
+            ).alias("smape"),
+        )
+        .orderBy("event_type")
+    )

@@ -893,3 +893,131 @@ def docs_kanon_quasi_identifier_risk(spark: SparkSession, sf_dir: str) -> DataFr
     )
     capture_plan("docs_kanon_quasi_identifier_risk", out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) embedding quantization recall — the 64x-memory
+# extreme of the quantization family (SQ8 above keeps 8 bits/dim; this
+# keeps ONE).  64 dims pack into a single int64 signature; candidate
+# distance is popcount(xor) — the cheapest ANN scoring primitive there
+# is, and the reason binary codes are the standard first-stage filter
+# in billion-scale retrieval (Hamming ranking + exact re-rank).  The
+# audit measures symmetric-Hamming recall@10 against exact integer
+# dot-product top-10 for the same 5 queries as the SQ8 audit.
+# Scale: signature build is one narrow pass (no shuffle); the Hamming
+# leg scans signatures (8 bytes/vector — 64 GB for 8 B vectors) with a
+# broadcast query block; ranks via two-stage top-k.  Everything is
+# exact integers; ties break on nid in both engines.
+# ---------------------------------------------------------------------------
+
+_BSQ_K = 10
+_BSQ_NQ = 5
+_BSQ_SIGN = -9223372036854775808  # bit 63 — the int64 sign bit
+
+_BSQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(x * 1000000) AS BIGINT)) AS vq
+  FROM embeddings
+), x AS (
+  SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e
+), sig AS (
+  SELECT vec_id,
+         cast(sum(CASE WHEN v > 0 THEN
+                    CASE WHEN pos = 1 THEN {_BSQ_SIGN}
+                         ELSE (1::BIGINT << (64 - pos)) END
+                  ELSE 0 END) AS BIGINT) AS s
+  FROM x GROUP BY vec_id
+), ed AS (
+  SELECT qa.vec_id AS qid, xb.vec_id AS nid, sum(qa.v * xb.v) AS dot
+  FROM x qa JOIN x xb ON qa.pos = xb.pos
+  WHERE qa.vec_id < {_BSQ_NQ} AND xb.vec_id <> qa.vec_id
+  GROUP BY qa.vec_id, xb.vec_id
+), hd AS (
+  SELECT q.vec_id AS qid, b.vec_id AS nid, bit_count(xor(q.s, b.s)) AS ham
+  FROM sig q JOIN sig b ON b.vec_id <> q.vec_id
+  WHERE q.vec_id < {_BSQ_NQ}
+), etop AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+    FROM ed) WHERE rn <= {_BSQ_K}
+), htop AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY ham ASC, nid) AS rn
+    FROM hd) WHERE rn <= {_BSQ_K}
+)
+SELECT e.qid AS qid,
+       cast(count(h.nid) AS BIGINT) AS n_overlap,
+       cast(count(h.nid) * 1000000 // {_BSQ_K} AS BIGINT) AS recall_ppm
+FROM etop e LEFT JOIN htop h ON h.qid = e.qid AND h.nid = e.nid
+GROUP BY e.qid ORDER BY qid
+"""
+
+
+@register(
+    "emb_binary_sign_hamming_recall",
+    _BSQ_ORACLE,
+    tags=("llm", "ann", "quantization", "audit"),
+)
+def emb_binary_sign_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+        ).alias("vq"),
+    )
+    x = emb.select("vec_id", F.posexplode("vq").alias("pos0", "v"))
+    bit = F.when(
+        F.col("v") > 0,
+        F.when(F.col("pos0") == 0, F.lit(_BSQ_SIGN).cast("long")).otherwise(
+            F.expr("shiftleft(1L, 63 - pos0)")
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    sig = x.groupBy("vec_id").agg(F.sum(bit).cast("long").alias("s"))
+
+    qs = sig.where(F.col("vec_id") < _BSQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("s").alias("qs")
+    )
+    hd = sig.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.bit_count(F.col("qs").bitwiseXOR(F.col("s"))).alias("ham"),
+    )
+    htop = topk_per_group(
+        hd, "qid", [F.asc("ham"), F.asc("nid")], _BSQ_K, rn_col="rn"
+    ).select(F.col("qid").alias("h_qid"), F.col("nid").alias("h_nid"))
+
+    qv = emb.where(F.col("vec_id") < _BSQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("vq").alias("q_vq")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vq"), F.col("vq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    ed = emb.join(F.broadcast(qv), F.col("vec_id") != F.col("qid")).select(
+        "qid", F.col("vec_id").alias("nid"), dot.alias("dot")
+    )
+    etop = topk_per_group(
+        ed, "qid", [F.desc("dot"), F.asc("nid")], _BSQ_K, rn_col="rn"
+    ).select("qid", "nid")
+
+    return (
+        etop.join(
+            htop,
+            (F.col("qid") == F.col("h_qid")) & (F.col("nid") == F.col("h_nid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("h_nid").cast("long").alias("n_overlap"))
+        .select(
+            "qid",
+            "n_overlap",
+            (F.col("n_overlap") * 1_000_000 / _BSQ_K).cast("long").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("qid")
+    )

@@ -229,6 +229,55 @@ def graph_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Personalized PageRank from a flagged SEED set over the same near-dup
+# graph — the 'expand this set through similarity' primitive: start
+# from known-contaminated (or known-good) documents and rank everything
+# by proximity-weighted reachability.  Same exact-integer recurrence as
+# the global PageRank (teleport restricted to seeds), 4 unrolled
+# rounds; seeds are the deterministic doc_id % 53 == 0 subset so the
+# query is self-contained at any SF.  Scale: per round one shuffle join
+# + one keyed agg, like every fixed-round iterative op here.
+# ---------------------------------------------------------------------------
+
+
+def _ppr_oracle() -> str:
+    from event_streaming_spark.operators.graph import sql_ppr_integer
+    from event_streaming_spark.plans.llm_similarity import _LSH_ORACLE
+
+    return (
+        sql_ppr_integer(
+            "SELECT doc_id AS node, CASE WHEN doc_id % 53 = 0 THEN 1 ELSE 0 END"
+            " AS is_seed FROM documents",
+            f"SELECT doc_a AS src, doc_b AS dst FROM ({_LSH_ORACLE})",
+            iters=4,
+        ).replace(
+            "SELECT node, is_seed, pr_scaled FROM r4",
+            "SELECT node AS doc_id, is_seed, pr_scaled FROM r4 ORDER BY doc_id",
+        )
+    )
+
+
+@register(
+    "graph_ppr_seed_expansion",
+    _ppr_oracle(),
+    tags=("graph", "iterative", "llm"),
+)
+def graph_ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.operators.graph import ppr_integer
+    from event_streaming_spark.plans.llm_similarity import minhash_lsh_near_dup_pairs
+
+    nodes = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") % 53 == 0, 1).otherwise(0).alias("is_seed"),
+    )
+    edges = minhash_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    out = ppr_integer(nodes, edges, iters=4)
+    return out.select(
+        F.col("node").alias("doc_id"), "is_seed", "pr_scaled"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Bottom-k quantile sketch: deterministic uniform sample per group (the k
 # smallest md5-hashes), quantiles read off the sorted sample by integer
 # position — approximate quantiles whose VALUES are bit-reproducible in

@@ -855,7 +855,11 @@ _BPE_MERGES = 8
 _BPE_MIN_COUNT = 2
 
 
-def _bpe_train_oracle(n: int = _BPE_MERGES, min_count: int = _BPE_MIN_COUNT) -> str:
+def _bpe_chain_parts(n: int = _BPE_MERGES) -> list[str]:
+    """The shared unrolled training chain (w0..w{n}, pc*/best* per
+    round) as CTE fragments — composed by the train-merges oracle below
+    and by the fertility oracle (plans/curation4.py), which extends it
+    with an encode chain over the same best{k} tables."""
     parts = [
         f"""w0 AS MATERIALIZED (
   SELECT '|' || regexp_replace(word, '(.)', '|\\1|', 'g') || '|' AS w, wc
@@ -885,10 +889,14 @@ w{k} AS MATERIALIZED (
   FROM w{k-1}, best{k} b
 )"""
         )
+    return parts
+
+
+def _bpe_train_oracle(n: int = _BPE_MERGES, min_count: int = _BPE_MIN_COUNT) -> str:
     union = " UNION ALL ".join(f"SELECT * FROM best{k}" for k in range(1, n + 1))
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_bpe_chain_parts(n))
         + f"""
 SELECT step, l AS "left", r AS "right", cnt AS pair_count
 FROM ({union}) WHERE cnt >= {min_count} ORDER BY step"""
