@@ -95,7 +95,7 @@ def main() -> None:
         # of a JVM pays one-time class-loading/codegen for the streaming
         # machinery (~2 s) that a deployed engine pays once per fleet,
         # not per drain — warm it on a 2-event throwaway topic.
-        wctx = agency._get_or_create("bench", "warmup")
+        wctx = agency.topic("bench", "warmup")
         wctx.publish([
             {"event_id": 0, "ts": "2024-01-01T00:00:00", "user_id": 0,
              "event_type": "view", "value": 0.0, "props": "{}"},
@@ -103,7 +103,7 @@ def main() -> None:
              "event_type": "view", "value": 1.0, "props": "{}"},
         ])
         wctx.consume(lambda c, df, i: df.count(), once=True, state_partitions=2)
-        ctx = agency._get_or_create("bench", "events")
+        ctx = agency.topic("bench", "events")
         ev = load(spark, sf_dir, "events")
         n_events = ev.count()
         t0 = time.monotonic()

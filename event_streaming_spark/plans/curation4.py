@@ -503,6 +503,7 @@ GROUP BY lang ORDER BY lang"""
     "text_bpe_fertility_by_lang",
     _fertility_oracle(),
     tags=("llm", "text", "tokenizer"),
+    bench=True,
 )
 def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the corpus BPE (8 merges, global word-frequency table) and

@@ -261,6 +261,7 @@ def _ppr_oracle() -> str:
     "graph_ppr_seed_expansion",
     _ppr_oracle(),
     tags=("graph", "iterative", "llm"),
+    bench=True,
 )
 def graph_ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_spark.operators.graph import ppr_integer

@@ -52,8 +52,8 @@ def ev(event_id, ts, user_id, event_type="click", value=1.0):
 def test_stream_stream_time_range_join(agency, spark):
     """SURVEY §2.4 'stream–stream time-range join with watermarks':
     purchases joined to clicks of the same user within the preceding hour."""
-    clicks_t = agency._get_or_create("b", "clicks2")
-    buys_t = agency._get_or_create("b", "buys2")
+    clicks_t = agency.topic("b", "clicks2")
+    buys_t = agency.topic("b", "buys2")
     clicks_t.publish([ev(1, "2024-01-01T10:00:00", 1), ev(2, "2024-01-01T10:30:00", 2)])
     buys_t.publish([
         ev(10, "2024-01-01T10:40:00", 1, "purchase", 9.0),   # 40m after click 1 → match
@@ -92,7 +92,7 @@ def test_stream_stream_time_range_join(agency, spark):
 
 def test_event_store_streaming_sink(agency, spark, tmp_path):
     store = EventStore(spark, str(tmp_path / "sstore"))
-    ctx = agency._get_or_create("b", "tostore")
+    ctx = agency.topic("b", "tostore")
     ctx.publish([ev(1, "2024-01-01T00:00:00", 1), ev(2, "2024-01-02T00:00:00", 2)])
     q = store.sink(ctx.stream(), checkpoint=str(tmp_path / "sstore-ckpt"))
     q.awaitTermination()
@@ -106,7 +106,7 @@ def test_event_store_streaming_sink(agency, spark, tmp_path):
 def test_event_store_sink_idempotent_on_replay(agency, spark, tmp_path):
     """A replayed foreachBatch id must not duplicate rows in the store."""
     store = EventStore(spark, str(tmp_path / "idem"))
-    ctx = agency._get_or_create("b", "idem")
+    ctx = agency.topic("b", "idem")
     ctx.publish([ev(1, "2024-01-01T00:00:00", 1), ev(2, "2024-01-01T00:01:00", 2)])
     ckpt = str(tmp_path / "idem-ckpt")
     q = store.sink(ctx.stream(), checkpoint=ckpt)

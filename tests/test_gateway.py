@@ -100,7 +100,7 @@ def test_gateway_body_cap_and_topic_restrictions(spark, tmp_path, monkeypatch):
         assert _post(g, "/topics/b/ok", ev)[0] == 404
         assert agency.find_topic("b", "ok") is None
         # pre-created topic works
-        agency._get_or_create("b", "ok")
+        agency.topic("b", "ok")
         assert _post(g, "/topics/b/ok", ev)[0] == 202
         # oversized body → 413 before any read
         monkeypatch.setattr(ApiGateway, "MAX_BODY_BYTES", 64)

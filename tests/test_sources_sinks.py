@@ -409,7 +409,7 @@ def test_streaming_metrics_listener(spark, tmp_path):
     collector = ProgressCollector().attach(spark)
     try:
         agency = EventsAgency(spark, root=str(tmp_path / "magency"))
-        ctx = agency._get_or_create("b", "metrics")
+        ctx = agency.topic("b", "metrics")
         ctx.publish({"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
                      "event_type": "click", "value": 1.0, "props": "{}"})
         ctx.consume(lambda c, df, i: df.count(), once=True)
@@ -509,7 +509,7 @@ def test_kafka_backend_error_message(spark, tmp_path):
     from event_streaming_spark.streaming.agency import EventsAgency
 
     a = EventsAgency(spark, root=str(tmp_path / "k"), backend="kafka")
-    ctx = a._get_or_create("localhost:9092", "t")
+    ctx = a.topic("localhost:9092", "t")
     try:
         ctx.stream()
         hit = None
@@ -599,7 +599,7 @@ def test_kafka_publish_error_message(spark, tmp_path):
     from event_streaming_spark.streaming.agency import EventsAgency
 
     a = EventsAgency(spark, root=str(tmp_path / "kp"), backend="kafka")
-    ctx = a._get_or_create("localhost:9092", "t")
+    ctx = a.topic("localhost:9092", "t")
     try:
         ctx.publish({"event_id": 1})
         hit = None

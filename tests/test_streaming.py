@@ -97,7 +97,7 @@ def test_topics_ordering_nulls_first(agency):
     """O30 comparator: (broker, topic) ascending, NULLs first — WITHOUT
     the reference's asymmetry bug (events-agency.c:133)."""
     for b, t in [("z", "t"), (None, "t"), ("a", None), ("a", "t")]:
-        agency._get_or_create(b, t)
+        agency.topic(b, t)
     assert agency.topics() == [(None, "t"), ("a", None), ("a", "t"), ("z", "t")]
 
 
@@ -115,7 +115,7 @@ def test_streaming_windowed_aggregation(agency, spark):
             )
         )
 
-    ctx = agency._get_or_create("b", "win")
+    ctx = agency.topic("b", "win")
     ctx.publish(
         [
             ev(1, "2024-01-01T00:01:00", 1, "click", 1.0),
@@ -136,7 +136,7 @@ def test_streaming_windowed_aggregation(agency, spark):
 
 def test_keep_latest_stream_state(agency, spark):
     """O27 keep-latest across micro-batches via applyInPandasWithState."""
-    ctx = agency._get_or_create("b", "latest")
+    ctx = agency.topic("b", "latest")
     ctx.publish(
         [
             ev(1, "2024-01-01T00:00:00", 1, "click", 1.0),
@@ -174,7 +174,7 @@ def test_keep_latest_stream_state(agency, spark):
 
 def test_stream_dedup_within_watermark(agency, spark):
     """O23 discard policy under streaming: duplicate event_ids dropped."""
-    ctx = agency._get_or_create("b", "dedup")
+    ctx = agency.topic("b", "dedup")
     ctx.publish(
         [
             ev(1, "2024-01-01T00:00:00", 1),
@@ -194,7 +194,7 @@ def test_stream_dedup_within_watermark(agency, spark):
 def test_streaming_session_window(agency, spark):
     """Native session_window (gap 30 min) on a topic stream — the streaming
     twin of the batch events_sessionize_30m catalog query."""
-    ctx = agency._get_or_create("b", "sess")
+    ctx = agency.topic("b", "sess")
     ctx.publish(
         [
             ev(1, "2024-01-01T00:00:00", 1, "click", 1.0),
@@ -231,7 +231,7 @@ def test_continuous_consume_and_stop(agency, spark):
     import time
 
     got = []
-    ctx = agency._get_or_create("b", "live")
+    ctx = agency.topic("b", "live")
     ctx.publish(ev(1, "2024-01-01T00:00:00", 1))
     q = ctx.consume(lambda c, df, i: got.extend(df.collect()), once=False)
     try:
@@ -252,7 +252,7 @@ def test_continuous_consume_and_stop(agency, spark):
 def test_checkpoint_resume_delivers_only_new_events(agency, spark):
     """Offsets live in the per-topic checkpoint: a second consume sees only
     events published after the first drain (at-least-once, no replay)."""
-    ctx = agency._get_or_create("b", "resume")
+    ctx = agency.topic("b", "resume")
     ctx.publish([ev(1, "2024-01-01T00:00:00", 1), ev(2, "2024-01-01T00:01:00", 1)])
     first, second = [], []
     ctx.consume(lambda c, df, i: first.extend(df.collect()), once=True)
@@ -267,7 +267,7 @@ def test_schema_on_read_tolerates_sparse_events(agency, spark):
     """Schema-on-read (reference D1: schemaless JSON events): missing
     fields surface as nulls, extra fields are ignored — consumers declare
     the schema, producers evolve freely."""
-    ctx = agency._get_or_create("b", "sparse")
+    ctx = agency.topic("b", "sparse")
     ctx.publish([
         {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
          "event_type": "click", "value": 1.0, "props": "{}"},
@@ -286,7 +286,7 @@ def test_schema_on_read_tolerates_sparse_events(agency, spark):
 
 def test_memory_sink_table(agency, spark):
     """format('memory') sink: drained topic queryable as a SQL table."""
-    ctx = agency._get_or_create("b", "memsink")
+    ctx = agency.topic("b", "memsink")
     ctx.publish([ev(1, "2024-01-01T00:00:00", 1), ev(2, "2024-01-01T00:01:00", 2)])
     q = (
         ctx.stream()
@@ -303,8 +303,8 @@ def test_concurrent_topics_isolated(agency, spark):
     """Two live topics under one agency: independent logs, checkpoints,
     and callbacks (the registry's whole point, events-agency.h:78-91)."""
     a_got, b_got = [], []
-    ta = agency._get_or_create("b1", "alpha")
-    tb = agency._get_or_create("b2", "beta")
+    ta = agency.topic("b1", "alpha")
+    tb = agency.topic("b2", "beta")
     ta.publish(ev(1, "2024-01-01T00:00:00", 1))
     tb.publish([ev(10, "2024-01-01T00:00:00", 2), ev(11, "2024-01-01T00:01:00", 2)])
     ta.consume(lambda c, df, i: a_got.extend(df.collect()), once=True)
@@ -319,8 +319,8 @@ def test_discover_topics_after_restart(spark, tmp_path):
     rebuilds the registry and resumes from the per-topic checkpoint."""
     root = str(tmp_path / "persistent-agency")
     a1 = EventsAgency(spark, root=root)
-    a1._get_or_create("b1", "t1").publish(ev(1, "2024-01-01T00:00:00", 1))
-    a1._get_or_create(None, "t2").publish(ev(2, "2024-01-01T00:00:00", 2))
+    a1.topic("b1", "t1").publish(ev(1, "2024-01-01T00:00:00", 1))
+    a1.topic(None, "t2").publish(ev(2, "2024-01-01T00:00:00", 2))
     drained = []
     a1.find_topic("b1", "t1").consume(lambda c, df, i: drained.extend(df.collect()), once=True)
     assert len(drained) == 1
@@ -352,7 +352,7 @@ def test_transform_with_state_running_stats(agency, spark):
         import pytest as _pytest
 
         with _pytest.raises(RuntimeError, match="protobuf"):
-            running_stats_stream(agency._get_or_create("b", "tws").stream())
+            running_stats_stream(agency.topic("b", "tws").stream())
         _pytest.skip("google.protobuf not in this container — API gated")
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
@@ -361,7 +361,7 @@ def test_transform_with_state_running_stats(agency, spark):
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        ctx = agency._get_or_create("b", "tws")
+        ctx = agency.topic("b", "tws")
         ctx.publish([ev(1, "2024-01-01T00:00:00", 1, "click", 2.0),
                      ev(2, "2024-01-01T00:01:00", 1, "click", 5.0),
                      ev(3, "2024-01-01T00:02:00", 2, "view", 7.0)])
@@ -474,7 +474,7 @@ def test_streaming_ingest_dedup_against_signature_store(agency, spark, tmp_path)
         "while the silver moon rises slowly above the quiet sleeping village and "
         "every small light goes out one by one across the whole valley floor"
     )
-    ctx = agency._get_or_create("b", "ingest")
+    ctx = agency.topic("b", "ingest")
     ctx.publish([
         ev(1, "2024-01-01T00:00:00", 1, k=1) | {"props": f'{{"text": "{base}"}}'},
         ev(2, "2024-01-01T00:00:01", 1, k=1) | {"props": '{"text": "completely different words about spark shuffles and partitions here now"}'},
@@ -513,7 +513,7 @@ def test_token_bucket_stream_matches_batch(agency, spark):
         ev(8, "2024-01-01T02:00:11", 1),   # consumed again -> reject
         ev(9, "2024-01-01T00:00:01", 2),
     ]
-    ctx = agency._get_or_create("b", "ratelimit")
+    ctx = agency.topic("b", "ratelimit")
     got = {}
 
     def drain():
@@ -553,7 +553,7 @@ def test_parquet_log_roundtrip_dicts_and_dataframe(spark, tmp_path):
     path — same events, typed ts/value."""
     a = EventsAgency(spark, root=str(tmp_path / "pq"), log_format="parquet")
     try:
-        ctx = a._get_or_create("b", "t")
+        ctx = a.topic("b", "t")
         ctx.publish([ev(1, "2024-01-01T00:00:00", 7), ev(2, "2024-01-01T00:01:00", 8)])
         ctx.publish(ev(3, "2024-01-01T00:02:00", 7, "purchase", 9.5))
         df = spark.createDataFrame(
@@ -590,7 +590,7 @@ def test_parquet_log_windowed_agg_matches_json_log(spark, tmp_path):
     def drain(fmt, root):
         a = EventsAgency(spark, root=root, log_format=fmt)
         try:
-            ctx = a._get_or_create("b", "t")
+            ctx = a.topic("b", "t")
             ctx.publish(rows)
             out = []
 
@@ -674,7 +674,7 @@ def _drain_sessions(spark, tmp_path, waves, gap_minutes=30):
     from event_streaming_spark.streaming.state import sessionize_stream
 
     agency = EventsAgency(spark, root=str(tmp_path / "topic"), log_format="parquet")
-    ctx = agency._get_or_create("t", "sess")
+    ctx = agency.topic("t", "sess")
     got = []
     for wave in waves:
         ctx.publish(wave)

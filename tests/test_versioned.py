@@ -735,7 +735,7 @@ def test_consume_state_partitions_does_not_touch_shared_conf(spark, tmp_path):
 
     before = spark.conf.get("spark.sql.shuffle.partitions")
     agency = EventsAgency(spark, root=str(tmp_path / "agency"))
-    ctx = agency._get_or_create(None, "conf-scope")
+    ctx = agency.topic(None, "conf-scope")
     ctx.publish(
         [
             {"event_id": i, "ts": "2024-01-01T00:00:00", "user_id": i,
@@ -1011,7 +1011,7 @@ def test_subscribe_replacement_gets_fresh_checkpoint_and_full_log(spark, tmp_pat
 
     agency = EventsAgency(spark, root=str(tmp_path / "agency"), log_format="json")
     seen_a, seen_b = [], []
-    agency._get_or_create("b", "t").publish(
+    agency.topic("b", "t").publish(
         [{"event_id": i, "event_type": "x"} for i in range(3)]
     )
     ctx = agency.subscribe("b", "t", lambda c, df, bid: seen_a.append(df.count()))
