@@ -97,21 +97,21 @@ def sql_pagerank_integer(
         else "SELECT DISTINCT src, dst FROM raw"
     )
     parts = [
-        f"WITH raw AS ({edges_sql})",
-        f"e AS ({undirect})",
-        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
-        f"r0 AS (SELECT node, {SCALE}::BIGINT AS pr_scaled FROM ({nodes_sql}))",
+        f"WITH raw AS MATERIALIZED ({edges_sql})",
+        f"e AS MATERIALIZED ({undirect})",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT node, {SCALE}::BIGINT AS pr_scaled FROM ({nodes_sql}))",
     ]
     for k in range(iters):
         parts.append(
-            f"""s{k} AS (
+            f"""s{k} AS MATERIALIZED (
   SELECT e.dst, sum(r{k}.pr_scaled // deg.outdeg) AS s
   FROM r{k} JOIN deg ON deg.src = r{k}.node JOIN e ON e.src = r{k}.node
   GROUP BY e.dst
 )"""
         )
         parts.append(
-            f"""r{k + 1} AS (
+            f"""r{k + 1} AS MATERIALIZED (
   SELECT r{k}.node,
          ({BASE} + ({DAMP_NUM} * coalesce(s{k}.s, 0)) // {DAMP_DEN})::BIGINT AS pr_scaled
   FROM r{k} LEFT JOIN s{k} ON s{k}.dst = r{k}.node
@@ -185,12 +185,12 @@ def sql_ppr_integer(
         else "SELECT DISTINCT src, dst FROM raw"
     )
     parts = [
-        f"WITH raw AS ({edges_sql})",
-        f"e AS ({undirect})",
-        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
-        "b AS (SELECT node, cast(is_seed AS BIGINT) AS is_seed "
+        f"WITH raw AS MATERIALIZED ({edges_sql})",
+        f"e AS MATERIALIZED ({undirect})",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "b AS MATERIALIZED (SELECT node, cast(is_seed AS BIGINT) AS is_seed "
         f"FROM ({nodes_sql}))",
-        f"r0 AS (SELECT node, is_seed, (is_seed * {SCALE})::BIGINT AS pr_scaled FROM b)",
+        f"r0 AS MATERIALIZED (SELECT node, is_seed, (is_seed * {SCALE})::BIGINT AS pr_scaled FROM b)",
     ]
     for k in range(iters):
         parts.append(
@@ -201,7 +201,7 @@ def sql_ppr_integer(
 )"""
         )
         parts.append(
-            f"""r{k + 1} AS (
+            f"""r{k + 1} AS MATERIALIZED (
   SELECT b.node, b.is_seed,
          (b.is_seed * {BASE}
           + ({DAMP_NUM} * coalesce(s{k}.s, 0)) // {DAMP_DEN})::BIGINT AS pr_scaled

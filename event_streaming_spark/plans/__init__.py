@@ -43,6 +43,7 @@ from event_streaming_spark.plans import text_ml  # noqa: F401,E402
 from event_streaming_spark.plans import multimodal_dedup  # noqa: F401,E402
 from event_streaming_spark.plans import events7  # noqa: F401,E402
 from event_streaming_spark.plans import curation4  # noqa: F401,E402
+from event_streaming_spark.plans import llm_audits2  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
@@ -99,6 +100,11 @@ _PRIORITY = [
     "text_bpe_fertility_by_lang",
     "emb_binary_sign_hamming_recall",
     "graph_ppr_seed_expansion",
+    # r9 session additions, tranche 2:
+    "text_lm_perplexity_vs_reference",
+    "docs_minhash_band_tuning_curve",
+    "events_user_churn_features",
+    "events_power_law_fit_user_activity",
     # ----------------------------------------------------------------------
     # r8 rotation (VERDICT r7 "Next round" #1): the 13 round-7 session
     # additions — the only catalog entries that have never had a driver
