@@ -514,12 +514,18 @@ def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_spark.operators.bpe import bpe_encode, bpe_train
     from event_streaming_spark.plans.scale_ops3 import _BPE_MERGES
 
+    from event_streaming_spark.operators.materialize import materialize
+
     docs = spread(load(spark, sf_dir, "documents"))
-    lang_words = (
+    # pin the (lang, word) frequency table: BOTH the trainer (via the
+    # global rollup) and the encoder consume it — without the pin each
+    # consumer re-tokenizes the corpus (EXPLAINS showed 2 fact scans).
+    lang_words = materialize(
         docs.select("lang", F.explode(tokens(F.col("text"))).alias("word"))
         .where(F.length("word") > 0)
         .groupBy("lang", "word")
-        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+        .agg(F.count(F.lit(1)).cast("long").alias("wc")),
+        "fertility-lang-words",
     )
     gwords = lang_words.groupBy("word").agg(F.sum("wc").cast("long").alias("wc"))
     merges = bpe_train(gwords, _BPE_MERGES)
