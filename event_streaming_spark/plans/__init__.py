@@ -105,6 +105,9 @@ _PRIORITY = [
     "docs_minhash_band_tuning_curve",
     "events_user_churn_features",
     "events_power_law_fit_user_activity",
+    # r9 session additions, tranche 3:
+    "docs_dedup_survivorship_report",
+    "events_new_vs_returning_daily",
     # ----------------------------------------------------------------------
     # r8 rotation (VERDICT r7 "Next round" #1): the 13 round-7 session
     # additions — the only catalog entries that have never had a driver

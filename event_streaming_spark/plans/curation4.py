@@ -555,3 +555,99 @@ def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivorship report — the production OUTPUT of the near-dup
+# pipeline.  The cluster queries (plans/curation.py) label documents;
+# this one decides WHO SURVIVES and accounts for what was dropped: per
+# multi-member cluster, the survivor under the deterministic policy
+# (longest text wins, doc_id breaks ties) plus kept/dropped volumes.
+# The policy intentionally differs from the min-id canonical used by
+# corpus_curation_end_to_end — min-id is the cheap label; longest-text
+# is what a quality-first pipeline ships, and the report is the diff a
+# reviewer signs off on.
+# Scale: the cluster labels come from the pointer-doubled CC (never
+# all-pairs); the survivor pick is ONE max_by-style aggregate per
+# cluster key (no per-cluster window sort), the report is
+# clusters-sized.
+# ---------------------------------------------------------------------------
+
+
+def _survivorship_oracle() -> str:
+    from event_streaming_spark.plans.curation import _CC_ORACLE
+
+    return f"""
+WITH clu AS MATERIALIZED ({_CC_ORACLE}),
+mem AS (
+  SELECT l.cluster_id, d.doc_id, d.n_chars
+  FROM documents d JOIN clu l ON d.doc_id = l.doc_id
+), ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM mem
+)
+SELECT cluster_id,
+       cast(count(*) AS BIGINT) AS n_members,
+       cast(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS survivor_doc,
+       cast(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+         AS survivor_chars,
+       cast(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_dropped,
+       cast(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) * 1000000
+            // sum(n_chars) AS BIGINT) AS drop_ppm
+FROM ranked
+GROUP BY cluster_id
+HAVING count(*) >= 2
+ORDER BY cluster_id
+"""
+
+
+@register(
+    "docs_dedup_survivorship_report",
+    _survivorship_oracle(),
+    tags=("llm", "dedup", "curation"),
+)
+def docs_dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-text survivor per near-dup cluster + dropped-volume
+    accounting.  The survivor pick is a single max(struct) aggregate —
+    (n_chars, -doc_id) lexicographic max == longest-then-lowest-id —
+    no per-cluster row_number sort pass."""
+    from event_streaming_spark.plans.curation import dedup_near_dup_clusters
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labels = dedup_near_dup_clusters(spark, sf_dir)
+    mem = labels.join(docs, "doc_id")
+    pick = F.max(
+        F.struct(
+            F.col("n_chars").alias("c"), (-F.col("doc_id")).alias("negid")
+        )
+    )
+    out = (
+        mem.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            pick.alias("best"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+        .where(F.col("n_members") >= 2)
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("best.negid")).cast("long").alias("survivor_doc"),
+            F.col("best.c").cast("long").alias("survivor_chars"),
+            (F.col("chars_total") - F.col("best.c"))
+            .cast("long")
+            .alias("chars_dropped"),
+            (
+                (F.col("chars_total") - F.col("best.c"))
+                * 1_000_000
+                / F.col("chars_total")
+            )
+            .cast("long")
+            .alias("drop_ppm"),
+        )
+        .orderBy("cluster_id")
+    )
+    return out

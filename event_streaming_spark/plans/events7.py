@@ -200,3 +200,67 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning daily actives: the growth-accounting split every
+# product dashboard leads with.  new(d) = users whose FIRST-ever event
+# day is d; returning = active − new.  One user-keyed min(day) and a
+# join back on the SAME key (co-partitioned — AQE reuses the exchange),
+# then a days-sized rollup.
+# ---------------------------------------------------------------------------
+
+_NVR_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, user_id
+  FROM events GROUP BY CAST(ts AS DATE), user_id
+)
+SELECT d.day,
+       cast(count(*) AS BIGINT) AS active_users,
+       cast(sum(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       cast(count(*) - sum(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_users,
+       cast(sum(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS new_ppm
+FROM daily d JOIN firsts f ON f.user_id = d.user_id
+GROUP BY d.day ORDER BY d.day
+"""
+
+
+@register(
+    "events_new_vs_returning_daily",
+    _NVR_ORACLE,
+    tags=("events", "growth", "agg"),
+)
+def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.distinct()
+    firsts = daily.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+    return (
+        daily.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum(is_new).cast("long").alias("new_users"),
+        )
+        .select(
+            "day",
+            "active_users",
+            "new_users",
+            (F.col("active_users") - F.col("new_users"))
+            .cast("long")
+            .alias("returning_users"),
+            (F.col("new_users") * 1_000_000 / F.col("active_users"))
+            .cast("long")
+            .alias("new_ppm"),
+        )
+        .orderBy("day")
+    )
