@@ -108,6 +108,9 @@ _PRIORITY = [
     # r9 session additions, tranche 3:
     "docs_dedup_survivorship_report",
     "events_new_vs_returning_daily",
+    # r9 session additions, tranche 4:
+    "events_interarrival_cv_profile",
+    "events_peak_hour_profile",
     # ----------------------------------------------------------------------
     # r8 rotation (VERDICT r7 "Next round" #1): the 13 round-7 session
     # additions — the only catalog entries that have never had a driver

@@ -264,3 +264,152 @@ def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival diagnostics per event type: mean gap, coefficient of
+# variation, and the Poisson-likeness flag (an exponential process has
+# CV = 1; CV >> 1 means bursty/clustered arrivals, CV << 1 means
+# regular/scheduled) — the point-process readout behind capacity
+# planning and the burst detector's priors.
+# Scale: gaps come from a lag window partitioned by (event_type, DAY) —
+# never one task per type; cross-day gaps are dropped by construction
+# (the standard daily ops profile).  Second moments ride DECIMAL(38,0)
+# (µs gaps square past int64); the CV is one sqrt on exact-derived
+# doubles, rounded 6 (the ACF convention).
+# ---------------------------------------------------------------------------
+
+_IAT_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS g
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id)
+), agg AS (
+  SELECT event_type,
+         cast(count(*) AS BIGINT) AS n_gaps,
+         cast(sum(g) AS BIGINT) AS s1,
+         sum(cast(g AS HUGEINT) * g) AS s2
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       cast(s1 // n_gaps AS BIGINT) AS mean_gap_us,
+       round(sqrt(cast(n_gaps AS DOUBLE) * cast(s2 AS DOUBLE)
+                  - cast(s1 AS DOUBLE) * cast(s1 AS DOUBLE))
+             / cast(s1 AS DOUBLE), 6) AS cv,
+       CASE WHEN abs(round(sqrt(cast(n_gaps AS DOUBLE) * cast(s2 AS DOUBLE)
+                  - cast(s1 AS DOUBLE) * cast(s1 AS DOUBLE))
+             / cast(s1 AS DOUBLE), 6) - 1.0) <= 0.1
+            THEN 1 ELSE 0 END AS poisson_like
+FROM agg
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_interarrival_cv_profile",
+    _IAT_ORACLE,
+    tags=("events", "stats", "pointprocess"),
+)
+def events_interarrival_cv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("g")
+    ).where(F.col("g").isNotNull())
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("s1"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("s2"),
+    )
+    cv = F.round(
+        F.sqrt(
+            F.col("n_gaps").cast("double") * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+        / F.col("s1").cast("double"),
+        6,
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.expr("CAST(s1 DIV n_gaps AS BIGINT)").alias("mean_gap_us"),
+        cv.alias("cv"),
+        F.when(F.abs(cv - 1.0) <= 0.1, 1).otherwise(0).alias("poisson_like"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Peak-hour traffic profile: the (day-of-week × hour) grid with exact
+# ppm shares and each weekday's peak hour — the load-shaping readout
+# behind autoscaling schedules.  One fact scan to a 7×24 frame.
+# DOW convention: ISO (1 = Monday) on both engines (DuckDB isodow;
+# Spark dayofweek is 1 = Sunday, so it is remapped).
+# ---------------------------------------------------------------------------
+
+_PEAK_ORACLE = """
+WITH grid AS (
+  SELECT isodow(ts) AS dow, hour(ts) AS hr,
+         cast(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY isodow(ts), hour(ts)
+), tot AS (
+  SELECT grid.*,
+         cast(sum(n_events) OVER () AS BIGINT) AS total,
+         max(n_events) OVER (PARTITION BY dow) AS dow_max
+  FROM grid
+)
+SELECT dow, hr, n_events,
+       cast(n_events * 1000000 // total AS BIGINT) AS share_ppm,
+       CASE WHEN n_events = dow_max
+                 AND hr = min(CASE WHEN n_events = dow_max THEN hr END)
+                          OVER (PARTITION BY dow)
+            THEN 1 ELSE 0 END AS is_dow_peak
+FROM tot
+ORDER BY dow, hr
+"""
+
+
+@register(
+    "events_peak_hour_profile",
+    _PEAK_ORACLE,
+    tags=("events", "profile", "agg"),
+)
+def events_peak_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    iso_dow = F.when(F.dayofweek("ts") == 1, 7).otherwise(
+        F.dayofweek("ts") - 1
+    )
+    grid = ev.groupBy(
+        iso_dow.alias("dow"), F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    wall = Window.partitionBy()
+    wdow = Window.partitionBy("dow")
+    tot = grid.select(
+        "dow",
+        "hr",
+        "n_events",
+        F.sum("n_events").over(wall).cast("long").alias("total"),
+        F.max("n_events").over(wdow).alias("dow_max"),
+    )
+    peak_hr = F.min(
+        F.when(F.col("n_events") == F.col("dow_max"), F.col("hr"))
+    ).over(wdow)
+    return tot.select(
+        "dow",
+        "hr",
+        "n_events",
+        (F.col("n_events") * 1_000_000 / F.col("total")).cast("long").alias(
+            "share_ppm"
+        ),
+        F.when(
+            (F.col("n_events") == F.col("dow_max")) & (F.col("hr") == peak_hr),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_dow_peak"),
+    ).orderBy("dow", "hr")
