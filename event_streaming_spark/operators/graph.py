@@ -194,7 +194,7 @@ def sql_ppr_integer(
     ]
     for k in range(iters):
         parts.append(
-            f"""s{k} AS (
+            f"""s{k} AS MATERIALIZED (
   SELECT e.dst, sum(r{k}.pr_scaled // deg.outdeg) AS s
   FROM r{k} JOIN deg ON deg.src = r{k}.node JOIN e ON e.src = r{k}.node
   GROUP BY e.dst

@@ -247,7 +247,10 @@ def docs_temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataF
         "lang",
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens") * 1_000_000 / F.col("tot_tokens"))
+        # exact integer div — token-count numerators (n_tokens * 1e6) cross
+        # 2^53 near ~9e9 corpus tokens, where double / + cast('long') would
+        # silently round; `div` matches the oracle's `//` at any scale.
+        F.expr("(n_tokens * CAST(1000000 AS BIGINT)) div tot_tokens")
         .cast("long")
         .alias("share_ppm"),
         F.round(1_000_000 * F.exp(F.lit(float(_TEMP_ALPHA)) * F.log(p)))
@@ -255,18 +258,20 @@ def docs_temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataF
         .alias("raw_ppm"),
         "tot_docs",
     )
-    w_ppm = (F.col("raw_ppm") * 1_000_000 / F.sum("raw_ppm").over(wall)).cast(
-        "long"
-    )
-    return raw.select(
+    w = raw.withColumn("sum_raw", F.sum("raw_ppm").over(wall).cast("long"))
+    w_ppm = F.expr("(raw_ppm * CAST(1000000 AS BIGINT)) div sum_raw")
+    return w.select(
         "lang",
         "n_docs",
         "n_tokens",
         "share_ppm",
-        w_ppm.alias("weight_ppm"),
-        (w_ppm * F.col("tot_docs") / 1_000_000).cast("long").alias(
-            "docs_per_epoch"
-        ),
+        w_ppm.cast("long").alias("weight_ppm"),
+        F.expr(
+            "((raw_ppm * CAST(1000000 AS BIGINT)) div sum_raw * tot_docs)"
+            " div CAST(1000000 AS BIGINT)"
+        )
+        .cast("long")
+        .alias("docs_per_epoch"),
     ).orderBy("lang")
 
 

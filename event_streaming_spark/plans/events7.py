@@ -258,7 +258,11 @@ def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("active_users") - F.col("new_users"))
             .cast("long")
             .alias("returning_users"),
-            (F.col("new_users") * 1_000_000 / F.col("active_users"))
+            # exact integer div (not double / + cast): double round-trips
+            # lose exactness once the numerator crosses 2^53 — user-count
+            # numerators stay small today, but `div` costs nothing and
+            # matches the oracle's `//` at any scale.
+            F.expr("(new_users * CAST(1000000 AS BIGINT)) div active_users")
             .cast("long")
             .alias("new_ppm"),
         )

@@ -969,12 +969,27 @@ def emb_binary_sign_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("vq"),
     )
     x = emb.select("vec_id", F.posexplode("vq").alias("pos0", "v"))
-    bit = F.when(
-        F.col("v") > 0,
-        F.when(F.col("pos0") == 0, F.lit(_BSQ_SIGN).cast("long")).otherwise(
-            F.expr("shiftleft(1L, 63 - pos0)")
-        ),
-    ).otherwise(F.lit(0).cast("long"))
+    # shiftleft's shift amount wraps mod 64, so a >64-dim embedding would
+    # SILENTLY collide bits while the oracle's 128-bit HUGEINT diverges —
+    # fail loudly instead (the branch is lazy: it only evaluates if a row
+    # actually has pos0 > 63, i.e. the fixture dim changed).
+    bit = (
+        F.when(
+            F.col("pos0") > 63,
+            F.assert_true(
+                F.lit(False),
+                F.lit("emb_binary_sign_hamming_recall: embedding dim > 64 — "
+                      "sign-bit signature would wrap; widen to multi-word first"),
+            ).cast("long"),
+        )
+        .when(
+            F.col("v") > 0,
+            F.when(F.col("pos0") == 0, F.lit(_BSQ_SIGN).cast("long")).otherwise(
+                F.expr("shiftleft(1L, 63 - pos0)")
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
     sig = x.groupBy("vec_id").agg(F.sum(bit).cast("long").alias("s"))
 
     qs = sig.where(F.col("vec_id") < _BSQ_NQ).select(

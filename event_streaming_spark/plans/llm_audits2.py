@@ -373,7 +373,9 @@ def events_user_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchases",
             "monetary_micro",
             "active_days",
-            (F.col("n_events") * 1_000_000 / F.col("active_days"))
+            # exact integer div — event-count numerators can cross 2^53 at
+            # corpus scale, where double / + cast would silently round.
+            F.expr("(n_events * CAST(1000000 AS BIGINT)) div active_days")
             .cast("long")
             .alias("events_per_active_day_ppm"),
         )

@@ -146,7 +146,7 @@ class ApiGateway:
                 else:
                     self._reply(400, {"error": "body must be a JSON object or array of objects"})
                     return
-                ctx = gateway.agency._get_or_create(broker, topic)
+                ctx = gateway.agency.topic(broker, topic)
                 try:
                     ctx.publish(events)
                 except Exception as e:
