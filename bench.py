@@ -5,6 +5,9 @@
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+Mover-adjudication mode (fresh JVM per query, no shared-session heat):
+  python bench.py --isolate <query> [<query> ...] [--reps 3]
+
 Each query is executed once as a warm-up-free cold run after a shared
 session spin-up (session build time excluded — it is amortized fleet-wide
 in a real deployment).  ``value`` is the sum of per-query wall seconds.
@@ -14,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -23,8 +27,88 @@ from event_streaming_spark.plans import REGISTRY  # noqa: E402
 from event_streaming_spark.session import get_spark  # noqa: E402
 
 
+def _isolated_child(name: str, reps: int, sf_dir: str) -> None:
+    """Run ONE query in THIS fresh process/JVM: cold + `reps` warm reps.
+
+    Exists so ``--isolate`` measurements are free of cross-query session
+    state (JIT heat, cached relations, heap/GC history, AQE statistics)
+    — the confound that made the r8 `dedup_near_dup_clusters` and r9
+    `emb_ivf_two_stage_ann` bench movers cost a manual A/B each
+    (VERDICT r9 #3).  Prints one JSON line and exits.
+    """
+    spark = get_spark(app_name=f"est-isolate-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    # identical warmup to the shared-session path
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    q = REGISTRY[name]
+    times: list[float] = []
+    for _ in range(1 + reps):
+        t0 = time.monotonic()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times.append(round(time.monotonic() - t0, 3))
+    spark.stop()
+    warm = sorted(times[1:])
+    out = {
+        "query": name,
+        "cold": times[0],
+        "warm_reps": times[1:],
+        "warm_min": warm[0] if warm else None,
+        "warm_median": warm[len(warm) // 2] if warm else None,
+    }
+    sys.stdout.flush()
+    print(json.dumps(out, separators=(",", ":")), flush=True)
+
+
+def _isolate_main(names: list[str], reps: int, sf_dir: str) -> None:
+    """Fresh-JVM-per-query mover adjudication: spawn one child process per
+    query, collect its cold/warm stats, print a table (stderr) + one JSON
+    line (stdout)."""
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+    rows = {}
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_child", name,
+             "--reps", str(reps)],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            rows[name] = json.loads(line)
+        except (ValueError, json.JSONDecodeError):
+            rows[name] = {"query": name, "error": (proc.stderr or "")[-500:]}
+        r = rows[name]
+        if "error" in r:
+            print(f"# {name}: CHILD FAILED — {r['error'][:200]}", file=sys.stderr)
+        else:
+            print(
+                f"# {name}: cold {r['cold']:.3f}s  warm_min {r['warm_min']:.3f}s  "
+                f"warm_median {r['warm_median']:.3f}s  reps {r['warm_reps']}",
+                file=sys.stderr,
+            )
+    print(json.dumps({"metric": "isolate", "sf_dir": sf_dir, "reps": reps,
+                      "queries": rows}, separators=(",", ":")), flush=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--_child":
+        reps = int(argv[argv.index("--reps") + 1]) if "--reps" in argv else 3
+        _isolated_child(argv[1], reps, sf_dir)
+        return
+    if argv and argv[0] == "--isolate":
+        rest = argv[1:]
+        reps = 3
+        if "--reps" in rest:
+            i = rest.index("--reps")
+            reps = int(rest[i + 1])
+            rest = rest[:i] + rest[i + 2:]
+        _isolate_main(rest, reps, sf_dir)
+        return
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="est-bench")
     spark.sparkContext.setLogLevel("ERROR")
