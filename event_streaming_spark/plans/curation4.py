@@ -613,6 +613,9 @@ ORDER BY cluster_id
     "docs_dedup_survivorship_report",
     _survivorship_oracle(),
     tags=("llm", "dedup", "curation"),
+    # bench-tagged (VERDICT r9 #8): at 27.2 s/10x this is one of the two
+    # heaviest catalog entries — the regression trail must cover it.
+    bench=True,
 )
 def docs_dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest-text survivor per near-dup cluster + dropped-volume

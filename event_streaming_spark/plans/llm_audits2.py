@@ -238,6 +238,9 @@ SELECT * FROM ({body}) ORDER BY bands DESC
     "docs_minhash_band_tuning_curve",
     _bt_oracle(),
     tags=("llm", "dedup", "lsh", "audit"),
+    # bench-tagged (VERDICT r9 #8): 34.2 s/10x makes this the heaviest
+    # catalog entry not previously in bench.py.
+    bench=True,
 )
 def docs_minhash_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One signature build, three band layouts, one S-curve table.
