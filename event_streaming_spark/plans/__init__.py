@@ -44,6 +44,9 @@ from event_streaming_spark.plans import multimodal_dedup  # noqa: F401,E402
 from event_streaming_spark.plans import events7  # noqa: F401,E402
 from event_streaming_spark.plans import curation4  # noqa: F401,E402
 from event_streaming_spark.plans import llm_audits2  # noqa: F401,E402
+from event_streaming_spark.plans import curation5  # noqa: F401,E402
+from event_streaming_spark.plans import events8  # noqa: F401,E402
+from event_streaming_spark.plans import llm_audits3  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
@@ -55,6 +58,20 @@ from event_streaming_spark.plans import llm_audits2  # noqa: F401,E402
 # coverage-priority order after the prefix.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
+    # ----------------------------------------------------------------------
+    # r10 session additions (VERDICT r9 #7: new queries enter the 50-slot
+    # graded window immediately, heaviest first, 10x hash rows before
+    # landing).  The displaced tail of the r9 window is ALL driver-green
+    # in CORRECTNESS_r09.json and stays judge-verified by the per-round
+    # full-catalog oracle run.
+    "docs_exact_substring_dedup_spans",
+    "emb_ivf_recall_vs_nprobe",
+    "text_ngram_novelty_by_decile",
+    "emb_label_centroid_outliers",
+    "events_dau_wau_mau_stickiness",
+    "events_session_gap_sensitivity",
+    "text_token_pmi_top_pairs",
+    "docs_quality_signal_correlation",
     # ----------------------------------------------------------------------
     # r9 rotation (VERDICT r8 "Next round" #1): the 19 late-r8 additions —
     # the only catalog entries that have never had a driver CORRECTNESS row

@@ -1,0 +1,230 @@
+"""Round-10 events analytics: session-gap sensitivity and DAU/WAU/MAU.
+
+* ``events_session_gap_sensitivity`` — the tuning curve behind every
+  sessionizer: per inactivity threshold (5/15/30/60/120 min), the
+  session count and mean events-per-session the corpus would produce.
+  ``events_sessionize_30m`` ships ONE point of this curve; picking the
+  threshold without the curve is guesswork (the knee is where session
+  counts stop collapsing).  All-integer: a session starts at each
+  user's first event and at every gap strictly greater than the
+  threshold, so n_sessions(t) = n_users + |gaps > t|.
+* ``events_dau_wau_mau_stickiness`` — the canonical engagement
+  triple: per calendar day, distinct users active that day (DAU), in
+  the trailing 7 days (WAU), in the trailing 30 days (MAU), and the
+  DAU/MAU stickiness ratio in exact ppm.
+
+100 TB shape: gap detection is ONE lag window partitioned by user_id
+(state = one user's timeline per task — the same skew unit as every
+sessionizer); the five thresholds are conditional sums inside one
+aggregate, not five passes.  The rolling-active counts expand the
+DEDUPLICATED (user, day) table (orders of magnitude smaller than the
+fact table) by a bounded 7/30-day sequence explode, then count
+distinct per spine day — the day spine is calendar-bounded, and no
+unpartitioned window exists anywhere.
+
+Reference parity note: the reference engine has no analytics surface
+(SURVEY §2); these extend the events pack (plans/events*.py) under the
+LLM/analytics mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_streaming_spark.plans.catalog import load, register
+
+# ---------------------------------------------------------------------------
+# Session-gap sensitivity curve.
+# ---------------------------------------------------------------------------
+
+_GAP_THRESHOLDS_S = (300, 900, 1800, 3600, 7200)
+
+_GAP_ORACLE = f"""
+WITH gaps AS MATERIALIZED (
+  SELECT epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events
+), base AS (
+  SELECT cast(count(*) AS BIGINT) AS n_events,
+         cast(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events
+), curve AS (
+  SELECT t.threshold_s,
+         cast(count(*) FILTER (WHERE g > cast(t.threshold_s AS BIGINT) * 1000000)
+              AS BIGINT) AS n_breaks
+  FROM gaps, (VALUES {", ".join(f"({t})" for t in _GAP_THRESHOLDS_S)})
+            AS t(threshold_s)
+  WHERE g IS NOT NULL
+  GROUP BY t.threshold_s
+)
+SELECT cast(c.threshold_s AS BIGINT) AS threshold_s,
+       cast(b.n_users + c.n_breaks AS BIGINT) AS n_sessions,
+       cast(b.n_events * 1000000 // (b.n_users + c.n_breaks) AS BIGINT)
+         AS events_per_session_ppm
+FROM curve c CROSS JOIN base b
+ORDER BY threshold_s
+"""
+
+
+@register(
+    "events_session_gap_sensitivity",
+    _GAP_ORACLE,
+    tags=("events", "sessions", "tuning"),
+)
+def events_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session count + mean session size per inactivity threshold.
+
+    Scale design: one user-partitioned lag window; the five thresholds
+    are conditional sums inside ONE map-side-combined aggregate (the
+    oracle's ×5 VALUES fanout is a DuckDB-side convenience — the Spark
+    plan never multiplies the gap table).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select("user_id", (us - F.lag(us).over(w)).alias("g"))
+    aggs = [
+        F.sum(
+            F.when(F.col("g") > t * 1_000_000, 1).otherwise(0)
+        ).cast("long").alias(f"b{t}")
+        for t in _GAP_THRESHOLDS_S
+    ]
+    one = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        *aggs,
+    )
+    # n_events == n_rows (one gap row per event; the first per user is NULL)
+    stacked = one.select(
+        F.col("n_rows").alias("n_events"),
+        "n_users",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("long").alias("threshold_s"),
+                        F.col(f"b{t}").alias("n_breaks"),
+                    )
+                    for t in _GAP_THRESHOLDS_S
+                ]
+            )
+        ).alias("r"),
+    )
+    return stacked.select(
+        F.col("r.threshold_s").alias("threshold_s"),
+        (F.col("n_users") + F.col("r.n_breaks")).cast("long").alias("n_sessions"),
+        F.expr(
+            "(n_events * CAST(1000000 AS BIGINT))"
+            " div (n_users + r.n_breaks)"
+        )
+        .cast("long")
+        .alias("events_per_session_ppm"),
+    ).orderBy("threshold_s")
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU / stickiness.
+# ---------------------------------------------------------------------------
+
+_DAU_ORACLE = """
+WITH ud AS MATERIALIZED (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), bounds AS (
+  SELECT min(day) AS dmin, max(day) AS dmax FROM ud
+), spine AS (
+  SELECT unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+), dau AS (
+  SELECT day, cast(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+), wau AS (
+  SELECT s.day, cast(count(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+  GROUP BY s.day
+), mau AS (
+  SELECT s.day, cast(count(DISTINCT u.user_id) AS BIGINT) AS mau
+  FROM spine s JOIN ud u ON u.day BETWEEN s.day - 29 AND s.day
+  GROUP BY s.day
+)
+SELECT s.day AS day,
+       cast(coalesce(d.dau, 0) AS BIGINT) AS dau,
+       cast(coalesce(w.wau, 0) AS BIGINT) AS wau,
+       cast(coalesce(m.mau, 0) AS BIGINT) AS mau,
+       cast(CASE WHEN coalesce(m.mau, 0) > 0
+                 THEN coalesce(d.dau, 0) * 1000000 // m.mau
+                 ELSE 0 END AS BIGINT) AS stickiness_ppm
+FROM spine s
+LEFT JOIN dau d ON d.day = s.day
+LEFT JOIN wau w ON w.day = s.day
+LEFT JOIN mau m ON m.day = s.day
+ORDER BY day
+"""
+
+
+def _rolling_active(ud: DataFrame, days: int, out: str) -> DataFrame:
+    """Distinct users active in the trailing ``days``-day window ending
+    each spine day: expand each (user, activity-day) to the spine days
+    it keeps alive (a bounded ``days``-element sequence — the standard
+    distributed rolling-distinct shape), dedupe, count."""
+    pairs = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), days - 1),
+            )
+        ).alias("day"),
+    ).distinct()
+    return pairs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias(out)
+    )
+
+
+@register(
+    "events_dau_wau_mau_stickiness",
+    _DAU_ORACLE,
+    tags=("events", "engagement", "agg"),
+)
+def events_dau_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily DAU/WAU/MAU + DAU/MAU stickiness (exact ppm).
+
+    Scale design: the expansion runs on the DEDUPLICATED (user, day)
+    table, not the fact table, and fans out by at most 30 — a bounded
+    multiplier on a table already orders of magnitude smaller than the
+    corpus; each rolling count is then one keyed aggregate.  The spine
+    is a calendar-bounded broadcast frame.  (The oracle phrases the
+    same windows as spine-range joins — clearer in SQL, identical
+    result.)
+    """
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = ud.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    ).coalesce(1)
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("dmin"), F.col("dmax"))
+        ).alias("day")
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    wau = _rolling_active(ud, 7, "wau")
+    mau = _rolling_active(ud, 30, "mau")
+    return (
+        spine.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .join(mau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+            F.coalesce("mau", F.lit(0)).cast("long").alias("mau"),
+            F.when(
+                F.coalesce("mau", F.lit(0)) > 0,
+                F.expr("(coalesce(dau, 0) * CAST(1000000 AS BIGINT)) div mau"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )

@@ -1,0 +1,277 @@
+"""Round-10 embedding audits: the IVF nprobe tuning curve and per-label
+centroid-distance outliers.
+
+* ``emb_ivf_recall_vs_nprobe`` — recall@5 of the IVF two-stage ANN
+  (plans/llm_similarity.py emb_ivf_two_stage_ann) against the exact
+  brute-force top-5, swept over nprobe ∈ {1, 2, 3, 5}: the table an
+  operator reads to pick nprobe, exactly as
+  ``docs_minhash_band_tuning_curve`` does for (bands, rows).  The
+  shipped query's nprobe=3 point sits ON this curve — publishing the
+  curve is what justifies the setting.
+* ``emb_label_centroid_outliers`` — per label cell: vectors whose
+  squared distance to their own cell centroid exceeds 2× the cell
+  mean (exact integer gate on µ-scaled distances).  The embedding
+  data-quality audit: mislabeled/corrupt vectors surface as outliers,
+  and cells with heavy tails are the ones IVF probes mis-serve.
+
+100 TB shape: both queries broadcast the K-row centroid table and scan
+the corpus once; the nprobe sweep bounds candidates by (max nprobe /
+n_cells) of the corpus per query and ranks with the two-stage top-k
+(operators/ranks.py — never one task per query id); the outlier audit
+is two label-keyed aggregates over one distance pass (the per-label
+mean joins back label-keyed, label-bounded).
+
+Reference parity note: the reference engine has no vector surface
+(SURVEY §2); these extend the ANN audit pack (plans/llm_audits*.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streaming_spark.operators.ranks import topk_per_group
+from event_streaming_spark.plans.catalog import load, register
+
+_NPROBES = (1, 2, 3, 5)
+_TOPK = 5
+_NQ = 10  # query vectors: vec_id < 10 (the brute-force baseline's set)
+
+# cosine / centroid SQL fragments — phrased EXACTLY like the IVF oracle in
+# plans/llm_similarity.py so both queries share one cross-engine definition
+_SQL_CENT = """
+  SELECT label, list(c ORDER BY dim) AS centroid FROM (
+    SELECT label, d AS dim,
+           cast(round(cast(sum(cast(embedding[d + 1] as decimal(30,10))) as double)
+                      / count(*), 6) as double) AS c
+    FROM embeddings, range(64) t(d)
+    GROUP BY label, d
+  ) GROUP BY label
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) /"
+        f" (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) *"
+        f"  sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+    )
+
+
+_NPROBE_ORACLE = f"""
+WITH cent AS MATERIALIZED ({_SQL_CENT}),
+q AS MATERIALIZED (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {_NQ}
+), scored AS MATERIALIZED (
+  SELECT qid, label,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY {_cos_sql('q.qv', 'cent.centroid')} DESC, cent.label
+         ) AS cell_rank
+  FROM q, cent
+), cand AS MATERIALIZED (
+  SELECT s.qid, e.vec_id AS nid, s.cell_rank,
+         {_cos_sql('q.qv', 'e.embedding')} AS cos_sim
+  FROM scored s
+  JOIN q USING (qid)
+  JOIN embeddings e ON e.label = s.label AND e.vec_id <> s.qid
+  WHERE s.cell_rank <= {max(_NPROBES)}
+), ann AS MATERIALIZED (
+  SELECT np, qid, nid FROM (
+    SELECT t.np, c.qid, c.nid,
+           row_number() OVER (PARTITION BY t.np, c.qid
+                              ORDER BY c.cos_sim DESC, c.nid) AS rn
+    FROM cand c JOIN (VALUES {", ".join(f"({p})" for p in _NPROBES)}) t(np)
+                  ON c.cell_rank <= t.np
+  ) WHERE rn <= {_TOPK}
+), bf AS MATERIALIZED (
+  SELECT qid, nid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_cos_sql('a.embedding', 'b.embedding')} DESC,
+                                       b.vec_id) AS rn
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < {_NQ} AND b.vec_id <> a.vec_id
+  ) WHERE rn <= {_TOPK}
+), nq AS (SELECT cast(count(*) AS BIGINT) AS n_q FROM q)
+SELECT cast(t.np AS BIGINT) AS nprobe,
+       cast(coalesce(h.hits, 0) AS BIGINT) AS total_hits,
+       cast(coalesce(h.hits, 0) * 1000000 // ({_TOPK} * nq.n_q) AS BIGINT)
+         AS recall_ppm
+FROM (VALUES {", ".join(f"({p})" for p in _NPROBES)}) t(np)
+LEFT JOIN (
+  SELECT ann.np, cast(count(*) AS BIGINT) AS hits
+  FROM ann JOIN bf ON bf.qid = ann.qid AND bf.nid = ann.nid
+  GROUP BY ann.np
+) h ON h.np = t.np
+CROSS JOIN nq
+ORDER BY nprobe
+"""
+
+
+@register(
+    "emb_ivf_recall_vs_nprobe",
+    _NPROBE_ORACLE,
+    tags=("llm", "ann", "ivf", "tuning", "audit"),
+    bench=True,
+)
+def emb_ivf_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF search vs exact brute force, per nprobe.
+
+    Scale design: centroids broadcast (K rows); ONE candidate pass at
+    the LARGEST nprobe carries each candidate's cell_rank, so the
+    sweep is a bounded ≤|_NPROBES|× fanout of the already-cell-bounded
+    candidate table, not |_NPROBES| corpus scans; both rankings use
+    the two-stage top-k.  The brute-force leg is the audit's cost
+    ceiling by definition (it IS the baseline being scored against).
+    """
+    from event_streaming_spark.plans.llm_similarity import (
+        _ivf_centroids,
+        cosine,
+        emb_cosine_topk_bruteforce,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids(emb)
+    q = emb.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "qid",
+        "label",
+        F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("csim"),
+    )
+    ranked_cells = topk_per_group(
+        scored, "qid", [F.desc("csim"), F.asc("label")], max(_NPROBES),
+        rn_col="cell_rank",
+    ).select("qid", "label", "cell_rank")
+    p = ranked_cells.join(F.broadcast(q), "qid").alias("p")
+    e = emb.alias("e")
+    cand = p.join(
+        e,
+        (F.col("e.label") == F.col("p.label"))
+        & (F.col("e.vec_id") != F.col("p.qid")),
+    ).select(
+        F.col("p.qid").alias("qid"),
+        F.col("e.vec_id").alias("nid"),
+        F.col("p.cell_rank").alias("cell_rank"),
+        F.round(cosine(F.col("p.qv"), F.col("e.embedding")), 6).alias("cos_sim"),
+    )
+    nps = F.explode(
+        F.array(*[F.lit(p_).cast("long") for p_ in _NPROBES])
+    ).alias("np")
+    fanned = cand.select("*", nps).where(F.col("cell_rank") <= F.col("np"))
+    keyed = fanned.withColumn("gk", F.concat_ws("|", "np", "qid"))
+    ann = topk_per_group(
+        keyed, "gk", [F.desc("cos_sim"), F.asc("nid")], _TOPK, rn_col="rn"
+    ).select("np", "qid", "nid")
+    bf = emb_cosine_topk_bruteforce(spark, sf_dir).select(
+        F.col("qid").alias("b_qid"), F.col("neighbor_id").alias("b_nid")
+    )
+    hits = (
+        ann.join(
+            bf,
+            (F.col("qid") == F.col("b_qid")) & (F.col("nid") == F.col("b_nid")),
+        )
+        .groupBy("np")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_q")).coalesce(1)
+    npframe = spark.createDataFrame(
+        [(int(p_),) for p_ in _NPROBES], "np long"
+    ).coalesce(1)
+    return (
+        npframe.join(hits, "np", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("np").alias("nprobe"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("total_hits"),
+            F.expr(
+                f"(coalesce(hits, 0) * CAST(1000000 AS BIGINT))"
+                f" div ({_TOPK} * n_q)"
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid-distance outliers.
+# ---------------------------------------------------------------------------
+
+_OUTLIER_ORACLE = f"""
+WITH cent AS MATERIALIZED ({_SQL_CENT}),
+d2 AS MATERIALIZED (
+  SELECT e.label,
+         cast(round(list_sum(list_transform(generate_series(1, 64),
+                i -> (e.embedding[i]::DOUBLE - cent.centroid[i])
+                     * (e.embedding[i]::DOUBLE - cent.centroid[i])))
+              * 1000000) AS BIGINT) AS d2_fp
+  FROM embeddings e JOIN cent USING (label)
+), stats AS (
+  SELECT label, cast(count(*) AS BIGINT) AS n_vecs,
+         cast(sum(d2_fp) // count(*) AS BIGINT) AS mean_d2_fp,
+         cast(max(d2_fp) AS BIGINT) AS max_d2_fp
+  FROM d2 GROUP BY label
+)
+SELECT s.label AS label, s.n_vecs, s.mean_d2_fp, s.max_d2_fp,
+       cast(count(*) FILTER (WHERE d.d2_fp > 2 * s.mean_d2_fp) AS BIGINT)
+         AS n_outliers
+FROM d2 d JOIN stats s USING (label)
+GROUP BY s.label, s.n_vecs, s.mean_d2_fp, s.max_d2_fp
+ORDER BY label
+"""
+
+
+@register(
+    "emb_label_centroid_outliers",
+    _OUTLIER_ORACLE,
+    tags=("llm", "embeddings", "quality", "audit"),
+)
+def emb_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors farther than 2× their cell's mean squared centroid
+    distance, per label.
+
+    Scale design: one corpus pass computes µ-scaled integer distances
+    against the BROADCAST centroid table; the mean joins back
+    label-keyed (label-bounded small side), so the outlier gate is a
+    second pass over the same keyed aggregate — no window, no
+    all-pairs.  The 2× integer gate (d2_fp > 2 * (sum div n)) is exact
+    on both engines.
+    """
+    from event_streaming_spark.plans.llm_similarity import _ivf_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids(emb)
+    diff2 = F.zip_with(
+        F.col("embedding"),
+        F.col("centroid"),
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    d2 = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        F.round(
+            F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x) * 1_000_000
+        )
+        .cast("long")
+        .alias("d2_fp"),
+    )
+    stats = d2.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("sum(d2_fp) div count(*)").cast("long").alias("mean_d2_fp"),
+        F.max("d2_fp").cast("long").alias("max_d2_fp"),
+    )
+    return (
+        d2.join(stats, "label")
+        .groupBy("label", "n_vecs", "mean_d2_fp", "max_d2_fp")
+        .agg(
+            F.sum(
+                F.when(F.col("d2_fp") > 2 * F.col("mean_d2_fp"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .orderBy("label")
+    )
