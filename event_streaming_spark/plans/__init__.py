@@ -47,6 +47,7 @@ from event_streaming_spark.plans import llm_audits2  # noqa: F401,E402
 from event_streaming_spark.plans import curation5  # noqa: F401,E402
 from event_streaming_spark.plans import events8  # noqa: F401,E402
 from event_streaming_spark.plans import llm_audits3  # noqa: F401,E402
+from event_streaming_spark.plans import curation6  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
@@ -65,7 +66,12 @@ _PRIORITY = [
     # in CORRECTNESS_r09.json and stays judge-verified by the per-round
     # full-catalog oracle run.
     "docs_exact_substring_dedup_spans",
+    "docs_near_dup_threshold_sensitivity",
     "emb_ivf_recall_vs_nprobe",
+    "emb_knn_hubness_audit",
+    "docs_perplexity_filter_curve",
+    "docs_cross_source_contamination_matrix",
+    "text_vocabulary_profile_by_source",
     "text_ngram_novelty_by_decile",
     "emb_label_centroid_outliers",
     "events_dau_wau_mau_stickiness",

@@ -275,3 +275,115 @@ def emb_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN hubness audit (Radovanović et al. 2010): in high dimensions a few
+# "hub" points appear in a disproportionate share of other points'
+# nearest-neighbor lists, silently dominating retrieval and dedup.
+# k-occurrence N_k(x) = how many other vectors list x in their IVF top-3;
+# the histogram's right tail is the pathology readout.
+# ---------------------------------------------------------------------------
+
+_HUB_K = 3
+_HUB_CAP = 10  # histogram cap: occurrences >= cap collapse into one bucket
+
+_HUB_ORACLE = f"""
+WITH cent AS MATERIALIZED ({_SQL_CENT}),
+home AS MATERIALIZED (
+  SELECT qid, label FROM (
+    SELECT e.vec_id AS qid, cent.label,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'cent.centroid')} DESC, cent.label
+           ) AS rn
+    FROM embeddings e, cent
+  ) WHERE rn = 1
+), knn AS MATERIALIZED (
+  SELECT qid, nid FROM (
+    SELECT h.qid, e2.vec_id AS nid,
+           row_number() OVER (
+             PARTITION BY h.qid
+             ORDER BY {_cos_sql('q.embedding', 'e2.embedding')} DESC, e2.vec_id
+           ) AS rn
+    FROM home h
+    JOIN embeddings q ON q.vec_id = h.qid
+    JOIN embeddings e2 ON e2.label = h.label AND e2.vec_id <> h.qid
+  ) WHERE rn <= {_HUB_K}
+), occ AS (
+  SELECT e.vec_id,
+         cast(coalesce(k.n, 0) AS BIGINT) AS n_occ
+  FROM embeddings e
+  LEFT JOIN (SELECT nid, cast(count(*) AS BIGINT) AS n FROM knn GROUP BY nid) k
+    ON k.nid = e.vec_id
+)
+SELECT cast(least(n_occ, {_HUB_CAP}) AS BIGINT) AS k_occurrences,
+       cast(count(*) AS BIGINT) AS n_vectors
+FROM occ
+GROUP BY least(n_occ, {_HUB_CAP})
+ORDER BY k_occurrences
+"""
+
+
+@register(
+    "emb_knn_hubness_audit",
+    _HUB_ORACLE,
+    tags=("llm", "ann", "quality", "audit"),
+)
+def emb_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence histogram of the IVF-bounded 3-NN graph.
+
+    Scale design: EVERY vector is a query, so the neighbor search must
+    be the cell-bounded IVF path, never brute force — each vector
+    probes only its nearest centroid's cell (candidates = cell
+    population, not corpus), rankings via two-stage top-k, and the
+    k-occurrence count is one keyed aggregate over the (corpus × k)
+    edge list.  Output is a cap-bounded histogram (<= _HUB_CAP + 1 rows).
+    """
+    from event_streaming_spark.plans.llm_similarity import (
+        _ivf_centroids,
+        cosine,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids(emb)
+    scored = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    ).crossJoin(F.broadcast(cent.withColumnRenamed("label", "clabel"))).select(
+        "qid",
+        "qv",
+        "clabel",
+        F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("csim"),
+    )
+    home = topk_per_group(
+        scored, "qid", [F.desc("csim"), F.asc("clabel")], 1, rn_col="rn"
+    ).select("qid", "qv", F.col("clabel").alias("label"))
+    e = emb.alias("e")
+    h = home.alias("h")
+    cand = h.join(
+        e,
+        (F.col("e.label") == F.col("h.label"))
+        & (F.col("e.vec_id") != F.col("h.qid")),
+    ).select(
+        F.col("h.qid").alias("qid"),
+        F.col("e.vec_id").alias("nid"),
+        F.round(cosine(F.col("h.qv"), F.col("e.embedding")), 6).alias("cos_sim"),
+    )
+    knn = topk_per_group(
+        cand, "qid", [F.desc("cos_sim"), F.asc("nid")], _HUB_K, rn_col="rn"
+    ).select("qid", "nid")
+    occ_counts = knn.groupBy("nid").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    occ = emb.select("vec_id").join(
+        occ_counts.withColumnRenamed("nid", "vec_id"), "vec_id", "left"
+    ).select(F.coalesce("n", F.lit(0)).cast("long").alias("n_occ"))
+    return (
+        occ.groupBy(
+            F.least(F.col("n_occ"), F.lit(_HUB_CAP))
+            .cast("long")
+            .alias("k_occurrences")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("k_occurrences")
+    )
