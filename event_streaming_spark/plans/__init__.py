@@ -71,6 +71,8 @@ _PRIORITY = [
     "emb_knn_hubness_audit",
     "docs_perplexity_filter_curve",
     "docs_cross_source_contamination_matrix",
+    "text_js_divergence_between_sources",
+    "events_zero_activity_outage_runs",
     "text_vocabulary_profile_by_source",
     "text_ngram_novelty_by_decile",
     "emb_label_centroid_outliers",

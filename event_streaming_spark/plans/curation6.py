@@ -480,3 +480,140 @@ def docs_perplexity_filter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ppl_cutoff")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source unigram distributions — the
+# distributional companion to the shingle-overlap contamination matrix
+# above: overlap says "these sources share text"; JS says "these
+# sources are the same KIND of text".  Both feed the mixing decision.
+#
+# Decomposition that needs only the SHARED-word equi-join (never a
+# per-pair full outer): for words in A∩B the contribution is
+# pa·ln(2pa/(pa+pb)); for words only in A it collapses to pa·ln2, and
+# Σ_{A\B} pa = 1 − Σ_{A∩B} pa — so exclusive mass falls out of the
+# shared sums.  2pa/(pa+pb) = 2·ca·nb / (ca·nb + cb·na) is an EXACT
+# integer ratio; each term is rounded to DECIMAL(18,9) before the sum
+# (the order-independent lp convention from the LM queries), and the
+# final assembly is one fixed-shape double expression rounded at 6dp.
+# ---------------------------------------------------------------------------
+
+_JS_ORACLE = f"""
+WITH wc AS MATERIALIZED (
+  SELECT source, w, cast(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split({sql_normalize_text('text')}, ' ')) AS w
+        FROM documents)
+  GROUP BY source, w
+), tot AS MATERIALIZED (
+  SELECT source, cast(sum(c) AS BIGINT) AS n FROM wc GROUP BY source
+), shared AS MATERIALIZED (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb
+  FROM wc a
+  JOIN wc b ON b.w = a.w AND a.source < b.source
+  JOIN tot ta ON ta.source = a.source
+  JOIN tot tb ON tb.source = b.source
+), sums AS (
+  SELECT source_a, source_b,
+         cast(count(*) AS BIGINT) AS n_shared_words,
+         cast(sum(ca) AS BIGINT) AS ca_shared,
+         cast(sum(cb) AS BIGINT) AS cb_shared,
+         sum(cast(round((cast(ca AS DOUBLE) / cast(na AS DOUBLE))
+               * ln(cast(2 * ca * nb AS DOUBLE)
+                    / cast(ca * nb + cb * na AS DOUBLE)), 9)
+             AS DECIMAL(18,9))) AS s_a,
+         sum(cast(round((cast(cb AS DOUBLE) / cast(nb AS DOUBLE))
+               * ln(cast(2 * cb * na AS DOUBLE)
+                    / cast(ca * nb + cb * na AS DOUBLE)), 9)
+             AS DECIMAL(18,9))) AS s_b,
+         max(na) AS na, max(nb) AS nb
+  FROM shared GROUP BY source_a, source_b
+)
+SELECT source_a, source_b, n_shared_words,
+       round(0.5 * (cast(s_a AS DOUBLE)
+                    + ln(2) * (1.0 - cast(ca_shared AS DOUBLE) / cast(na AS DOUBLE)))
+             + 0.5 * (cast(s_b AS DOUBLE)
+                    + ln(2) * (1.0 - cast(cb_shared AS DOUBLE) / cast(nb AS DOUBLE))),
+             6) AS js_divergence
+FROM sums
+ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "text_js_divergence_between_sources",
+    _JS_ORACLE,
+    tags=("llm", "text", "stats", "curation"),
+)
+def text_js_divergence_between_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence of source unigram
+    distributions (see the decomposition note above).
+
+    Scale design: one wordcount shuffle; the pair join is on the WORD
+    key (each word fans to at most C(#sources, 2) pairs); per-term
+    DECIMAL(18,9) rounding before the keyed sum keeps the reduction
+    order-independent; exclusive-mass terms come from the shared sums,
+    so no full-outer join and no second corpus pass exist.
+    """
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    wc = materialize(
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c")),
+        name="js-wordcounts",
+    )
+    tot = wc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = wc.select(F.col("source").alias("source_a"), "w", F.col("c").alias("ca"))
+    b = wc.select(F.col("source").alias("source_b"), "w", F.col("c").alias("cb"))
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    shared = (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+    )
+    term = lambda cx, nx, cy, ny: F.round(  # noqa: E731 - local formula alias
+        (F.col(cx).cast("double") / F.col(nx).cast("double"))
+        * F.log(
+            (2 * F.col(cx) * F.col(ny)).cast("double")
+            / (F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")).cast("double")
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    sums = shared.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_words"),
+        F.sum("ca").cast("long").alias("ca_shared"),
+        F.sum("cb").cast("long").alias("cb_shared"),
+        F.sum(term("ca", "na", "cb", "nb")).alias("s_a"),
+        F.sum(term("cb", "nb", "ca", "na")).alias("s_b"),
+        F.max("na").cast("long").alias("na"),
+        F.max("nb").cast("long").alias("nb"),
+    )
+    ln2 = F.lit(math.log(2.0))
+    return sums.select(
+        "source_a",
+        "source_b",
+        "n_shared_words",
+        F.round(
+            F.lit(0.5)
+            * (
+                F.col("s_a").cast("double")
+                + ln2
+                * (
+                    F.lit(1.0)
+                    - F.col("ca_shared").cast("double") / F.col("na").cast("double")
+                )
+            )
+            + F.lit(0.5)
+            * (
+                F.col("s_b").cast("double")
+                + ln2
+                * (
+                    F.lit(1.0)
+                    - F.col("cb_shared").cast("double") / F.col("nb").cast("double")
+                )
+            ),
+            6,
+        ).alias("js_divergence"),
+    ).orderBy("source_a", "source_b")

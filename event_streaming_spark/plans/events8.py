@@ -228,3 +228,121 @@ def events_dau_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zero-activity outage runs: maximal runs of >= _OUTAGE_MIN_H consecutive
+# silent hours per event type, over the full hour grid.  The burst
+# detector (plans/events7.py) flags spikes; this is its dual — the
+# monitor that catches a dead pipeline BEFORE the daily rollup does.
+# Hours ride as epoch-hour integers end-to-end (no timestamp
+# round-tripping between engines).
+# ---------------------------------------------------------------------------
+
+_OUTAGE_MIN_H = 3
+
+_OUTAGE_ORACLE = f"""
+WITH hourly AS MATERIALIZED (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h_idx,
+         cast(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+), bounds AS (
+  SELECT min(h_idx) AS hmin, max(h_idx) AS hmax FROM hourly
+), types AS (SELECT DISTINCT event_type FROM hourly
+), grid AS (
+  SELECT t.event_type, s.h_idx
+  FROM types t,
+       (SELECT unnest(generate_series(hmin, hmax)) AS h_idx FROM bounds) s
+), zeros AS (
+  SELECT g.event_type, g.h_idx,
+         g.h_idx - row_number() OVER (PARTITION BY g.event_type
+                                      ORDER BY g.h_idx) AS grp
+  FROM grid g LEFT JOIN hourly h
+    ON h.event_type = g.event_type AND h.h_idx = g.h_idx
+  WHERE h.n IS NULL
+), runs AS (
+  SELECT event_type, cast(count(*) AS BIGINT) AS run_h
+  FROM zeros GROUP BY event_type, grp
+), prof AS (
+  SELECT event_type,
+         cast(count(*) AS BIGINT) AS n_runs,
+         cast(count(*) FILTER (WHERE run_h >= {_OUTAGE_MIN_H}) AS BIGINT)
+           AS n_outages,
+         cast(sum(run_h) AS BIGINT) AS silent_hours,
+         cast(max(run_h) AS BIGINT) AS longest_run_h
+  FROM runs GROUP BY event_type
+)
+SELECT t.event_type AS event_type,
+       cast((SELECT hmax - hmin + 1 FROM bounds) AS BIGINT) AS grid_hours,
+       cast(coalesce(p.silent_hours, 0) AS BIGINT) AS silent_hours,
+       cast(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,
+       cast(coalesce(p.n_outages, 0) AS BIGINT) AS n_outages,
+       cast(coalesce(p.longest_run_h, 0) AS BIGINT) AS longest_run_h
+FROM types t LEFT JOIN prof p ON p.event_type = t.event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_zero_activity_outage_runs",
+    _OUTAGE_ORACLE,
+    tags=("events", "ops", "anomaly"),
+)
+def events_zero_activity_outage_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type silent-hour profile: total silent hours, run count,
+    outages (runs >= 3h), and the longest run — always one row per
+    event type (zeros when the type never goes quiet, as at dense SFs:
+    "no outages" is a result, not an empty frame).
+
+    Scale design: the fact table reduces to an (event_type, hour)
+    aggregate ONCE (map-side combined); everything after runs on the
+    type x hour grid, which is calendar-bounded (a year is 8,760 hours
+    per type, never corpus-sized).  The islands window partitions by
+    event_type over grid rows.  The h_idx - row_number() trick groups
+    consecutive silent hours without a lag+flag+running-sum chain.
+    """
+    ev = load(spark, sf_dir, "events")
+    h_idx = F.expr("unix_micros(ts) div 3600000000")
+    hourly = ev.groupBy("event_type", h_idx.alias("h_idx")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bounds = hourly.agg(
+        F.min("h_idx").alias("hmin"), F.max("h_idx").alias("hmax")
+    ).coalesce(1)
+    types = hourly.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("hmin"), F.col("hmax"))).alias("h_idx"),
+    )
+    zeros = (
+        grid.join(hourly, ["event_type", "h_idx"], "left")
+        .where(F.col("n").isNull())
+        .select("event_type", "h_idx")
+    )
+    w = Window.partitionBy("event_type").orderBy("h_idx")
+    runs = (
+        zeros.withColumn("grp", F.col("h_idx") - F.row_number().over(w))
+        .groupBy("event_type", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_h"))
+    )
+    prof = runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum(F.when(F.col("run_h") >= _OUTAGE_MIN_H, 1).otherwise(0))
+        .cast("long")
+        .alias("n_outages"),
+        F.sum("run_h").cast("long").alias("silent_hours"),
+        F.max("run_h").cast("long").alias("longest_run_h"),
+    )
+    return (
+        types.crossJoin(F.broadcast(bounds))
+        .join(prof, "event_type", "left")
+        .select(
+            "event_type",
+            (F.col("hmax") - F.col("hmin") + 1).cast("long").alias("grid_hours"),
+            F.coalesce("silent_hours", F.lit(0)).cast("long").alias("silent_hours"),
+            F.coalesce("n_runs", F.lit(0)).cast("long").alias("n_runs"),
+            F.coalesce("n_outages", F.lit(0)).cast("long").alias("n_outages"),
+            F.coalesce("longest_run_h", F.lit(0)).cast("long").alias("longest_run_h"),
+        )
+        .orderBy("event_type")
+    )
