@@ -549,6 +549,11 @@ def text_js_divergence_between_sources(spark: SparkSession, sf_dir: str) -> Data
     """Pairwise Jensen-Shannon divergence of source unigram
     distributions (see the decomposition note above).
 
+    Pairs sharing NO words carry no join rows and are omitted — their
+    JS is the trivial maximum ln 2; the matrix lists interacting pairs
+    only (identical join-driven behaviour on both engines, pinned by
+    tests/test_r10_ops.py).
+
     Scale design: one wordcount shuffle; the pair join is on the WORD
     key (each word fans to at most C(#sources, 2) pairs); per-term
     DECIMAL(18,9) rounding before the keyed sum keeps the reduction
