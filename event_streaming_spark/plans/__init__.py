@@ -69,6 +69,7 @@ _PRIORITY = [
     "docs_near_dup_threshold_sensitivity",
     "emb_ivf_recall_vs_nprobe",
     "emb_knn_hubness_audit",
+    "emb_pq_distortion_vs_m",
     "docs_perplexity_filter_curve",
     "docs_cross_source_contamination_matrix",
     "text_js_divergence_between_sources",

@@ -387,3 +387,132 @@ def emb_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
         .orderBy("k_occurrences")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ distortion vs subspace count — the third tuning curve of the ANN
+# family (bands x rows for MinHash LSH, nprobe for IVF, m for PQ):
+# quantization error against the code length the engine would store.
+# Same deterministic construction as emb_pq_encode (plans/curation3.py):
+# mu-scaled integer vectors, codebook = the first 8 vectors, exact
+# integer L2 per subspace — only the subspace count m sweeps.
+# ---------------------------------------------------------------------------
+
+_PQD_MS = (2, 4, 8, 16)
+_PQD_K = 8       # codebook entries (seeds: vec_id < 8), fixed across the sweep
+_PQD_DIM = 64
+_PQD_SCALE = 1000  # the _KM_SCALE quantization used by the PQ family
+
+
+def _pqd_oracle() -> str:
+    blocks = []
+    for m in _PQD_MS:
+        dsub = _PQD_DIM // m
+        blocks.append(f"""
+  SELECT cast({m} AS BIGINT) AS m, cast({dsub} AS BIGINT) AS dsub,
+         cast(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+         cast(sum(dist) AS BIGINT) AS total_err,
+         cast(sum(dist) // count(DISTINCT vec_id) AS BIGINT) AS err_per_vec
+  FROM (
+    SELECT vec_id, s, dist FROM (
+      SELECT d.vec_id, d.s, d.dist,
+             row_number() OVER (PARTITION BY d.vec_id, d.s
+                                ORDER BY d.dist, d.seed) AS rn
+      FROM (SELECT e.vec_id, cb.seed, (e.pos - 1)//{dsub} AS s,
+                   sum((e.v - cb.cv)*(e.v - cb.cv)) AS dist
+            FROM e JOIN cb ON e.pos = cb.pos GROUP BY 1, 2, 3) d
+    ) WHERE rn = 1
+  )""")
+    union = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> cast(floor(cast(x as double)*{_PQD_SCALE} + 0.5) as bigint)) AS q
+  FROM embeddings
+),
+e AS MATERIALIZED (
+  SELECT vec_id, unnest(range(1, {_PQD_DIM + 1})) AS pos, unnest(q) AS v FROM q
+),
+cb AS MATERIALIZED (
+  SELECT vec_id AS seed, pos, v AS cv FROM e WHERE vec_id < {_PQD_K}
+)
+SELECT * FROM ({union})
+ORDER BY m
+"""
+
+
+@register(
+    "emb_pq_distortion_vs_m",
+    _pqd_oracle(),
+    tags=("llm", "ann", "quantization", "tuning"),
+)
+def emb_pq_distortion_vs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total/per-vector PQ quantization error per subspace count m.
+
+    Scale design: the codebook broadcasts (8 rows); per-m subspace
+    distances are zip_with/aggregate folds over slices inside codegen
+    (the corpus never shuffles to score); each m contributes one
+    (vec, s) argmin with map-side combine and ONE-row rollup, and the
+    four m-values union at the 4-row frame — the sweep never re-reads
+    the parquet (one shared quantized scan feeds all four branches).
+    """
+    from event_streaming_spark.operators.materialize import materialize
+
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = materialize(
+        emb.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _PQD_SCALE + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("q"),
+        ),
+        name="pqd-quantized",
+    )
+    codebook = qdf.filter(F.col("vec_id") < _PQD_K).select(
+        F.col("vec_id").cast("int").alias("seed"), F.col("q").alias("c")
+    )
+    def _sub_dist(dsub):
+        # closure, NOT a default arg: F.transform reads the callback's
+        # arity from its signature, and a second parameter (even
+        # defaulted) makes it pass (element, INDEX) — the index would
+        # silently clobber dsub (the graph.py _permute lesson).
+        def sub(s):
+            a = F.slice(F.col("q"), s * dsub + 1, dsub)
+            b = F.slice(F.col("c"), s * dsub + 1, dsub)
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        return sub
+
+    outs = []
+    for m in _PQD_MS:
+        dsub = _PQD_DIM // m
+        subd = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _sub_dist(dsub))
+        scored = qdf.crossJoin(F.broadcast(codebook)).select(
+            "vec_id", "seed", F.posexplode(subd).alias("s", "dist")
+        )
+        best = scored.groupBy("vec_id", "s").agg(
+            F.min(F.struct("dist", "seed")).alias("mn")
+        )
+        outs.append(
+            best.agg(
+                F.lit(m).cast("long").alias("m"),
+                F.lit(dsub).cast("long").alias("dsub"),
+                F.countDistinct("vec_id").cast("long").alias("n_vecs"),
+                F.sum("mn.dist").cast("long").alias("total_err"),
+                F.expr("sum(mn.dist) div count(DISTINCT vec_id)")
+                .cast("long")
+                .alias("err_per_vec"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("m")
