@@ -80,6 +80,7 @@ _PRIORITY = [
     "events_dau_wau_mau_stickiness",
     "events_session_gap_sensitivity",
     "text_token_pmi_top_pairs",
+    "events_srm_check_by_type",
     "docs_quality_signal_correlation",
     # ----------------------------------------------------------------------
     # r9 rotation (VERDICT r8 "Next round" #1): the 19 late-r8 additions —

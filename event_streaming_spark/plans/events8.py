@@ -346,3 +346,89 @@ def events_zero_activity_outage_runs(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) guardrail: the chi-square goodness-of-fit
+# test every experimentation platform runs before trusting ANY A/B
+# readout (Fabijan et al. 2019, "Diagnosing Sample Ratio Mismatch").
+# Users split 50/50 by the deterministic md5 hash (the same split
+# family the DiD/MDE queries use); per event_type we test whether the
+# USERS OBSERVED in that type's traffic still split 50/50 — a skewed
+# type is a logging/assignment bug, and its experiment readouts are
+# garbage.  chi2 for a 50/50 split reduces to (a-b)^2/(a+b); we emit it
+# micro-scaled by integer division and flag at the df=1, alpha=0.001
+# critical value 10.828 via an exact integer cross-multiplication
+# ((a-b)^2 * 1000 > 10828 * (a+b)) — no doubles anywhere.
+# ---------------------------------------------------------------------------
+
+_SRM_CRIT_MILLI = 10828  # chi2 critical value at df=1, alpha=0.001, x1000
+
+
+def _srm_oracle() -> str:
+    from event_streaming_spark.functions.hashing import sql_stable_hash32
+
+    gate = sql_stable_hash32("'srm|' || cast(user_id AS VARCHAR)")
+    return f"""
+WITH assign AS MATERIALIZED (
+  SELECT DISTINCT event_type, user_id, {gate} % 2 AS grp FROM events
+), counts AS (
+  SELECT event_type,
+         cast(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS n_a,
+         cast(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS n_b
+  FROM assign GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       cast((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) AS BIGINT)
+         AS chi2_micro,
+       CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000 > {_SRM_CRIT_MILLI} * (n_a + n_b)
+            THEN 1 ELSE 0 END AS srm_flag
+FROM counts
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_srm_check_by_type",
+    _srm_oracle(),
+    tags=("events", "experimentation", "guardrail"),
+)
+def events_srm_check_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square SRM test of the 50/50 user split, per event type.
+
+    Scale design: ONE distinct (event_type, user) pass (map-side
+    combined) then a type-keyed conditional count; the test itself is
+    integer arithmetic on the type-sized frame.  At 100 TB this is the
+    wordcount shape with a 2-value hash gate fused into the scan.
+    """
+    from event_streaming_spark.functions.hashing import stable_hash32
+
+    ev = load(spark, sf_dir, "events")
+    grp = (
+        stable_hash32(F.concat(F.lit("srm|"), F.col("user_id").cast("string")))
+        % 2
+    )
+    assign = ev.select("event_type", "user_id", grp.alias("grp")).distinct()
+    counts = assign.groupBy("event_type").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    d2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    return counts.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr(
+            "((n_a - n_b) * (n_a - n_b) * CAST(1000000 AS BIGINT))"
+            " div (n_a + n_b)"
+        )
+        .cast("long")
+        .alias("chi2_micro"),
+        F.when(
+            d2 * 1000 > F.lit(_SRM_CRIT_MILLI) * (F.col("n_a") + F.col("n_b")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("srm_flag"),
+    ).orderBy("event_type")
