@@ -270,11 +270,19 @@ def text_ngram_novelty_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 1-row min/max — NOT an ntile window, which would be a
     corpus-sized unpartitioned sort.  Deciles are a 10-row frame.
     """
+    from event_streaming_spark.operators.materialize import materialize
     from event_streaming_spark.operators.similarity import shingle_hashes
+    from event_streaming_spark.plans.catalog import spread
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = docs.select(
-        "doc_id", F.explode(shingle_hashes(F.col("text"))).alias("h")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    # spread + pin: the md5-shingle explode is the cost center (50 s
+    # single-task at 10x — the fixture parquet is one row group) and
+    # TWO consumers (firsts, the join) would re-run it
+    sh = materialize(
+        docs.select(
+            "doc_id", F.explode(shingle_hashes(F.col("text"))).alias("h")
+        ),
+        name="novelty-shingles",
     )
     firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
@@ -379,7 +387,9 @@ def docs_quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFra
     sums cross int64 territory at 100 TB), then a 1-row arithmetic
     epilogue.  No window, no join, no second scan.
     """
-    docs = load(spark, sf_dir, "documents")
+    from event_streaming_spark.plans.catalog import spread
+
+    docs = spread(load(spark, sf_dir, "documents"))
     norm = normalize_text(F.col("text"))
     tk = F.split(norm, " ")
     dec = "decimal(38,0)"
@@ -460,7 +470,9 @@ def text_token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition sort).  PMI is computed all-double with one
     operation order on both engines, rounded at 6dp.
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    from event_streaming_spark.plans.catalog import spread
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     tk = docs.select("doc_id", tokens(F.col("text")).alias("tks"))
     uni = (
         tk.select(F.explode("tks").alias("w"))

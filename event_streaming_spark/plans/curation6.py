@@ -280,7 +280,7 @@ FROM wc GROUP BY source ORDER BY source
 def text_vocabulary_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token count, vocabulary, hapax legomena, TTR per source — one
     wordcount shuffle feeding a source-sized rollup."""
-    docs = load(spark, sf_dir, "documents").select("source", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
     wc = (
         docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("source", "w")
@@ -560,7 +560,7 @@ def text_js_divergence_between_sources(spark: SparkSession, sf_dir: str) -> Data
     order-independent; exclusive-mass terms come from the shared sums,
     so no full-outer join and no second corpus pass exist.
     """
-    docs = load(spark, sf_dir, "documents").select("source", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
     wc = materialize(
         docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("source", "w")
