@@ -176,14 +176,32 @@ SELECT qid, neighbor_id, cos_sim, rn FROM (
 
 @register("emb_cosine_topk_bruteforce", _COS_TOPK_ORACLE, tags=("llm", "ann"), bench=True)
 def emb_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_streaming_spark.functions.numeric import dot, l2_norm
+
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        # query norms ride the broadcast — computed once per query
+        l2_norm(F.col("embedding")).alias("q_nrm"),
     )
-    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+    # corpus-side norms compute ONCE PER VECTOR before the fanout to
+    # |q| pairs: the per-pair cosine is then one zip-fold (the dot)
+    # instead of three — HOF folds never enter whole-stage codegen, so
+    # fold count IS the cost model on a corpus x queries scan (the r10
+    # hubness lesson).  l2_norm is the same fold as inside cosine(), so
+    # every double (and the oracle hash) is unchanged.
+    e = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("e_nrm")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
         "qid",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("qv"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("e_nrm")),
+            6,
+        ).alias("cos_sim"),
     )
     # two-stage top-k: a bare per-qid window would push every qid's FULL
     # corpus of scored candidates through one task (operators/ranks.py).
