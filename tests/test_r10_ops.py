@@ -180,3 +180,68 @@ def test_outage_profile_hole_and_healthy_type(spark, tmp_path):
         "event_type": "steady", "grid_hours": 9, "silent_hours": 0,
         "n_runs": 0, "n_outages": 0, "longest_run_h": 0,
     }
+
+
+# --- property tests: the two r10 algebraic reductions -----------------------
+#
+# Style follows tests/test_r9_ops.py's BPE replace identity: pin the
+# reduction the SQL relies on against an independent brute-force
+# implementation over randomized inputs.
+
+from fractions import Fraction
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _brute_spans(flagged: set[int], k: int = 3) -> list[tuple[int, int]]:
+    """Reference span merge: union of [p, p+k-1] coverage intervals."""
+    ivs = sorted((p, p + k - 1) for p in flagged)
+    out: list[tuple[int, int]] = []
+    for s, e in ivs:
+        if out and s <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+def _islands_spans(flagged: set[int], gap: int = 3, k: int = 3):
+    """The gaps-and-islands rule both engines run: new span when
+    pos - prev > gap; span_tokens = last - first + k."""
+    out = []
+    cur: list[int] = []
+    for p in sorted(flagged):
+        if cur and p - cur[-1] > gap:
+            out.append((cur[0], cur[-1] + k - 1))
+            cur = []
+        cur.append(p)
+    if cur:
+        out.append((cur[0], cur[-1] + k - 1))
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.sets(st.integers(min_value=1, max_value=60), max_size=25))
+def test_span_islands_rule_equals_interval_union(flagged):
+    # pos - prev > 3 is EXACTLY "the 3-token coverages stop touching":
+    # the SQL islands rule must merge identically to interval union
+    assert _islands_spans(flagged) == _brute_spans(flagged)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=10**9),
+       st.integers(min_value=0, max_value=10**9))
+def test_srm_chi2_reduction_identity(a, b):
+    # chi2 for a 50/50 GOF with E=(a+b)/2 reduces to (a-b)^2/(a+b);
+    # the query relies on this to stay all-integer
+    if a + b == 0:
+        return
+    e = Fraction(a + b, 2)
+    chi2_direct = (Fraction(a) - e) ** 2 / e + (Fraction(b) - e) ** 2 / e
+    assert chi2_direct == Fraction((a - b) ** 2, a + b)
+    # and the alpha=0.001 flag's cross-multiplication agrees with the
+    # rational comparison at the 10.828 critical value
+    flag_int = (a - b) ** 2 * 1000 > 10828 * (a + b)
+    flag_rat = chi2_direct > Fraction(10828, 1000)
+    assert flag_int == flag_rat
