@@ -521,8 +521,13 @@ def text_token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        bi.join(F.broadcast(ua), "a")
-        .join(F.broadcast(ub), "b")
+        # ua/ub are vocabulary-scale (they grow with the corpus), so no
+        # explicit broadcast hint: AQE picks broadcast when the measured
+        # size fits and a shuffle join when it doesn't — a forced hint
+        # here is an OOM risk at large sf.  The 1-row scalar `tot` stays
+        # broadcast.
+        bi.join(ua, "a")
+        .join(ub, "b")
         .crossJoin(F.broadcast(tot))
         .select("a", "b", "c_ab", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "a", "b")

