@@ -48,6 +48,10 @@ from event_streaming_spark.plans import curation5  # noqa: F401,E402
 from event_streaming_spark.plans import events8  # noqa: F401,E402
 from event_streaming_spark.plans import llm_audits3  # noqa: F401,E402
 from event_streaming_spark.plans import curation6  # noqa: F401,E402
+from event_streaming_spark.plans import curation7  # noqa: F401,E402
+from event_streaming_spark.plans import events9  # noqa: F401,E402
+from event_streaming_spark.plans import llm_audits4  # noqa: F401,E402
+from event_streaming_spark.plans import curation8  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
@@ -59,6 +63,22 @@ from event_streaming_spark.plans import curation6  # noqa: F401,E402
 # coverage-priority order after the prefix.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
+    # ----------------------------------------------------------------------
+    # r11 session additions (rotation discipline: new queries enter the
+    # 50-slot graded window immediately, heaviest first, 10x hash rows
+    # before landing).  The displaced tail of the r10 window is ALL
+    # driver-green in CORRECTNESS_r10.json and stays judge-verified by
+    # the per-round full-catalog oracle run.
+    "docs_eval_decontamination_manifest",
+    "docs_ccnet_perplexity_buckets",
+    "docs_quality_filter_funnel",
+    "events_cuped_variance_reduction",
+    "events_value_psi_daily",
+    "emb_ood_mahalanobis_diag",
+    "text_kneser_ney_surprisal_by_source",
+    "multimodal_phash_hamming_threshold_curve",
+    "streaming_psi_drift_drain",
+    "text_term_burstiness_topk",
     # ----------------------------------------------------------------------
     # r10 session additions (VERDICT r9 #7: new queries enter the 50-slot
     # graded window immediately, heaviest first, 10x hash rows before

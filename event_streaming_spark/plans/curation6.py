@@ -318,10 +318,11 @@ _PPL_CUTOFFS = (5, 10, 15, 20, 30)
 _PPL_REF_SOURCE = "src0"  # same reference slice as text_lm_perplexity_vs_reference
 
 
-def _ppl_oracle() -> str:
-    cuts = ", ".join(f"({c}, {math.log(c)!r})" for c in _PPL_CUTOFFS)
-    return f"""
-WITH pairs AS MATERIALIZED (
+# Shared CTE prefix: tokenized bigram pairs -> per-doc add-1 bigram
+# cross-entropy h.  Used by the filter curve here and the CCNet-style
+# head/middle/tail bucket query (curation7) — ONE definition keeps the
+# rounded-double h identical everywhere it is hash-gated.
+PPL_CORE_CTES = f"""pairs AS MATERIALIZED (
   SELECT doc_id, source,
          unnest(tk[1:len(tk)-1]) AS w1,
          unnest(tk[2:len(tk)]) AS w2
@@ -354,40 +355,14 @@ WITH pairs AS MATERIALIZED (
   SELECT doc_id, cast(sum(m) AS BIGINT) AS n_pairs,
          round(-cast(sum(lp * m) AS DOUBLE) / cast(sum(m) AS DOUBLE), 6) AS h
   FROM scored GROUP BY doc_id
-), tot AS (
-  SELECT cast(count(*) AS BIGINT) AS n_docs,
-         cast(sum(n_pairs) AS BIGINT) AS n_pairs_tot
-  FROM perdoc
-)
-SELECT cast(c.cutoff AS BIGINT) AS ppl_cutoff,
-       cast(count(*) FILTER (WHERE p.h <= c.lnc) AS BIGINT) AS n_docs_kept,
-       cast(coalesce(sum(p.n_pairs) FILTER (WHERE p.h <= c.lnc), 0) AS BIGINT)
-         AS pairs_kept,
-       cast(count(*) FILTER (WHERE p.h <= c.lnc) * 1000000 // t.n_docs
-            AS BIGINT) AS keep_ppm
-FROM perdoc p, (VALUES {cuts}) c(cutoff, lnc), tot t
-GROUP BY c.cutoff, t.n_docs
-ORDER BY ppl_cutoff
-"""
+)"""
 
 
-@register(
-    "docs_perplexity_filter_curve",
-    _ppl_oracle(),
-    tags=("llm", "text", "quality", "tuning"),
-)
-def docs_perplexity_filter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Docs/tokens kept per perplexity cutoff under the add-1 bigram
-    reference LM (CCNet-style filter, tuned instead of asserted).
-
-    Scale design: one tokenize pass feeds the per-doc pair-TYPE counts
-    and the vocab-bounded reference model (broadcast joins); the gate
-    compares the 6dp-rounded per-doc cross-entropy h against ln(cutoff)
-    literals, so the sweep is conditional sums over the doc-sized
-    frame — no exp(), no per-cutoff rescoring.  Docs with < 2 tokens
-    have no bigrams and are outside the scored population (the same
-    contract as the per-source perplexity query).
-    """
+def ppl_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_pairs, h): per-document add-1 bigram cross-entropy
+    against the `_PPL_REF_SOURCE` reference LM — the Spark twin of
+    `PPL_CORE_CTES`, factored so every consumer shares ONE definition
+    of the rounded-double h (moved verbatim from the filter curve)."""
     docs = spread(load(spark, sf_dir, "documents"))
     pairs = (
         docs.select("doc_id", "source", tokens(F.col("text")).alias("s"))
@@ -439,7 +414,7 @@ def docs_perplexity_filter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp"),
         )
     )
-    perdoc = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum("m").cast("long").alias("n_pairs"),
         F.round(
             -F.sum(F.col("lp") * F.col("m")).cast("double")
@@ -447,6 +422,46 @@ def docs_perplexity_filter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("h"),
     )
+
+
+def _ppl_oracle() -> str:
+    cuts = ", ".join(f"({c}, {math.log(c)!r})" for c in _PPL_CUTOFFS)
+    return f"""
+WITH {PPL_CORE_CTES}, tot AS (
+  SELECT cast(count(*) AS BIGINT) AS n_docs,
+         cast(sum(n_pairs) AS BIGINT) AS n_pairs_tot
+  FROM perdoc
+)
+SELECT cast(c.cutoff AS BIGINT) AS ppl_cutoff,
+       cast(count(*) FILTER (WHERE p.h <= c.lnc) AS BIGINT) AS n_docs_kept,
+       cast(coalesce(sum(p.n_pairs) FILTER (WHERE p.h <= c.lnc), 0) AS BIGINT)
+         AS pairs_kept,
+       cast(count(*) FILTER (WHERE p.h <= c.lnc) * 1000000 // t.n_docs
+            AS BIGINT) AS keep_ppm
+FROM perdoc p, (VALUES {cuts}) c(cutoff, lnc), tot t
+GROUP BY c.cutoff, t.n_docs
+ORDER BY ppl_cutoff
+"""
+
+
+@register(
+    "docs_perplexity_filter_curve",
+    _ppl_oracle(),
+    tags=("llm", "text", "quality", "tuning"),
+)
+def docs_perplexity_filter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs/tokens kept per perplexity cutoff under the add-1 bigram
+    reference LM (CCNet-style filter, tuned instead of asserted).
+
+    Scale design: one tokenize pass feeds the per-doc pair-TYPE counts
+    and the vocab-bounded reference model (broadcast joins); the gate
+    compares the 6dp-rounded per-doc cross-entropy h against ln(cutoff)
+    literals, so the sweep is conditional sums over the doc-sized
+    frame — no exp(), no per-cutoff rescoring.  Docs with < 2 tokens
+    have no bigrams and are outside the scored population (the same
+    contract as the per-source perplexity query).
+    """
+    perdoc = ppl_perdoc(spark, sf_dir)
     tot = perdoc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_pairs").cast("long").alias("n_pairs_tot"),
