@@ -52,6 +52,7 @@ from event_streaming_spark.plans import curation7  # noqa: F401,E402
 from event_streaming_spark.plans import events9  # noqa: F401,E402
 from event_streaming_spark.plans import llm_audits4  # noqa: F401,E402
 from event_streaming_spark.plans import curation8  # noqa: F401,E402
+from event_streaming_spark.plans import events10  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order = grading order.  The driver's per-round correctness
@@ -69,6 +70,10 @@ _PRIORITY = [
     # before landing).  The displaced tail of the r10 window is ALL
     # driver-green in CORRECTNESS_r10.json and stays judge-verified by
     # the per-round full-catalog oracle run.
+    "events_attribution_shapley",
+    "events_msprt_always_valid",
+    "emb_knn_graph_reciprocity",
+    "orders_market_basket_lift",
     "docs_eval_decontamination_manifest",
     "docs_ccnet_perplexity_buckets",
     "docs_quality_filter_funnel",

@@ -146,3 +146,154 @@ def emb_ood_mahalanobis_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-kNN graph reciprocity audit.
+# ---------------------------------------------------------------------------
+
+_REC_PANEL = 512  # deterministic panel size target (work = panel², constant)
+_REC_K = 5
+_REC_HUB_MULT = 2  # in-degree >= 2k -> hub (Radovanović 2010 convention)
+
+_REC_ORACLE = f"""
+WITH step AS (
+  SELECT greatest(1, count(*) // {_REC_PANEL}) AS s FROM embeddings
+), panel AS MATERIALIZED (
+  SELECT vec_id, label, embedding FROM embeddings, step
+  WHERE vec_id % step.s = 0
+), edges AS MATERIALIZED (
+  SELECT qid, nid FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS nid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               6) DESC, c.vec_id) AS rn
+    FROM panel q JOIN panel c ON c.vec_id <> q.vec_id
+  ) WHERE rn <= {_REC_K}
+), pernode AS (
+  SELECT e.qid,
+         cast(count(*) AS BIGINT) AS n_out,
+         cast(coalesce(sum(CASE WHEN r.qid IS NOT NULL THEN 1 END), 0) AS BIGINT)
+           AS n_recip
+  FROM edges e
+  LEFT JOIN edges r ON r.qid = e.nid AND r.nid = e.qid
+  GROUP BY e.qid
+), indeg AS (
+  SELECT nid, cast(count(*) AS BIGINT) AS deg FROM edges GROUP BY nid
+)
+SELECT p.label,
+       cast(count(*) AS BIGINT) AS n_nodes,
+       cast(sum(pn.n_out) AS BIGINT) AS n_edges,
+       cast((2000000 * sum(pn.n_recip) + sum(pn.n_out))
+            // (2 * sum(pn.n_out)) AS BIGINT) AS recip_ppm,
+       cast(max(coalesce(i.deg, 0)) AS BIGINT) AS max_indegree,
+       cast(coalesce(sum(CASE WHEN coalesce(i.deg, 0)
+                               >= {_REC_HUB_MULT * _REC_K} THEN 1 END), 0)
+            AS BIGINT) AS n_hubs
+FROM panel p
+JOIN pernode pn ON pn.qid = p.vec_id
+LEFT JOIN indeg i ON i.nid = p.vec_id
+GROUP BY p.label
+ORDER BY p.label
+"""
+
+
+@register(
+    "emb_knn_graph_reciprocity",
+    _REC_ORACLE,
+    tags=("llm", "ann", "graph", "audit"),
+)
+def emb_knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN reciprocity + in-degree audit over a deterministic panel.
+
+    Low edge reciprocity and heavy in-degree hubs are the two standard
+    predictors of ANN recall loss (Radovanović et al. 2010; the
+    k-NN-graph quality literature) — this audit reads both per label.
+
+    Scale design: the graph is built on a DETERMINISTIC fixed-size
+    panel (vec_id % step == 0, step = greatest(1, n div _REC_PANEL)),
+    so the exact all-pairs kNN costs panel² cosines — CONSTANT as the
+    corpus grows, the same bounded-audit shape as the hubness query
+    (plans/llm_audits3.py).  The panel broadcasts to both sides of the
+    pair join; everything after the top-k is panel·k-row frames.
+    """
+    from event_streaming_spark.functions.numeric import cosine
+    from event_streaming_spark.operators.ranks import topk_per_group
+
+    emb = load(spark, sf_dir, "embeddings")
+    step = emb.agg(
+        F.greatest(
+            F.lit(1).cast("long"), F.expr(f"count(1) div {_REC_PANEL}")
+        ).alias("s")
+    )
+    panel = (
+        emb.crossJoin(F.broadcast(step))
+        .where(F.col("vec_id") % F.col("s") == 0)
+        .select("vec_id", "label", "embedding")
+    )
+    q = panel.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pairs = panel.join(
+        F.broadcast(q), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    edges = topk_per_group(
+        pairs, "qid", [F.desc("cos_sim"), F.asc("nid")], _REC_K, rn_col="rn"
+    ).select("qid", "nid")
+    rev = edges.select(
+        F.col("qid").alias("r_qid"), F.col("nid").alias("r_nid")
+    )
+    pernode = (
+        edges.join(
+            rev,
+            (F.col("r_qid") == F.col("nid")) & (F.col("r_nid") == F.col("qid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            F.coalesce(
+                F.sum(F.when(F.col("r_qid").isNotNull(), 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_recip"),
+        )
+    )
+    indeg = edges.groupBy("nid").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    return (
+        panel.select("vec_id", "label")
+        .join(pernode, F.col("qid") == F.col("vec_id"))
+        .join(indeg, indeg["nid"] == F.col("vec_id"), "left")
+        .select(
+            "label",
+            "n_out",
+            "n_recip",
+            F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("n_out").cast("long").alias("n_edges"),
+            F.expr(
+                "(2000000 * sum(n_recip) + sum(n_out)) div (2 * sum(n_out))"
+            )
+            .cast("long")
+            .alias("recip_ppm"),
+            F.max("deg").cast("long").alias("max_indegree"),
+            F.coalesce(
+                F.sum(F.when(F.col("deg") >= _REC_HUB_MULT * _REC_K, 1)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_hubs"),
+        )
+        .orderBy("label")
+    )

@@ -140,3 +140,117 @@ def parts_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
     w = Window.orderBy(F.desc("n_orders"), "part_a", "part_b")
     return top.withColumn("rnk", F.row_number().over(w).cast("long")).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (brand granularity): support, confidence
+# and lift with exact DECIMAL ppm arithmetic.  parts_basket_affinity above
+# stops at raw pair support; this is the full Agrawal-Srikant readout the
+# merchandising side actually consumes.  Scale: lineitem⋈part is the only
+# fact-sized join (brand dictionary pruned to 2 columns); the per-order
+# brand sets are ≤ 7-item lists so the pair fanout is ≤ C(7,2)·|orders|;
+# everything after the (brand_a, brand_b) count is a ≤ C(25,2)-row frame.
+# DECIMAL(38,0) keeps N·n_ab·10⁶ exact far past int64 (sf ≥ 10⁴).
+# ---------------------------------------------------------------------------
+
+_MB_MIN_SUPPORT = 10
+_MB_K = 20
+
+_MB_ORACLE = f"""
+WITH ob AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (
+  SELECT cast(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob
+), ba AS (
+  SELECT p_brand, cast(count(*) AS BIGINT) AS n_b FROM ob GROUP BY p_brand
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         cast(count(*) AS BIGINT) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+)
+SELECT brand_a, brand_b, n_ab AS support_orders,
+       cast((2000000 * cast(n_ab AS HUGEINT) + xa.n_b)
+            // (2 * cast(xa.n_b AS HUGEINT)) AS BIGINT) AS conf_a_to_b_ppm,
+       cast((2000000 * cast(n.n_orders AS HUGEINT) * n_ab
+              + xa.n_b * cast(xb.n_b AS HUGEINT))
+            // (2 * cast(xa.n_b AS HUGEINT) * xb.n_b)
+         AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN ba xa ON xa.p_brand = brand_a
+JOIN ba xb ON xb.p_brand = brand_b
+CROSS JOIN n
+WHERE n_ab >= {_MB_MIN_SUPPORT}
+ORDER BY lift_ppm DESC, brand_a, brand_b
+LIMIT {_MB_K}
+"""
+
+
+@register(
+    "orders_market_basket_lift",
+    _MB_ORACLE,
+    tags=("tpch", "affinity", "stats"),
+)
+def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: top-k brand pairs by lift.
+
+    Scale design: ONE fact-sized join (lineitem⋈part, columns pruned
+    to the keys + brand) feeds a distinct (order, brand) frame; the
+    pair self-join fans out ≤ C(7,2) per order on the co-partitioned
+    order key; the rule statistics run on the ≤ C(|brands|,2)-row
+    count frame with the brand totals broadcast.  All ppm arithmetic
+    is DECIMAL(38,0) round-half-up integer division — exact on both
+    engines at any scale.
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    ba = ob.groupBy("p_brand").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .select(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    xa = ba.select(F.col("p_brand").alias("ba_brand"), F.col("n_b").alias("na"))
+    xb = ba.select(F.col("p_brand").alias("bb_brand"), F.col("n_b").alias("nb"))
+    conf = F.expr(
+        "cast((2000000 * cast(n_ab as decimal(38,0)) + na)"
+        " div (2 * cast(na as decimal(38,0))) as bigint)"
+    )
+    lift = F.expr(
+        "cast((2000000 * cast(n_orders as decimal(38,0)) * n_ab"
+        " + na * cast(nb as decimal(38,0)))"
+        " div (2 * cast(na as decimal(38,0)) * nb) as bigint)"
+    )
+    return (
+        pairs.where(F.col("n_ab") >= _MB_MIN_SUPPORT)
+        .join(F.broadcast(xa), F.col("ba_brand") == F.col("brand_a"))
+        .join(F.broadcast(xb), F.col("bb_brand") == F.col("brand_b"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").alias("support_orders"),
+            conf.alias("conf_a_to_b_ppm"),
+            lift.alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
+        .limit(_MB_K)
+    )

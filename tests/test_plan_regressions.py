@@ -617,6 +617,7 @@ _GLOBAL_WINDOW_SITES = {
     "plans/events5.py": 1,        # top session paths: top-10 limit head
     "plans/events6.py": 4,        # STL day spine; KM day grid x2; bootstrap B-row table
     "plans/events7.py": 1,        # peak-hour 7x24 grid
+    "plans/events10.py": 2,       # shapley channel dict (≤|types| rows); mSPRT day spine
     "plans/curation4.py": 1,      # temperature weights: per-lang table
     "plans/relational4.py": 2,    # trailing-7d day spine; basket top-20 limit head
     "plans/llm_similarity.py": 2, # RRF fusion: two top-20 limit heads
@@ -682,6 +683,16 @@ def test_global_window_inputs_are_data_bounded(spark):
     assert docs.select("lang").distinct().count() <= 64
     # events6 bootstrap: the windowed table is the B-row replicate means
     assert events6._BOOT_B <= 200
+    # events10 shapley channel dictionary: |distinct non-purchase types|
+    # rows (schema-bounded); its mSPRT twin windows the same ≤400-day
+    # spine already re-derived above
+    assert (
+        ev.where(F.col("event_type") != "purchase")
+        .select("event_type")
+        .distinct()
+        .count()
+        <= 64
+    )
     # limit-k heads: the window input IS the query head, so the result
     # cannot exceed k no matter the corpus size
     for name, k in (
