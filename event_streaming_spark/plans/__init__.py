@@ -74,6 +74,9 @@ _PRIORITY = [
     "events_msprt_always_valid",
     "emb_knn_graph_reciprocity",
     "orders_market_basket_lift",
+    "multimodal_video_scene_segments",
+    "streaming_msprt_drain",
+    "docs_truncation_waste_curve",
     "docs_eval_decontamination_manifest",
     "docs_ccnet_perplexity_buckets",
     "docs_quality_filter_funnel",

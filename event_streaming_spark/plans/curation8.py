@@ -266,3 +266,105 @@ def text_kneser_ney_surprisal_by_source(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-length truncation-waste curve.
+# ---------------------------------------------------------------------------
+
+_TRUNC_LENS = (64, 128, 256, 512)
+
+_TRUNC_ORACLE = f"""
+WITH dt AS MATERIALIZED (
+  SELECT source,
+         cast(len(string_split({sql_normalize_text('text')}, ' ')) AS BIGINT)
+           AS n_tok
+  FROM documents
+), grid AS (
+  SELECT d.source, d.n_tok, l.context_len
+  FROM dt d, (VALUES {', '.join(f'({L})' for L in _TRUNC_LENS)}) l(context_len)
+), agg AS (
+  SELECT source, cast(context_len AS BIGINT) AS context_len,
+         cast(count(*) AS BIGINT) AS n_docs,
+         cast(coalesce(sum(CASE WHEN n_tok > context_len THEN 1 END), 0)
+              AS BIGINT) AS docs_over,
+         cast(sum(n_tok) AS BIGINT) AS tot_tokens,
+         cast(coalesce(sum(CASE WHEN n_tok > context_len
+                                THEN n_tok - context_len END), 0) AS BIGINT)
+           AS tokens_lost
+  FROM grid GROUP BY source, context_len
+)
+SELECT source, context_len, n_docs, docs_over,
+       cast((2000000 * cast(docs_over AS HUGEINT) + n_docs)
+            // (2 * cast(n_docs AS HUGEINT)) AS BIGINT) AS docs_over_ppm,
+       cast((2000000 * cast(tokens_lost AS HUGEINT) + tot_tokens)
+            // (2 * cast(tot_tokens AS HUGEINT)) AS BIGINT) AS tokens_lost_ppm
+FROM agg
+ORDER BY source, context_len
+"""
+
+
+@register(
+    "docs_truncation_waste_curve",
+    _TRUNC_ORACLE,
+    tags=("llm", "text", "quality", "curve"),
+)
+def docs_truncation_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens lost to truncation per (source, context length) — the
+    curve a pretraining team reads before fixing the sequence length.
+
+    Scale design: ONE tokenize pass reduces the corpus to a per-doc
+    token count (no token rows ever shuffle — only (source, n_tok)
+    pairs); the 4-length grid is a literal-VALUES fanout of the
+    already-aggregated per-doc frame, and the ppm arithmetic is
+    HUGEINT/DECIMAL round-half-up division (token totals at 100 TB
+    exceed int64·10⁶).
+    """
+    docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
+    dt = docs.select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    lens = docs.sparkSession.createDataFrame(
+        [(L,) for L in _TRUNC_LENS], "context_len long"
+    ).coalesce(1)
+    agg = (
+        dt.crossJoin(F.broadcast(lens))
+        .groupBy("source", "context_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_tok") > F.col("context_len"), 1)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("docs_over"),
+            F.sum("n_tok").cast("long").alias("tot_tokens"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("n_tok") > F.col("context_len"),
+                        F.col("n_tok") - F.col("context_len"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tokens_lost"),
+        )
+    )
+    over_ppm = F.expr(
+        "cast((2000000 * cast(docs_over as decimal(38,0)) + n_docs)"
+        " div (2 * cast(n_docs as decimal(38,0))) as bigint)"
+    )
+    lost_ppm = F.expr(
+        "cast((2000000 * cast(tokens_lost as decimal(38,0)) + tot_tokens)"
+        " div (2 * cast(tot_tokens as decimal(38,0))) as bigint)"
+    )
+    return agg.select(
+        "source",
+        "context_len",
+        "n_docs",
+        "docs_over",
+        over_ppm.alias("docs_over_ppm"),
+        lost_ppm.alias("tokens_lost_ppm"),
+    ).orderBy("source", "context_len")

@@ -384,3 +384,152 @@ def events_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(-F.greatest(F.lit(0.0), runmax), 6) + 0.0).alias("ln_avp"),
         F.when(runmax > _MSPRT_LN_INV_ALPHA, 1).otherwise(0).alias("rejected"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# STREAMING mSPRT drain: the always-valid monitor deployed as a stream —
+# the actual production shape of sequential testing (Johari et al. 2017
+# §6: the whole point of an always-valid p-value is that it is read
+# CONTINUOUSLY).  Streaming state is the per-(day, arm) moment rows —
+# calendar-bounded, never volume-bounded; the cumulative lnΛ chain runs
+# as an epilogue on the drained moments with operation-for-operation the
+# batch twin's arithmetic.  Oracle: the SAME batch SQL (stream ≡ batch).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_msprt_drain",
+    _MSPRT_ORACLE,
+    tags=("streaming", "stats", "experimentation"),
+)
+def streaming_msprt_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish events → topic log → availableNow drain keyed (day, arm)
+    → cumulative mSPRT epilogue on the drained moment rows.
+
+    Scale design: each micro-batch does ONE map-side-combined aggregate
+    to (day, arm) rows carrying (count, Σv6, Σv6² as DECIMAL(38,0)) —
+    exact at any volume, state bounded by the calendar; the lnΛ chain
+    (identical IEEE operation order to the batch twin, including the
+    6dp half-up rounding BEFORE the running max) runs on the final
+    state-sized frame.
+    """
+    import math
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from event_streaming_spark.streaming.agency import EventsAgency
+
+    ev = load(spark, sf_dir, "events")
+
+    root = tempfile.mkdtemp(prefix="est-msprtdrain-")
+    batches: list = []
+    try:
+        agency = EventsAgency(spark, root=root, log_format="parquet")
+        ctx = agency.topic("driver-gate", "events-msprt")
+        ctx.publish(ev)
+
+        def moments(df: DataFrame) -> DataFrame:
+            v6 = F.round(F.col("value") * 1e6).cast("long")
+            return (
+                df.select("ts", (F.col("user_id") % 2).alias("arm"), v6.alias("v6"))
+                .withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 day"), "arm")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("v6").cast("long").alias("s"),
+                    F.sum(F.col("v6").cast("decimal(38,0)") * F.col("v6"))
+                    .cast("decimal(38,0)")
+                    .alias("q"),
+                )
+            )
+
+        def on_notify(c, batch_df: DataFrame, batch_id: int) -> None:
+            pdf = batch_df.select(
+                F.to_date(F.col("window.start")).alias("day"), "arm", "n", "s", "q"
+            ).toPandas()
+            pdf["batch_id"] = batch_id
+            batches.append(pdf)
+
+        ctx.consume(
+            on_notify,
+            once=True,
+            transform=moments,
+            output_mode="update",
+            state_partitions=8,
+        )
+        agency.close(remove_logs=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("day", T.DateType()),
+            T.StructField("n_a", T.LongType()),
+            T.StructField("n_b", T.LongType()),
+            T.StructField("delta_mean", T.DoubleType()),
+            T.StructField("ln_lambda", T.DoubleType()),
+            T.StructField("ln_avp", T.DoubleType()),
+            T.StructField("rejected", T.IntegerType()),
+        ]
+    )
+    if not batches:
+        return spark.createDataFrame([], schema)
+
+    import pandas as pd
+
+    all_updates = pd.concat(batches, ignore_index=True)
+    last = (
+        all_updates.sort_values("batch_id", kind="stable")
+        .groupby(["day", "arm"], as_index=False)
+        .last()
+    )
+
+    def r6(x: float) -> float:
+        # HALF_UP at 6dp, sign-aware — the JVM/DuckDB round() convention
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    by_day: dict = {}
+    for r in last.itertuples():
+        d = by_day.setdefault(r.day, {0: (0, 0, 0), 1: (0, 0, 0)})
+        d[int(r.arm)] = (int(r.n), int(r.s), int(r.q))
+    na = nb = sa = sb = 0
+    qa = qb = 0
+    out_rows = []
+    runmax = None
+    for day in sorted(by_day):
+        a0, a1 = by_day[day][0], by_day[day][1]
+        na += a0[0]; sa += a0[1]; qa += a0[2]
+        nb += a1[0]; sb += a1[1]; qb += a1[2]
+        ma = (float(sa) / 1e6) / na if na else 0.0
+        mb = (float(sb) / 1e6) / nb if nb else 0.0
+        dd = mb - ma
+        if na > 1 and nb > 1:
+            va = ((float(qa) / 1e12 - (float(sa) / 1e6) * (float(sa) / 1e6) / na)
+                  / (na - 1)) / na
+            vb = ((float(qb) / 1e12 - (float(sb) / 1e6) * (float(sb) / 1e6) / nb)
+                  / (nb - 1)) / nb
+            vv = va + vb
+        else:
+            vv = 0.0
+        if na > 1 and nb > 1 and vv > 0:
+            ln_lambda = r6(
+                0.5 * math.log(vv / (vv + _MSPRT_TAU2))
+                + dd * dd * _MSPRT_TAU2 / (2.0 * vv * (vv + _MSPRT_TAU2))
+            )
+        else:
+            ln_lambda = 0.0
+        runmax = ln_lambda if runmax is None else max(runmax, ln_lambda)
+        out_rows.append(
+            (
+                day,
+                na,
+                nb,
+                r6(dd),
+                ln_lambda,
+                r6(-max(0.0, runmax)) + 0.0,
+                1 if runmax > _MSPRT_LN_INV_ALPHA else 0,
+            )
+        )
+    return spark.createDataFrame(out_rows, schema)

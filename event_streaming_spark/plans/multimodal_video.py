@@ -161,3 +161,204 @@ def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("ha").alias("n_shared_frames"))
         .orderBy("video_a", "video_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene segmentation: cut detection on consecutive-frame hash
+# distance + gaps-and-islands scene assembly.
+# ---------------------------------------------------------------------------
+
+_VS_N_DOCS = 120
+_VS_GROUPS = 30
+_VS_FRAMES = 12
+_VS_THRESH = 8  # hamming cut threshold (same-scene frames are identical)
+
+
+def _vs_cell(q: int) -> str:
+    """Block luma for grid cell q under a SCENE-dependent shift.
+
+    The 29·scene·(q+1) term shifts each cell DIFFERENTLY per scene — a
+    uniform shift would move the mean with the cells and leave the
+    average hash unchanged (the threshold is relative)."""
+    return (
+        f"2 * (((seed // {1 << ((2 * q) % 16)})"
+        f" + 29 * scene * {q + 1} + 37 * {q}) % 128)"
+    )
+
+
+def _vs_oracle() -> str:
+    cells = ", ".join(f"{_vs_cell(q)} AS c{q}" for q in range(16))
+    cell_sum = " + ".join(f"c{q}" for q in range(16))
+    signs = ", ".join(
+        f"(CASE WHEN c{q} > m THEN 1 ELSE 0 END) AS s{q}" for q in range(16)
+    )
+    diff = " + ".join(
+        f"(CASE WHEN a.s{q} <> b.s{q} THEN 1 ELSE 0 END)" for q in range(16)
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id, {S.sql_shingle_hashes('text')} AS hs
+  FROM documents WHERE doc_id < {_VS_GROUPS}
+), reps AS (
+  SELECT doc_id AS rep_id, {S.sql_minhash_exprs('hs')[0]}
+  FROM hs WHERE len(hs) > 0
+), vids AS (
+  SELECT d.doc_id, r.mh00 AS seed
+  FROM documents d JOIN reps r ON r.rep_id = d.doc_id % {_VS_GROUPS}
+  WHERE d.doc_id < {_VS_N_DOCS}
+), fr AS MATERIALIZED (
+  SELECT doc_id, cast(range AS INTEGER) AS k, seed,
+         cast(bit_count(cast(seed AS BIGINT)
+                   & ((1::BIGINT << (cast(range AS INTEGER) + 1)) - 2))
+              AS BIGINT) AS scene
+  FROM vids, range({_VS_FRAMES})
+), c AS (
+  SELECT doc_id, k, {cells}, ({cell_sum}) // 16 AS m
+  FROM fr
+), sg AS MATERIALIZED (
+  SELECT doc_id, k, {signs} FROM c
+), d AS (
+  SELECT a.doc_id, a.k,
+         CASE WHEN a.k = 0 THEN 0
+              WHEN 4 * ({diff}) > {_VS_THRESH} THEN 1 ELSE 0 END AS cut
+  FROM sg a LEFT JOIN sg b ON b.doc_id = a.doc_id AND b.k = a.k - 1
+), seg AS MATERIALIZED (
+  SELECT doc_id, k, cut,
+         sum(cut) OVER (PARTITION BY doc_id ORDER BY k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS scene_id
+  FROM d
+), lens AS (
+  SELECT doc_id, scene_id, cast(count(*) AS BIGINT) AS len
+  FROM seg GROUP BY doc_id, scene_id
+), agg1 AS (
+  SELECT doc_id, cast(count(*) AS BIGINT) AS n_frames,
+         cast(max(scene_id) + 1 AS BIGINT) AS n_scenes,
+         cast(coalesce(min(CASE WHEN cut = 1 THEN k END), -1) AS BIGINT)
+           AS first_cut_idx
+  FROM seg GROUP BY doc_id
+), agg2 AS (
+  SELECT doc_id, cast(max(len) AS BIGINT) AS longest_scene_frames
+  FROM lens GROUP BY doc_id
+)
+SELECT a.doc_id AS video_id, a.n_frames, a.n_scenes,
+       b.longest_scene_frames, a.first_cut_idx
+FROM agg1 a JOIN agg2 b USING (doc_id)
+ORDER BY video_id
+"""
+
+
+@register(
+    "multimodal_video_scene_segments",
+    _vs_oracle(),
+    tags=("multimodal", "codec", "llm"),
+)
+def multimodal_video_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut segmentation: demux+decode frames, hash, cut on hamming
+    distance between consecutive frames, assemble scenes as islands.
+
+    The standard shot-boundary pipeline (frame feature distance over a
+    threshold → cut; PySceneDetect's content detector shape), run over
+    REAL MJPEG videos synthesized with the in-repo codec: scene
+    structure is planted via seed bits (frame k's scene = popcount of
+    seed bits 1..k), frames within a scene are pixel-identical, and
+    the oracle predicts every decoded block arithmetically under the
+    proven jpegcodec round-trip contract — one wrong byte anywhere in
+    the encode→mux→demux→decode→hash→segment chain flips the gate.
+
+    Scale shape: synthesis/demux/hash is ONE Arrow-batched pass
+    emitting _VS_FRAMES skinny rows per video (pixels never cross a
+    shuffle); segmentation is a per-video ordered window over
+    frame-count-sized rows — at 100 TB the videos arrive as binary
+    columns and every stage after the bytes is identical.
+
+    Reference: whole-file ingest surface (src/file-utils.c:22-60);
+    the pipeline past the bytes is north-star (no codecs in the C
+    engine).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    hs = (
+        docs.filter(F.col("doc_id") < _VS_GROUPS)
+        .select("doc_id", S.shingle_hashes(F.col("text")).alias("hs"))
+        .where(F.size("hs") > 0)
+    )
+    reps = hs.select(
+        F.col("doc_id").alias("rep_id"), S.minhash_cols(F.col("hs"))[0]
+    ).withColumnRenamed("mh00", "seed")
+    vids = (
+        docs.filter(F.col("doc_id") < _VS_N_DOCS)
+        .select("doc_id", (F.col("doc_id") % _VS_GROUPS).alias("g"))
+        .join(F.broadcast(reps), F.col("g") == F.col("rep_id"))
+        .select("doc_id", "seed")
+    )
+
+    def _hash_frames(batches):
+        import numpy as np
+
+        from event_streaming_spark.operators.avidemux import (
+            build_mjpeg_avi,
+            iter_video_frames,
+        )
+        from event_streaming_spark.operators.jpegcodec import encode_jpeg
+        from event_streaming_spark.operators.phash import average_hash_bytes
+
+        for pdf in batches:
+            out: list[tuple[int, int, int]] = []
+            for doc_id, seed in zip(pdf["doc_id"], pdf["seed"]):
+                doc_id, seed = int(doc_id), int(seed)
+                frames = []
+                for k in range(_VS_FRAMES):
+                    scene = (seed & ((1 << (k + 1)) - 2)).bit_count()
+                    img = np.zeros((32, 32, 3), np.uint8)
+                    for q in range(16):
+                        by, bx = divmod(q, 4)
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :] = 2 * (
+                            ((seed >> ((2 * q) % 16))
+                             + 29 * scene * (q + 1) + 37 * q) % 128
+                        )
+                    frames.append(encode_jpeg(img, subsampling="444"))
+                video = build_mjpeg_avi(frames, 32, 32)
+                for idx, off, size in iter_video_frames(video):
+                    fh = average_hash_bytes(video[off : off + size])
+                    out.append((doc_id, idx, fh))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "fh"])
+
+    frames = vids.mapInPandas(_hash_frames, "doc_id long, frame_idx int, fh long")
+    wd = Window.partitionBy("doc_id").orderBy("frame_idx")
+    cut = F.when(F.lag("fh").over(wd).isNull(), 0).when(
+        F.bit_count(F.col("fh").bitwiseXOR(F.lag("fh").over(wd))) > _VS_THRESH, 1
+    ).otherwise(0)
+    seg = frames.select(
+        "doc_id", "frame_idx", cut.alias("cut")
+    ).withColumn(
+        "scene_id",
+        F.sum("cut").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    lens = seg.groupBy("doc_id", "scene_id").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    agg1 = seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        (F.max("scene_id") + 1).cast("long").alias("n_scenes"),
+        F.coalesce(
+            F.min(F.when(F.col("cut") == 1, F.col("frame_idx"))), F.lit(-1)
+        )
+        .cast("long")
+        .alias("first_cut_idx"),
+    )
+    agg2 = lens.groupBy("doc_id").agg(
+        F.max("len").cast("long").alias("longest_scene_frames")
+    )
+    return (
+        agg1.join(agg2, "doc_id")
+        .select(
+            F.col("doc_id").alias("video_id"),
+            "n_frames",
+            "n_scenes",
+            "longest_scene_frames",
+            "first_cut_idx",
+        )
+        .orderBy("video_id")
+    )

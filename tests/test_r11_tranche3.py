@@ -224,3 +224,65 @@ def test_market_basket_fixture_sanity(spark):
     assert all(r.support_orders >= _MB_MIN_SUPPORT for r in rows)
     lifts = [r.lift_ppm for r in rows]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_video_scene_segments_invariants(spark):
+    from event_streaming_spark.plans.multimodal_video import (
+        _VS_FRAMES,
+        _VS_N_DOCS,
+        multimodal_video_scene_segments,
+    )
+
+    rows = multimodal_video_scene_segments(spark, SF_SMALL).collect()
+    assert len(rows) == _VS_N_DOCS
+    seen_multi = False
+    for r in rows:
+        assert r.n_frames == _VS_FRAMES
+        assert 1 <= r.n_scenes <= _VS_FRAMES
+        assert 1 <= r.longest_scene_frames <= _VS_FRAMES
+        # first cut exists iff there is more than one scene
+        assert (r.first_cut_idx == -1) == (r.n_scenes == 1)
+        if r.first_cut_idx != -1:
+            assert 1 <= r.first_cut_idx < _VS_FRAMES
+        seen_multi = seen_multi or r.n_scenes > 1
+    assert seen_multi, "seed bits should plant cuts in most videos"
+    # videos in the same residue class share the seed => identical structure
+    by_group = {}
+    for r in rows:
+        key = r.video_id % 30
+        val = (r.n_scenes, r.longest_scene_frames, r.first_cut_idx)
+        assert by_group.setdefault(key, val) == val
+
+
+def test_truncation_waste_curve_by_hand(spark, tmp_path):
+    from event_streaming_spark.plans.curation8 import docs_truncation_waste_curve
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"w{i}" for i in range(10)), "en", "srcx"),
+            (1, " ".join(f"w{i}" for i in range(100)), "en", "srcx"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.context_len: r for r in
+           docs_truncation_waste_curve(spark, str(tmp_path)).collect()}
+    assert set(out) == {64, 128, 256, 512}
+    r64 = out[64]
+    assert (r64.n_docs, r64.docs_over) == (2, 1)
+    assert r64.docs_over_ppm == 500000
+    assert r64.tokens_lost_ppm == 327273  # round(1e6 * 36 / 110)
+    for L in (128, 256, 512):
+        assert out[L].docs_over == 0
+        assert out[L].tokens_lost_ppm == 0
+
+
+def test_streaming_msprt_equals_batch(spark):
+    from event_streaming_spark.plans.events10 import (
+        events_msprt_always_valid,
+        streaming_msprt_drain,
+    )
+
+    batch = [tuple(r) for r in events_msprt_always_valid(spark, SF_SMALL).collect()]
+    stream = [tuple(r) for r in streaming_msprt_drain(spark, SF_SMALL).collect()]
+    assert stream == batch
