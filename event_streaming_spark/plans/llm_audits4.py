@@ -221,7 +221,7 @@ def emb_knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plans/llm_audits3.py).  The panel broadcasts to both sides of the
     pair join; everything after the top-k is panel·k-row frames.
     """
-    from event_streaming_spark.functions.numeric import cosine
+    from event_streaming_spark.functions.numeric import dot, l2_norm
     from event_streaming_spark.operators.ranks import topk_per_group
 
     emb = load(spark, sf_dir, "embeddings")
@@ -230,24 +230,46 @@ def emb_knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("long"), F.expr(f"count(1) div {_REC_PANEL}")
         ).alias("s")
     )
+    # norms compute ONCE per panel node before the panel² fanout: the
+    # per-pair cosine is then one zip-fold (the dot) instead of three
+    # (the r10 bruteforce/hubness lesson — HOF folds never enter
+    # codegen, so fold count IS the cost model).  l2_norm is the same
+    # fold as inside cosine(), so every double is unchanged.
     panel = (
         emb.crossJoin(F.broadcast(step))
         .where(F.col("vec_id") % F.col("s") == 0)
-        .select("vec_id", "label", "embedding")
+        .select(
+            "vec_id", "label", "embedding",
+            l2_norm(F.col("embedding")).alias("nrm"),
+        )
     )
     q = panel.select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
     )
     pairs = panel.join(
         F.broadcast(q), F.col("vec_id") != F.col("qid")
     ).select(
         "qid",
         F.col("vec_id").alias("nid"),
-        F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("qv"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("cos_sim"),
     )
-    edges = topk_per_group(
-        pairs, "qid", [F.desc("cos_sim"), F.asc("nid")], _REC_K, rn_col="rn"
-    ).select("qid", "nid")
+    from event_streaming_spark.operators.materialize import materialize
+
+    # edges feeds THREE consumers (forward list, reversed probe, in-degree)
+    # — pin the panel·k-row frame once or the panel² cosine pass re-runs
+    # per consumer.
+    edges = materialize(
+        topk_per_group(
+            pairs, "qid", [F.desc("cos_sim"), F.asc("nid")], _REC_K, rn_col="rn"
+        ).select("qid", "nid"),
+        "knn-recip-edges",
+    )
     rev = edges.select(
         F.col("qid").alias("r_qid"), F.col("nid").alias("r_nid")
     )
