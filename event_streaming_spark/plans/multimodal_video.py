@@ -325,16 +325,22 @@ def multimodal_video_scene_segments(spark: SparkSession, sf_dir: str) -> DataFra
                     out.append((doc_id, idx, fh))
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "fh"])
 
+    from event_streaming_spark.operators.materialize import materialize
+
     frames = vids.mapInPandas(_hash_frames, "doc_id long, frame_idx int, fh long")
     wd = Window.partitionBy("doc_id").orderBy("frame_idx")
     cut = F.when(F.lag("fh").over(wd).isNull(), 0).when(
         F.bit_count(F.col("fh").bitwiseXOR(F.lag("fh").over(wd))) > _VS_THRESH, 1
     ).otherwise(0)
-    seg = frames.select(
-        "doc_id", "frame_idx", cut.alias("cut")
-    ).withColumn(
-        "scene_id",
-        F.sum("cut").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    # seg feeds TWO consumers (scene lengths + per-video rollup) — pin the
+    # frame-count-sized frame once or the codec pass (encode→mux→demux→
+    # decode→hash, the expensive stage) re-runs per consumer.
+    seg = materialize(
+        frames.select("doc_id", "frame_idx", cut.alias("cut")).withColumn(
+            "scene_id",
+            F.sum("cut").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        ),
+        "video-scene-seg",
     )
     lens = seg.groupBy("doc_id", "scene_id").agg(
         F.count(F.lit(1)).cast("long").alias("len")
