@@ -1046,3 +1046,31 @@ def extract_thumbnails(
             )
 
     return binary_df.select("path", "content").mapInPandas(run, schema)
+
+
+def decode_audio_frame_energies(content: bytes, frame_len: int = 160):
+    """Per-frame Σ|pcm| of a G.711 WAV — the exact-integer feature
+    sequence audio fingerprinting runs on (complete frames only).
+
+    Same RIFF chunk walk and ITU-T expansion table as
+    ``decode_audio_g711_integers``; returns an int64 numpy array so a
+    SQL oracle can reproduce every element bit-for-bit."""
+    import numpy as np
+
+    if not (content[:4] == b"RIFF" and content[8:12] == b"WAVE"):
+        raise NotImplementedError("not a RIFF/WAVE container")
+    chunks = _walk_riff_chunks(content)
+    if "fmt " not in chunks or "data" not in chunks:
+        raise NotImplementedError("missing fmt/data chunk")
+    off, _size = chunks["fmt "]
+    audio_fmt, _n_channels, _sample_rate = struct.unpack_from("<HHI", content, off)
+    if audio_fmt not in (6, 7):
+        raise NotImplementedError(f"not G.711 (fmt={audio_fmt})")
+    doff, dsize = chunks["data"]
+    pcm = _g711_table(audio_fmt)[
+        np.frombuffer(content[doff : doff + dsize], dtype=np.uint8)
+    ].astype(np.int64)
+    n_frames = pcm.size // frame_len
+    if not n_frames:
+        return np.zeros(0, dtype=np.int64)
+    return np.abs(pcm[: n_frames * frame_len]).reshape(n_frames, frame_len).sum(axis=1)

@@ -77,6 +77,10 @@ _PRIORITY = [
     "multimodal_video_scene_segments",
     "streaming_msprt_drain",
     "docs_truncation_waste_curve",
+    "multimodal_audio_fingerprint_match",
+    "docs_doremi_excess_loss_weights",
+    "orders_supplier_hhi_by_brand",
+    "events_markov_entropy_rate",
     "docs_eval_decontamination_manifest",
     "docs_ccnet_perplexity_buckets",
     "docs_quality_filter_funnel",

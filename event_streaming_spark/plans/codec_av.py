@@ -186,3 +186,167 @@ def multimodal_audio_vad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.peak_abs").alias("peak_abs"),
         F.col("s.n_active_frames").alias("n_active_frames"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint matching: a shift-invariant energy-peak constellation
+# (the Shazam/Wang-2003 landmark shape restricted to the telephony band:
+# peaks of the per-frame energy sequence; hash = (peak energy, next peak
+# energy, frame gap)).  Clips are planted in residue classes sharing the
+# same µ-law byte stream at DIFFERENT start offsets and lengths — the
+# constellation hashes survive the shift (the whole point of landmark
+# pairs), so re-uploads/clips of the same recording match on an EQUALITY
+# join while cross-class collisions are energy-magnitude impossible.
+# ---------------------------------------------------------------------------
+
+_AFP_N_DOCS = 240
+_AFP_GROUPS = 40
+_AFP_FRAME = 160
+_AFP_MAX_FRAMES = 18  # nf = 12 + (doc_id % 4) * 2 ∈ {12,14,16,18}
+
+_AFP_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         12 + (doc_id % 4) * 2 AS nf,
+         doc_id % 3 AS off,
+         ((doc_id % {_AFP_GROUPS}) * 131 + 17) % 256 AS seed,
+         2 * (doc_id % {_AFP_GROUPS}) + 13 AS mult
+  FROM documents WHERE doc_id < {_AFP_N_DOCS}
+), fe AS MATERIALIZED (
+  SELECT doc_id, cast(t.f AS INTEGER) AS f,
+         cast(list_sum(list_transform(generate_series(0, {_AFP_FRAME - 1}),
+              j -> {{abs_expr}})) AS BIGINT) AS e
+  FROM g, range({_AFP_MAX_FRAMES}) t(f) WHERE t.f < nf
+), pk AS (
+  SELECT doc_id, f, e,
+         CASE WHEN e > lag(e) OVER w AND e > lead(e) OVER w
+              THEN 1 ELSE 0 END AS ispk
+  FROM fe WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+), hashes AS MATERIALIZED (
+  SELECT doc_id, e1, e2, dt FROM (
+    SELECT doc_id, e AS e1,
+           lead(e) OVER wp AS e2,
+           lead(f) OVER wp - f AS dt
+    FROM pk WHERE ispk = 1
+    WINDOW wp AS (PARTITION BY doc_id ORDER BY f)
+  ) WHERE e2 IS NOT NULL
+)
+SELECT a.doc_id AS clip_a, b.doc_id AS clip_b,
+       cast(count(*) AS BIGINT) AS n_shared
+FROM hashes a
+JOIN hashes b ON a.e1 = b.e1 AND a.e2 = b.e2 AND a.dt = b.dt
+            AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY clip_a, clip_b
+""".format(abs_expr=_ulaw_abs_sql(f"mult * ((t.f + off) * {_AFP_FRAME} + j)"))
+
+
+@register(
+    "multimodal_audio_fingerprint_match",
+    _AFP_ORACLE,
+    tags=("multimodal", "codec", "audio", "dedup"),
+)
+def multimodal_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-pair audio fingerprinting over REAL G.711 WAV clips.
+
+    Every clip goes through the actual container round-trip (µ-law
+    payload → RIFF writer → chunk-walking decoder → expansion table →
+    per-frame Σ|pcm|); fingerprints are (peak, next-peak, gap) triples
+    of the energy sequence, invariant to the planted per-clip start
+    offsets — one wrong byte in the writer, walker, or table flips the
+    hash gate (the oracle predicts every energy via the µ-law closed
+    form).
+
+    Scale shape: the codec pass is ONE Arrow-batched pandas_udf
+    emitting nf skinny frame rows per clip (samples never cross a
+    shuffle); peaks/pairs are per-clip windows over frame-count rows;
+    the match is an equi-join on the 3-part hash — the standard
+    inverted-index shape, never all-pairs.  At 100 TB clips arrive as
+    binary columns and every stage after the bytes is identical.
+
+    Reference: whole-file ingest surface (src/file-utils.c:22-60); the
+    pipeline past the bytes is north-star (no codecs in the C engine).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _AFP_N_DOCS)
+    g = docs.select(
+        "doc_id",
+        (F.lit(12) + (F.col("doc_id") % 4) * 2).cast("int").alias("nf"),
+        (F.col("doc_id") % 3).cast("int").alias("off"),
+        (((F.col("doc_id") % _AFP_GROUPS) * 131 + 17) % 256).cast("int").alias("seed"),
+        # per-class odd multiplier: classes are DIFFERENT byte streams,
+        # not phase shifts of one cyclic stream (13·mult stays odd, so
+        # each class walks its own permutation of Z₂₅₆)
+        (2 * (F.col("doc_id") % _AFP_GROUPS) + 13).cast("int").alias("mult"),
+    )
+
+    @pandas_udf("array<long>")
+    def _energies(
+        nf: pd.Series, off: pd.Series, seed: pd.Series, mult: pd.Series
+    ) -> pd.Series:
+        import numpy as np
+
+        from event_streaming_spark.operators.multimodal import (
+            decode_audio_frame_energies,
+            encode_wav,
+        )
+
+        out = []
+        for nf_, off_, sd, mu in zip(nf, off, seed, mult):
+            nf_, off_, sd, mu = int(nf_), int(off_), int(sd), int(mu)
+            n = nf_ * _AFP_FRAME
+            idx = off_ * _AFP_FRAME + np.arange(n, dtype=np.int64)
+            payload = ((sd + 13 * mu * idx) % 256).astype(np.uint8)
+            wav = encode_wav(payload.tobytes(), audio_fmt=7)
+            out.append(decode_audio_frame_energies(wav, _AFP_FRAME).tolist())
+        return pd.Series(out)
+
+    fe = g.select(
+        "doc_id",
+        F.posexplode(_energies("nf", "off", "seed", "mult")).alias("f", "e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("f")
+    pk = fe.select(
+        "doc_id",
+        "f",
+        "e",
+        F.when(
+            (F.col("e") > F.lag("e").over(w)) & (F.col("e") > F.lead("e").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("ispk"),
+    )
+    hashes = (
+        pk.where(F.col("ispk") == 1)
+        .select(
+            "doc_id",
+            F.col("e").alias("e1"),
+            F.lead("e").over(w).alias("e2"),
+            (F.lead("f").over(w) - F.col("f")).alias("dt"),
+        )
+        .where(F.col("e2").isNotNull())
+    )
+    a = hashes.select(
+        F.col("doc_id").alias("clip_a"), "e1", "e2", "dt"
+    )
+    b = hashes.select(
+        F.col("doc_id").alias("clip_b"),
+        F.col("e1").alias("f1"),
+        F.col("e2").alias("f2"),
+        F.col("dt").alias("fdt"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("e1") == F.col("f1"))
+            & (F.col("e2") == F.col("f2"))
+            & (F.col("dt") == F.col("fdt"))
+            & (F.col("clip_a") < F.col("clip_b")),
+        )
+        .groupBy("clip_a", "clip_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .orderBy("clip_a", "clip_b")
+    )

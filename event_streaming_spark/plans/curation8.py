@@ -368,3 +368,188 @@ def docs_truncation_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         over_ppm.alias("docs_over_ppm"),
         lost_ppm.alias("tokens_lost_ppm"),
     ).orderBy("source", "context_len")
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style excess-loss domain weights.
+# ---------------------------------------------------------------------------
+
+_DRM_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+  SELECT source,
+         unnest(tk[1:len(tk)-1]) AS w1,
+         unnest(tk[2:len(tk)]) AS w2
+  FROM (SELECT source, string_split({sql_normalize_text('text')}, ' ') AS tk
+        FROM documents)
+), ptype AS MATERIALIZED (
+  SELECT source, w1, w2, cast(count(*) AS BIGINT) AS m
+  FROM pairs GROUP BY source, w1, w2
+), refp AS MATERIALIZED (
+  SELECT w1, w2, cast(count(*) AS BIGINT) AS cb
+  FROM pairs WHERE source = '{_PPL_REF_SOURCE}' GROUP BY w1, w2
+), refu AS MATERIALIZED (
+  SELECT w1, cast(count(*) AS BIGINT) AS cu
+  FROM pairs WHERE source = '{_PPL_REF_SOURCE}' GROUP BY w1
+), reft AS MATERIALIZED (
+  SELECT w2 AS t, cast(count(*) AS BIGINT) AS ct
+  FROM pairs WHERE source = '{_PPL_REF_SOURCE}' GROUP BY w2
+), refn AS (
+  SELECT cast(count(*) AS BIGINT) AS nref FROM pairs
+  WHERE source = '{_PPL_REF_SOURCE}'
+), vocab AS (
+  SELECT cast(count(DISTINCT t) AS BIGINT) AS v FROM (
+    SELECT w1 AS t FROM pairs WHERE source = '{_PPL_REF_SOURCE}'
+    UNION SELECT w2 FROM pairs WHERE source = '{_PPL_REF_SOURCE}')
+), scored AS MATERIALIZED (
+  SELECT p.source, p.m,
+         cast(round(ln((coalesce(r.cb, 0) + 1.0)
+                       / (coalesce(u.cu, 0) + vocab.v)), 6)
+              AS DECIMAL(18,6)) AS lpb,
+         cast(round(ln((coalesce(t.ct, 0) + 1.0)
+                       / (refn.nref + vocab.v)), 6)
+              AS DECIMAL(18,6)) AS lpu
+  FROM ptype p
+  LEFT JOIN refp r ON r.w1 = p.w1 AND r.w2 = p.w2
+  LEFT JOIN refu u ON u.w1 = p.w1
+  LEFT JOIN reft t ON t.t = p.w2
+  CROSS JOIN vocab CROSS JOIN refn
+), persrc AS MATERIALIZED (
+  SELECT source, cast(sum(m) AS BIGINT) AS n_pairs,
+         round(-cast(sum(lpb * m) AS DOUBLE) / cast(sum(m) AS DOUBLE), 6)
+           AS h_bigram,
+         round(-cast(sum(lpu * m) AS DOUBLE) / cast(sum(m) AS DOUBLE), 6)
+           AS h_unigram
+  FROM scored GROUP BY source
+), ex AS (
+  SELECT source, n_pairs, h_bigram, h_unigram,
+         greatest(0, cast(round(h_unigram * 1e6) AS BIGINT)
+                     - cast(round(h_bigram * 1e6) AS BIGINT)) AS excess_fp6
+  FROM persrc
+), tot AS (SELECT cast(sum(excess_fp6) AS BIGINT) AS te FROM ex)
+SELECT source, n_pairs, h_bigram, h_unigram, excess_fp6,
+       cast(CASE WHEN tot.te > 0 THEN
+         (2000000 * excess_fp6 + tot.te) // (2 * tot.te) ELSE 0 END
+         AS BIGINT) AS weight_ppm
+FROM ex, tot
+ORDER BY source
+"""
+
+
+@register(
+    "docs_doremi_excess_loss_weights",
+    _DRM_ORACLE,
+    tags=("llm", "text", "sampling", "stats"),
+)
+def docs_doremi_excess_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture weights from reducible excess loss.
+
+    DoReMi (Xie et al. 2023) upweights domains where a stronger proxy
+    model still beats the reference — the reducible-loss signal (RHO:
+    Mindermann et al. 2022).  Instantiated on the repo's exact LM
+    stack: reference = add-1 unigram, proxy = add-1 bigram, both fit
+    on the shared ``_PPL_REF_SOURCE`` slice; a source's excess
+    H(unigram) − H(bigram) is how much context structure the domain
+    has left to teach, and weights normalize the clamped excesses.
+
+    Scale design: ONE tokenize pass → a (source, w1, w2)-keyed
+    wordcount shuffle; every model table is vocab/vocab²-bounded and
+    joins under AQE; per-pair log-probs round to DECIMAL(18,6) BEFORE
+    the weighted sums, so both engines sum identical fixed-point
+    values in any order; the excess/weight arithmetic is integer ppm
+    on the source-sized frame.
+    """
+    docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
+    tk = docs.select("source", tokens(F.col("text")).alias("tk"))
+    pairs = tk.select(
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+            )
+        ).alias("p"),
+    ).select("source", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    # SIX consumers (ptype + 5 reference tables) — pin the pair stream
+    # once or the tokenize/explode pass re-runs per consumer (the
+    # ppl_perdoc convention, curation6.py).
+    pairs = materialize(pairs, "doremi-pairs")
+    ptype = pairs.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    ref = pairs.where(F.col("source") == _PPL_REF_SOURCE)
+    refp = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    refu = ref.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    reft = (
+        ref.groupBy(F.col("w2").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    refn = ref.agg(F.count(F.lit(1)).cast("long").alias("nref"))
+    vocab = (
+        ref.select(F.col("w1").alias("t"))
+        .union(ref.select(F.col("w2").alias("t")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    lpb = F.round(
+        F.log(
+            (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+            / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    lpu = F.round(
+        F.log(
+            (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+            / (F.col("nref") + F.col("v"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        ptype.join(refp, ["w1", "w2"], "left")
+        .join(refu, ["w1"], "left")
+        .join(reft, ptype["w2"] == reft["t"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(refn))
+        .select("source", "m", lpb.alias("lpb"), lpu.alias("lpu"))
+    )
+    persrc = scored.groupBy("source").agg(
+        F.sum("m").cast("long").alias("n_pairs"),
+        F.round(
+            -F.sum(F.col("lpb") * F.col("m")).cast("double")
+            / F.sum("m").cast("double"),
+            6,
+        ).alias("h_bigram"),
+        F.round(
+            -F.sum(F.col("lpu") * F.col("m")).cast("double")
+            / F.sum("m").cast("double"),
+            6,
+        ).alias("h_unigram"),
+    )
+    ex = persrc.select(
+        "source",
+        "n_pairs",
+        "h_bigram",
+        "h_unigram",
+        F.greatest(
+            F.lit(0),
+            F.round(F.col("h_unigram") * 1e6).cast("long")
+            - F.round(F.col("h_bigram") * 1e6).cast("long"),
+        ).alias("excess_fp6"),
+    )
+    tot = ex.agg(F.sum("excess_fp6").cast("long").alias("te"))
+    weight = F.when(
+        F.col("te") > 0,
+        F.expr("(2000000 * excess_fp6 + te) div (2 * te)"),
+    ).otherwise(F.lit(0))
+    return (
+        ex.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_pairs",
+            "h_bigram",
+            "h_unigram",
+            "excess_fp6",
+            weight.cast("long").alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -533,3 +533,93 @@ def streaming_msprt_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return spark.createDataFrame(out_rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Session predictability: the entropy rate of the (user, day) journey
+# Markov chain.  Per-state conditional entropy H(next | s) plus each
+# state's contribution to the empirical entropy rate Σ_s π_s·H(·|s) —
+# the standard "how templated is user behavior" readout (Song et al.
+# 2010 limits-of-predictability framing), and the information-theoretic
+# companion of events_markov_type_transitions.  Every term is rounded
+# to 6dp fixed point BEFORE its sum, so the per-state integers are
+# order-free and bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_ENT_ORACLE = """
+WITH seq AS MATERIALIZED (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts, event_id
+  FROM events
+), tr AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT lag(event_type) OVER (PARTITION BY user_id, day
+                                 ORDER BY ts, event_id) AS src,
+           event_type AS dst
+    FROM seq
+  ) WHERE src IS NOT NULL
+), csd AS (
+  SELECT src, dst, cast(count(*) AS BIGINT) AS c FROM tr GROUP BY src, dst
+), cs AS (
+  SELECT src, cast(sum(c) AS BIGINT) AS cs FROM csd GROUP BY src
+), n AS (
+  SELECT cast(sum(c) AS BIGINT) AS n FROM csd
+)
+SELECT d.src,
+       cs.cs AS n_transitions,
+       cast(sum(cast(round(-(cast(d.c AS DOUBLE) / cs.cs)
+                 * ln(cast(d.c AS DOUBLE) / cs.cs) * 1e6) AS BIGINT))
+            AS BIGINT) AS h_cond_fp6,
+       cast(sum(cast(round(-(cast(d.c AS DOUBLE) / n.n)
+                 * ln(cast(d.c AS DOUBLE) / cs.cs) * 1e6) AS BIGINT))
+            AS BIGINT) AS contrib_fp6
+FROM csd d JOIN cs ON cs.src = d.src CROSS JOIN n
+GROUP BY d.src, cs.cs
+ORDER BY d.src
+"""
+
+
+@register(
+    "events_markov_entropy_rate",
+    _ENT_ORACLE,
+    tags=("events", "stats", "markov"),
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy + entropy-rate contribution of the
+    journey transition chain.
+
+    Scale design: ONE (user, day)-keyed ordered window produces the
+    transition stream; the (src, dst) wordcount aggregate map-side
+    combines to a ≤|types|² frame, and all entropy arithmetic runs on
+    that schema-bounded grid with broadcast totals.  Per-term 6dp
+    fixed-point rounding BEFORE the sums keeps the integers order-free.
+    """
+    wday = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type", "ts", "event_id"
+    )
+    tr = (
+        seq.withColumn("src", F.lag("event_type").over(wday))
+        .where(F.col("src").isNotNull())
+        .select("src", F.col("event_type").alias("dst"))
+    )
+    csd = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cs = csd.groupBy("src").agg(F.sum("c").cast("long").alias("cs"))
+    n = csd.agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("cs")
+    h_term = F.round(-p * F.log(p) * 1e6).cast("long")
+    r_term = F.round(
+        -(F.col("c").cast("double") / F.col("n"))
+        * F.log(F.col("c").cast("double") / F.col("cs"))
+        * 1e6
+    ).cast("long")
+    return (
+        csd.join(F.broadcast(cs), "src")
+        .crossJoin(F.broadcast(n))
+        .select("src", F.col("cs").alias("n_transitions"), h_term.alias("ht"), r_term.alias("rt"))
+        .groupBy("src", "n_transitions")
+        .agg(
+            F.sum("ht").cast("long").alias("h_cond_fp6"),
+            F.sum("rt").cast("long").alias("contrib_fp6"),
+        )
+        .orderBy("src")
+    )

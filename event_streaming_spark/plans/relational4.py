@@ -254,3 +254,90 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
         .limit(_MB_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration (Herfindahl-Hirschman index) per brand: the
+# supply-chain risk readout — a brand whose spend concentrates in one
+# supplier is one bankruptcy away from a stockout.  Exact arithmetic:
+# per-(brand, supplier) spend in integer cents, HHI/top-share ppm via
+# HUGEINT/DECIMAL round-half-up division (Σs² at 100 TB is DECIMAL
+# territory).  Scale: ONE fact join (lineitem⋈part pruned to 3 cols),
+# one (brand, supplier) aggregate, then brand-sized frames.
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH bs AS MATERIALIZED (
+  SELECT p.p_brand, l.l_suppkey,
+         cast(sum(cast(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand, l.l_suppkey
+), b AS (
+  SELECT p_brand,
+         cast(count(*) AS BIGINT) AS n_suppliers,
+         cast(sum(cents) AS BIGINT) AS total_cents,
+         cast(sum(cast(cents AS HUGEINT) * cents) AS HUGEINT) AS sq,
+         cast(max(cents) AS BIGINT) AS top_cents
+  FROM bs GROUP BY p_brand
+)
+SELECT p_brand AS brand, n_suppliers, total_cents,
+       cast((2000000 * sq + cast(total_cents AS HUGEINT) * total_cents)
+            // (2 * cast(total_cents AS HUGEINT) * total_cents) AS BIGINT)
+         AS hhi_ppm,
+       cast((2000000 * cast(top_cents AS HUGEINT) + total_cents)
+            // (2 * cast(total_cents AS HUGEINT)) AS BIGINT) AS top_share_ppm
+FROM b
+ORDER BY brand
+"""
+
+
+@register(
+    "orders_supplier_hhi_by_brand",
+    _HHI_ORACLE,
+    tags=("tpch", "stats", "risk"),
+)
+def orders_supplier_hhi_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl supplier-concentration index per part brand.
+
+    Scale design: lineitem⋈part is the only fact-sized stage (columns
+    pruned to partkey/suppkey/price); spend reduces to integer cents
+    per (brand, supplier) in one map-side-combined aggregate; the HHI
+    arithmetic runs on brand-sized frames with DECIMAL(38,0) squares —
+    exact on both engines at any volume.
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    b = bs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("sq"),
+        F.max("cents").cast("long").alias("top_cents"),
+    )
+    hhi = F.expr(
+        "cast((2000000 * sq + cast(total_cents as decimal(38,0)) * total_cents)"
+        " div (2 * cast(total_cents as decimal(38,0)) * total_cents) as bigint)"
+    )
+    top = F.expr(
+        "cast((2000000 * cast(top_cents as decimal(38,0)) + total_cents)"
+        " div (2 * cast(total_cents as decimal(38,0))) as bigint)"
+    )
+    return b.select(
+        F.col("p_brand").alias("brand"),
+        "n_suppliers",
+        "total_cents",
+        hhi.alias("hhi_ppm"),
+        top.alias("top_share_ppm"),
+    ).orderBy("brand")

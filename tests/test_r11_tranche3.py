@@ -286,3 +286,108 @@ def test_streaming_msprt_equals_batch(spark):
     batch = [tuple(r) for r in events_msprt_always_valid(spark, SF_SMALL).collect()]
     stream = [tuple(r) for r in streaming_msprt_drain(spark, SF_SMALL).collect()]
     assert stream == batch
+
+
+def test_audio_fingerprint_matches_are_within_class(spark):
+    from event_streaming_spark.plans.codec_av import (
+        _AFP_GROUPS,
+        _AFP_N_DOCS,
+        multimodal_audio_fingerprint_match,
+    )
+
+    rows = multimodal_audio_fingerprint_match(spark, SF_SMALL).collect()
+    # every clip pair sharing a landmark hash is a replica pair: classes
+    # walk distinct Z256 permutations, so cross-class energy collisions
+    # do not happen — all C(6,2) pairs per class match, nothing else
+    n_per_class = _AFP_N_DOCS // _AFP_GROUPS
+    assert len(rows) == _AFP_GROUPS * n_per_class * (n_per_class - 1) // 2
+    for r in rows:
+        assert r.clip_a % _AFP_GROUPS == r.clip_b % _AFP_GROUPS
+        assert r.n_shared >= 1
+
+
+def test_doremi_weights_identical_sources_split_evenly(spark, tmp_path):
+    from event_streaming_spark.plans.curation8 import (
+        docs_doremi_excess_loss_weights,
+    )
+
+    text = "a b " * 16  # bigram-predictable, unigram-flat
+    docs = spark.createDataFrame(
+        [(0, text, "en", "src0"), (1, text, "en", "srcx")],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: r for r in
+           docs_doremi_excess_loss_weights(spark, str(tmp_path)).collect()}
+    assert set(got) == {"src0", "srcx"}
+    for r in got.values():
+        # the bigram model strictly beats the unigram on structured text
+        assert r.h_bigram < r.h_unigram
+        assert r.excess_fp6 > 0
+        assert r.weight_ppm == 500000  # identical sources split evenly
+    assert got["src0"].h_bigram == got["srcx"].h_bigram
+
+
+def test_doremi_fixture_invariants(spark):
+    from event_streaming_spark.plans.curation8 import (
+        docs_doremi_excess_loss_weights,
+    )
+
+    rows = docs_doremi_excess_loss_weights(spark, SF_SMALL).collect()
+    assert rows
+    te = sum(r.excess_fp6 for r in rows)
+    if te > 0:
+        # weights are the normalized clamped excesses (ppm, half-up)
+        assert abs(sum(r.weight_ppm for r in rows) - 1000000) <= len(rows)
+        for r in rows:
+            assert r.excess_fp6 >= 0
+
+
+def test_supplier_hhi_by_hand(spark, tmp_path):
+    from event_streaming_spark.plans.relational4 import orders_supplier_hhi_by_brand
+
+    spark.createDataFrame(
+        [(1, "BrandA")], "p_partkey long, p_brand string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 10, 75.0), (2, 1, 20, 25.0)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_extendedprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    (r,) = orders_supplier_hhi_by_brand(spark, str(tmp_path)).collect()
+    assert (r.brand, r.n_suppliers, r.total_cents) == ("BrandA", 2, 10000)
+    assert r.hhi_ppm == 625000  # 0.75^2 + 0.25^2
+    assert r.top_share_ppm == 750000
+
+
+def test_markov_entropy_rate_by_hand(spark, tmp_path):
+    import math
+
+    from event_streaming_spark.plans.events10 import events_markov_entropy_rate
+
+    rows = [
+        # u1 day1: a b a b  -> a->b, b->a, a->b
+        (1, "2024-01-01 10:00:00", 1, "a", 1.0),
+        (2, "2024-01-01 10:01:00", 1, "b", 1.0),
+        (3, "2024-01-01 10:02:00", 1, "a", 1.0),
+        (4, "2024-01-01 10:03:00", 1, "b", 1.0),
+        # u2 day1: a c        -> a->c
+        (5, "2024-01-01 11:00:00", 2, "a", 1.0),
+        (6, "2024-01-01 11:01:00", 2, "c", 1.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.src: r for r in events_markov_entropy_rate(spark, sf).collect()}
+    assert set(got) == {"a", "b"}
+
+    def fp(x):
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x)
+
+    # state a: c(a->b)=2, c(a->c)=1, cs=3, N=4
+    h_a = fp(-(2 / 3) * math.log(2 / 3)) + fp(-(1 / 3) * math.log(1 / 3))
+    c_a = fp(-(2 / 4) * math.log(2 / 3)) + fp(-(1 / 4) * math.log(1 / 3))
+    assert got["a"].n_transitions == 3
+    assert got["a"].h_cond_fp6 == int(h_a)
+    assert got["a"].contrib_fp6 == int(c_a)
+    # state b is deterministic -> zero entropy
+    assert got["b"].n_transitions == 1
+    assert got["b"].h_cond_fp6 == 0
+    assert got["b"].contrib_fp6 == 0
