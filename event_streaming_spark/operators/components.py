@@ -30,7 +30,7 @@ accepts the same edge input, so swapping the step is local.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from event_streaming_spark.operators.materialize import materialize
@@ -80,46 +80,74 @@ def connected_components(
         "cc-labels",
     )
 
-    prev_sig = None
-    for rnd in range(max_iters):
+    def _step(labels: DataFrame, with_hop: bool) -> DataFrame:
+        """One min-label propagation step (edge push + pointer doubling).
+
+        Pointer doubling: a node whose label points at an intermediate
+        node adopts THAT node's label too.  component(v) is the min id
+        of some node reachable from v, so component(component(v)) is
+        also reachable — the fixpoint (min reachable id) is unchanged;
+        a diameter-d chain finishes in O(log d) rounds.  Shallow
+        near-clique graphs DO pay the extra label-frame self-join in
+        each step after the first — measured net-positive across all CC
+        consumers in r5 (deep components dominate wall time; the
+        shallow-graph overhead is one node-count-sized equi-join).
+        """
         nbr = bidir.join(labels, bidir.src == labels.node).select(
             F.col("dst").alias("node"), "component"
         )
         cand = labels.union(nbr)
-        if rnd >= 1:
-            # Pointer doubling from round 1 on: a node whose label points
-            # at an intermediate node adopts THAT node's label too.
-            # component(v) is the min id of some node reachable from v,
-            # so component(component(v)) is also reachable — the fixpoint
-            # (min reachable id) is unchanged; a diameter-d chain
-            # finishes in O(log d) rounds.  Shallow near-clique graphs DO
-            # pay the extra label-frame self-join in each round after the
-            # first — measured net-positive across all CC consumers in r5
-            # (deep components dominate wall time; the shallow-graph
-            # overhead is one node-count-sized equi-join per round).
+        if with_hop:
             l2 = labels.select(F.col("node").alias("c2n"), F.col("component").alias("c2"))
             hop = labels.join(l2, labels.component == F.col("c2n")).select(
                 "node", F.col("c2").alias("component")
             )
             cand = cand.union(hop)
-        new_labels = materialize(
+        return (
             cand.repartition(p, "node")
             .groupBy("node")
-            .agg(F.min("component").alias("component")),
-            "cc-labels",
+            .agg(F.min("component").alias("component"))
         )
+
+    prev_sig = None
+    for rnd in range(max_iters):
+        # TWO propagation steps per materialized round: the per-round
+        # fixed floors (localCheckpoint job, AQE sub-jobs per exchange,
+        # driver analysis) dominate wall clock on every catalog graph —
+        # measured ~10 driver jobs per materialized round vs ~0.1 s of
+        # actual task work — so halving the materialization count nearly
+        # halves the loop's wall (guide §1.2: fix the pass structure
+        # first).  The middle step stays unmaterialized inside the same
+        # job; its repartition exchange is canonical-identical across
+        # its three consumers, so ReuseExchange computes it once.
+        # Labels only ever decrease, so "unchanged over a double step"
+        # still ⟺ fixpoint — convergence detection is unaffected.
+        cand = _step(_step(labels, with_hop=rnd >= 1), with_hop=True)
         # Overflow- and type-safe convergence checksum (the pattern
         # connected_components_star already uses): COUNT plus bit_xor of
         # xxhash64(node, component).  A plain SUM(component) silently
         # broke non-numeric node ids (SUM over strings is NULL → "equal"
         # after round 0 → wrong clusters) and could overflow int64 under
         # ANSI mode on full-range hash ids.
-        cur = tuple(
-            new_labels.agg(
-                F.count(F.lit(1)),
-                F.bit_xor(F.xxhash64("node", "component")),
-            ).collect()[0]
+        #
+        # The checksum rides the materialization job as an OBSERVED
+        # metric (CollectMetrics over the aggregated rows) instead of a
+        # second .agg().collect() action: each round previously paid TWO
+        # driver-synchronized jobs, and on a 15-round graph the extra
+        # job's fixed floor (scheduling + plan analysis) was pure wall
+        # overhead — same values, one job per round (guide §1.2: remove
+        # passes before tuning inside them).
+        obs = Observation(f"cc-sig-{rnd}")
+        new_labels = materialize(
+            cand.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("node", "component")).alias("sig"),
+            ),
+            "cc-labels",
         )
+        m = obs.get
+        cur = (m["n"], m["sig"])
         labels = new_labels
         if cur == prev_sig:
             break
@@ -209,9 +237,22 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     prev = _checksum(cur)
-    for _ in range(max_iters):
-        cur = materialize(_small_star(_large_star(cur)), "ccstar-edges")
-        sig = _checksum(cur)
+    for rnd in range(max_iters):
+        # Checksum observed during the materialization job itself (one
+        # job per round, not two) — same count+bit_xor values, collected
+        # as CollectMetrics over the contracted edge rows (the identical
+        # move as connected_components' loop; guide §1.2: remove passes).
+        obs = Observation(f"ccstar-sig-{rnd}")
+        cur = materialize(
+            _small_star(_large_star(cur)).observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("lo", "hi")).alias("h"),
+            ),
+            "ccstar-edges",
+        )
+        m = obs.get
+        sig = (m["n"], m["h"])
         if sig == prev:
             break
         prev = sig

@@ -358,7 +358,13 @@ def bloom_semi_join(
     # default: measured 10s+ of analyzer/codegen time).
     from pyspark.sql import types as T
 
-    bitmap = probe.sparkSession.createDataFrame(
+    from event_streaming_spark.functions.localframe import local_frame
+
+    # local_frame (Arrow→JVM): the bitmap row re-evaluates with every
+    # probe-side consumer; the pickle path would add a Python worker
+    # round-trip per evaluation (guide §4).
+    bitmap = local_frame(
+        probe.sparkSession,
         [(dense,)],
         T.StructType([T.StructField("__bloom", T.ArrayType(T.LongType()))]),
     )

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from event_streaming_spark.functions.localframe import local_frame
 from event_streaming_spark.operators.materialize import materialize
 
 _PID = "__pid"
@@ -110,7 +111,12 @@ def _offsets_join(bucketed: DataFrame, agg: Column) -> tuple[DataFrame, int]:
         offsets.append((pid, running))
         running += per_bucket.get(pid, 0)
     spark = bucketed.sparkSession
-    off = spark.createDataFrame(offsets or [(0, 0)], f"{_PID} int, __off long")
+    # local_frame (Arrow→JVM), not createDataFrame (pickle→PythonRDD):
+    # the offsets join side is re-evaluated with every consumer of the
+    # ranked frame, and the pickle path pays a Python worker round-trip
+    # per evaluation (guide §4; measured seconds per run on slow-spawn
+    # hosts).
+    off = local_frame(spark, offsets or [(0, 0)], f"{_PID} int, __off long")
     return off, running
 
 

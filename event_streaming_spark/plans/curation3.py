@@ -31,6 +31,7 @@ from event_streaming_spark.functions.hashing import (
     stable_hash32,
     tokens,
 )
+from event_streaming_spark.functions.localframe import local_frame
 from event_streaming_spark.plans.catalog import load, register, spread
 
 # ---------------------------------------------------------------------------
@@ -134,7 +135,7 @@ def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid_rows = [(r["cluster"], list(r["c"])) for r in init.collect()]
 
     def assign(rows: list[tuple[int, list[int]]]) -> DataFrame:
-        cent = spark.createDataFrame(rows, "cluster int, c array<bigint>")
+        cent = local_frame(spark, rows, "cluster int, c array<bigint>")
         dist = F.aggregate(
             F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from event_streaming_spark.functions.hashing import sql_normalize_text, tokens
 from event_streaming_spark.operators.materialize import materialize
+from event_streaming_spark.functions.localframe import local_frame
 from event_streaming_spark.plans.catalog import load, register, spread
 from event_streaming_spark.plans.curation6 import _PPL_REF_SOURCE
 
@@ -324,7 +325,7 @@ def docs_truncation_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = docs.select(
         "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
     )
-    lens = docs.sparkSession.createDataFrame(
+    lens = local_frame(docs.sparkSession, 
         [(L,) for L in _TRUNC_LENS], "context_len long"
     ).coalesce(1)
     agg = (

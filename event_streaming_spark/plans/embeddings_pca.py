@@ -42,6 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_streaming_spark.functions.localframe import local_frame
 from event_streaming_spark.plans.catalog import load, register
 
 _DIM = 64
@@ -192,7 +193,7 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (i, v[i], round(v[i] / float(_VSCALE), 3), rayleigh) for i in range(_DIM)
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "dim bigint, loading_milli bigint, loading double, rayleigh_scaled bigint",
     ).orderBy("dim")

@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from event_streaming_spark.functions.localframe import local_frame
 from event_streaming_spark.plans.catalog import load, register
 
 # ---------------------------------------------------------------------------
@@ -475,7 +476,7 @@ def streaming_msprt_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     if not batches:
-        return spark.createDataFrame([], schema)
+        return local_frame(spark, [], schema)
 
     import pandas as pd
 
@@ -532,7 +533,7 @@ def streaming_msprt_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1 if runmax > _MSPRT_LN_INV_ALPHA else 0,
             )
         )
-    return spark.createDataFrame(out_rows, schema)
+    return local_frame(spark, out_rows, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from event_streaming_spark.functions.numeric import exact_sum, sql_exact_sum
+from event_streaming_spark.functions.localframe import local_frame
 from event_streaming_spark.plans.catalog import capture_plan, load, register
 
 # ---------------------------------------------------------------------------
@@ -700,7 +701,7 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = int(r["n"])
         s = 1_000_000 * n if s is None else (7 * s + 1_000_000 * n) // 8
         rows.append((r["day"], n, s))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "day date, n_events long, ewma_scaled long"
     ).orderBy("day")
 
@@ -797,7 +798,7 @@ def orders_backlog_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.sequence("d0", "d1")).alias("day"))
     )
     grid = spine.crossJoin(
-        spark.createDataFrame([("00-07d",), ("07-30d",), ("30d+",)], "bucket string")
+        local_frame(spark, [("00-07d",), ("07-30d",), ("30d+",)], "bucket string")
     )
     base = grid.join(nd, ["day", "bucket"], "left").na.fill({"nd": 0})
     w = Window.partitionBy("bucket").orderBy("day")  # 3 domain-sized partitions
@@ -906,7 +907,7 @@ def events_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             (last_day + _dt.timedelta(days=h), "forecast", None, None, None,
              lvl + h * trd)
         )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "day date, kind string, n_events long, level_scaled long, "
         "trend_scaled long, fitted_scaled long",

@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 
 from event_streaming_spark.functions.hashing import sql_stable_hash32
 from event_streaming_spark.functions.numeric import exact_sum, sql_exact_sum
-from event_streaming_spark.plans.catalog import capture_plan, load, register
+from event_streaming_spark.functions.localframe import local_frame
+from event_streaming_spark.plans.catalog import capture_plan, load, register, spread
 
 # ---------------------------------------------------------------------------
 # STL-style additive decomposition of the daily event count:
@@ -495,7 +496,7 @@ def events_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataF
     out = [
         (ch, e, (e * 1_000_000) // te if te > 0 else 0) for ch, e in effects
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         out, "channel string, removal_effect_ppm long, attribution_share_ppm long"
     ).orderBy("channel")
 
@@ -721,17 +722,20 @@ def events_bootstrap_ci_value_mean(spark: SparkSession, sf_dir: str) -> DataFram
     """
     from event_streaming_spark.functions.hashing import stable_hash32
 
-    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    # spread() BEFORE the replicate explode: the fixture scan is one
+    # parquet split, so without it the whole B×rows md5 pass — the
+    # query's entire cost — runs in ONE task (measured 10.9 s in a
+    # single 100 %-CPU task at sf0.1).  The shuffle moves only
+    # (event_id, value) rows once; on a deployment whose scan already
+    # has file parallelism spread() is a no-op passthrough.
+    ev = spread(load(spark, sf_dir, "events").select("event_id", "value"))
     xv = F.round(F.col("value") * 1e6).cast("long")
+    # The md5 input is "boot|<event_id>|<b>"; the "boot|<event_id>|"
+    # prefix is per-ROW, so build it once before the B-way explode
+    # instead of re-concatenating (and re-casting event_id) per
+    # replicate — byte-identical hash input, ~B× fewer prefix builds.
     h = (
-        stable_hash32(
-            F.concat(
-                F.lit("boot|"),
-                F.col("event_id").cast("string"),
-                F.lit("|"),
-                F.col("b").cast("string"),
-            )
-        )
+        stable_hash32(F.concat(F.col("pre"), F.col("b").cast("string")))
         % 1000
     )
     w_expr = F.when(h < _BOOT_THRESH[0], 0)
@@ -741,7 +745,9 @@ def events_bootstrap_ci_value_mean(spark: SparkSession, sf_dir: str) -> DataFram
     w = ev.select(
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
         xv.alias("xv"),
-        F.col("event_id"),
+        F.concat(
+            F.lit("boot|"), F.col("event_id").cast("string"), F.lit("|")
+        ).alias("pre"),
     ).select("b", w_expr.alias("w"), "xv")
     means = w.groupBy("b").agg(
         F.round(
@@ -878,7 +884,7 @@ def events_diff_in_diff_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rnd = lambda x: round(x, 6) if x is not None else None
     row = [(rnd(c11), rnd(c10), rnd(c01), rnd(c00), rnd(did))]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         row, "t_post double, t_pre double, c_post double, c_pre double, did double"
     )
 

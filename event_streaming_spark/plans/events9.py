@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_streaming_spark.functions.localframe import local_frame
 from event_streaming_spark.plans.catalog import load, register
 
 # ---------------------------------------------------------------------------
@@ -455,7 +456,7 @@ def streaming_psi_drift_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     if not batches:
-        return spark.createDataFrame([], schema)
+        return local_frame(spark, [], schema)
 
     import pandas as pd
 
@@ -477,4 +478,4 @@ def streaming_psi_drift_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             psi += int(math.floor(term * 1e6 + 0.5))  # terms are >= 0
         out_rows.append((day, dn, psi))
     out_rows.sort(key=lambda r: r[0])
-    return spark.createDataFrame(out_rows, schema)
+    return local_frame(spark, out_rows, schema)

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from event_streaming_spark.functions.hashing import sql_normalize_text
 from event_streaming_spark.operators import similarity as S
 from event_streaming_spark.operators.materialize import materialize
+from event_streaming_spark.functions.localframe import local_frame
 from event_streaming_spark.plans.catalog import capture_plan, load, register, spread
 
 # ---------------------------------------------------------------------------
@@ -504,7 +505,7 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             scored = rel.select("qid", "d", (_MMR_LN * F.col("r")).alias("s"))
         else:
             sel_df = F.broadcast(
-                spark.createDataFrame(
+                local_frame(spark, 
                     [
                         (qid, d, vq)
                         for qid, pairs in sel_vecs.items()
@@ -542,7 +543,7 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             r["qid"]: r["vq"]
             for r in rel.join(
                 F.broadcast(
-                    spark.createDataFrame(list(picked.items()), "qid long, d long")
+                    local_frame(spark, list(picked.items()), "qid long, d long")
                 ),
                 ["qid", "d"],
             )
@@ -552,7 +553,7 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for qid, d in picked.items():
             sel_rows.append((qid, rank, d))
             sel_vecs.setdefault(qid, []).append((d, list(vecs[qid])))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         sorted(sel_rows), "qid long, rank int, vec_id long"
     ).orderBy("qid", "rank")
 

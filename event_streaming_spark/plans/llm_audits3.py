@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_streaming_spark.functions.localframe import local_frame
 from event_streaming_spark.operators.ranks import topk_per_group
 from event_streaming_spark.plans.catalog import load, register, spread
 
@@ -177,8 +178,8 @@ def emb_ivf_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("hits"))
     )
     nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_q")).coalesce(1)
-    npframe = spark.createDataFrame(
-        [(int(p_),) for p_ in _NPROBES], "np long"
+    npframe = local_frame(
+        spark, [(int(p_),) for p_ in _NPROBES], "np long"
     ).coalesce(1)
     return (
         npframe.join(hits, "np", "left")

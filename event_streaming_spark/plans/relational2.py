@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from event_streaming_spark.functions.numeric import cosine, exact_sum, sql_exact_sum
 from event_streaming_spark.operators.joins import triangle_self_pair_join
+from event_streaming_spark.functions.localframe import local_frame
 from event_streaming_spark.plans.catalog import load, register
 
 # ---------------------------------------------------------------------------
@@ -48,7 +49,7 @@ GROUP BY promo_id
 @register("range_join_orders_in_promo_windows", _RANGE_ORACLE, tags=("join", "range"))
 def range_join_orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    promos = spark.createDataFrame(
+    promos = local_frame(spark, 
         [(i, s, e) for i, s, e in _PROMOS], "promo_id INT, p_start DATE, p_end DATE"
     )
     od = F.to_date("o_orderdate")

@@ -51,6 +51,7 @@ from event_streaming_spark.operators import similarity as S
 from event_streaming_spark.operators import zonemap as Z
 from event_streaming_spark.operators.graph import triangles
 from event_streaming_spark.operators.materialize import materialize
+from event_streaming_spark.functions.localframe import local_frame
 from event_streaming_spark.plans.catalog import load, register, spread
 from event_streaming_spark.plans.llm_similarity import (
     _LSH_ORACLE,
@@ -919,7 +920,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("wc"))
     )
     merges = bpe_train(words, _BPE_MERGES)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         merges, "step int, left string, right string, pair_count long"
     ).orderBy("step")
 
@@ -1860,7 +1861,7 @@ def docs_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2s = [p.split(" ")[1] for p, _ in phrases]
     p1 = post.filter(F.col("term").isin(w1s)).alias("a")
     p2 = post.filter(F.col("term").isin(w2s)).alias("b")
-    qset = spark.createDataFrame(
+    qset = local_frame(spark, 
         [(p, n_occ, p.split(" ")[0], p.split(" ")[1]) for p, n_occ in phrases],
         "phrase string, n_occurrences long, w1 string, w2 string",
     )

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from event_streaming_spark.operators import similarity as S
+from event_streaming_spark.functions.localframe import local_frame
 from event_streaming_spark.plans.catalog import capture_plan, load, register
 
 _EQ_SUM = " + ".join(
@@ -263,10 +264,10 @@ def _run_minhash_index(spark: SparkSession, sf_dir: str, restart: bool) -> DataF
     import pandas as pd
 
     if not found:
-        return spark.createDataFrame([], _PAIR_SCHEMA)
+        return local_frame(spark, [], _PAIR_SCHEMA)
     allp = pd.concat(found, ignore_index=True)
     if allp.empty:
-        return spark.createDataFrame([], _PAIR_SCHEMA)
+        return local_frame(spark, [], _PAIR_SCHEMA)
     return (
         spark.createDataFrame(allp, _PAIR_SCHEMA)
         .dropDuplicates(["earlier_doc", "later_doc"])
@@ -518,10 +519,10 @@ def _run_semantic_index(spark: SparkSession, sf_dir: str, restart: bool) -> Data
     import pandas as pd
 
     if not found:
-        return spark.createDataFrame([], _SEMPAIR_SCHEMA)
+        return local_frame(spark, [], _SEMPAIR_SCHEMA)
     allp = pd.concat(found, ignore_index=True)
     if allp.empty:
-        return spark.createDataFrame([], _SEMPAIR_SCHEMA)
+        return local_frame(spark, [], _SEMPAIR_SCHEMA)
     return (
         spark.createDataFrame(allp, _SEMPAIR_SCHEMA)
         .dropDuplicates(["earlier_vec", "later_vec"])

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from event_streaming_spark.functions.numeric import sql_exact_sum
+from event_streaming_spark.functions.localframe import local_frame
 from event_streaming_spark.plans.catalog import capture_plan, load, register
 
 _DRAIN_ORACLE = f"""
@@ -116,7 +117,7 @@ def streaming_drain_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     if not batches:
-        return spark.createDataFrame([], _RESULT_SCHEMA)
+        return local_frame(spark, [], _RESULT_SCHEMA)
     all_updates = pd.concat(batches, ignore_index=True)
     # update mode: each micro-batch emits the RUNNING aggregate for keys it
     # touched; the last emission per key is the final (batch-equal) value.
@@ -345,7 +346,7 @@ def streaming_session_window_drain(
     import pandas as pd
 
     if not batches:
-        return spark.createDataFrame([], _SESSIONW_SCHEMA)
+        return local_frame(spark, [], _SESSIONW_SCHEMA)
     out = pd.concat(batches, ignore_index=True)
     out = out[out["user_id"] >= 0].copy()  # drop the watermark sentinel
     out["duration_s"] = (out["dur_ms"] / 1000.0).round(3)
@@ -387,6 +388,26 @@ JOIN events p
 ORDER BY view_id, purchase_id
 """
 
+def _join_state_session(agency, n_rows: int):
+    """Session clone sized for a stream-stream join's state stores.
+
+    Join state = rows retained inside the watermark window PER SIDE, and
+    each micro-batch pays an open+snapshot+commit floor per store with
+    TWO stores per partition (left + right) — so the store count must
+    track STATE cardinality, not the session's batch shuffle width (the
+    same rule as ``TopicContext.consume``'s ``state_partitions``, where
+    32 → 8 stores measurably halved the windowed drain's wall).  Sizing
+    is data-adaptive: ~250k state rows per store, floor 8, capped at 4×
+    parallelism (the ``operators/ranks._n_buckets`` clamp) — a fixture
+    drain stops paying 64 commit floors per micro-batch for ~100k rows
+    of state, and a billion-row window still fans out to hundreds of
+    stores on a real cluster.
+    """
+    sc = agency.spark.sparkContext
+    p = int(max(8, min(sc.defaultParallelism * 4, n_rows // 250_000 + 8)))
+    return agency.tuned_clone(p)
+
+
 _IVJ_SCHEMA = T.StructType(
     [
         T.StructField("view_id", T.LongType()),
@@ -415,9 +436,12 @@ def streaming_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame
         ev = load(spark, sf_dir, "events")
         ctx_v.publish(ev.where(F.col("event_type") == "view"))
         ctx_p.publish(ev.where(F.col("event_type") == "purchase"))
+        # state-store count sized to the join's state cardinality, not
+        # the session's batch shuffle width (see _join_state_session)
+        sess = _join_state_session(agency, ev.count())
 
         views = (
-            ctx_v.stream()
+            ctx_v.stream(session=sess)
             .withWatermark("ts", "1 hour")
             .select(
                 F.col("event_id").alias("view_id"),
@@ -426,7 +450,7 @@ def streaming_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
         purchases = (
-            ctx_p.stream()
+            ctx_p.stream(session=sess)
             .withWatermark("ts", "1 hour")
             .select(
                 F.col("event_id").alias("purchase_id"),
@@ -470,7 +494,7 @@ def streaming_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame
     import pandas as pd
 
     if not batches:
-        return spark.createDataFrame([], _IVJ_SCHEMA)
+        return local_frame(spark, [], _IVJ_SCHEMA)
     out = pd.concat(batches, ignore_index=True)
     out = out.sort_values(["view_id", "purchase_id"]).reset_index(drop=True)
     return spark.createDataFrame(out, _IVJ_SCHEMA)
@@ -557,9 +581,12 @@ def streaming_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
         ctx_v.publish(sentinel)
         ctx_p.publish(sentinel)
 
+        # state-store count sized to the join's state cardinality
+        sess = _join_state_session(agency, ev.count())
+
         def build_join() -> DataFrame:
             views = (
-                ctx_v.stream()
+                ctx_v.stream(session=sess)
                 .withWatermark("ts", "1 hour")
                 .select(
                     F.col("event_id").alias("view_id"),
@@ -568,7 +595,7 @@ def streaming_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
                 )
             )
             purchases = (
-                ctx_p.stream()
+                ctx_p.stream(session=sess)
                 .withWatermark("ts", "1 hour")
                 .select(
                     F.col("event_id").alias("purchase_id"),
@@ -621,7 +648,7 @@ def streaming_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
     import pandas as pd
 
     if not batches:
-        return spark.createDataFrame([], _IVJ_SCHEMA)
+        return local_frame(spark, [], _IVJ_SCHEMA)
     out = pd.concat(batches, ignore_index=True)
     out = out[out["view_id"] >= 0].copy()  # drop the watermark sentinels
     out = out.sort_values(["view_id", "purchase_id"]).reset_index(drop=True)
@@ -697,9 +724,12 @@ def streaming_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
         ctx_v.publish(sentinel)
         ctx_p.publish(sentinel)
 
+        # state-store count sized to the join's state cardinality
+        sess = _join_state_session(agency, ev.count())
+
         def build_join() -> DataFrame:
             views = (
-                ctx_v.stream()
+                ctx_v.stream(session=sess)
                 .withWatermark("ts", "1 hour")
                 .select(
                     F.col("event_id").alias("view_id"),
@@ -708,7 +738,7 @@ def streaming_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
                 )
             )
             purchases = (
-                ctx_p.stream()
+                ctx_p.stream(session=sess)
                 .withWatermark("ts", "1 hour")
                 .select(
                     F.col("event_id").alias("purchase_id"),
@@ -761,7 +791,7 @@ def streaming_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
     import pandas as pd
 
     if not batches:
-        return spark.createDataFrame([], _IVJ_SCHEMA)
+        return local_frame(spark, [], _IVJ_SCHEMA)
     out = pd.concat(batches, ignore_index=True)
     # Drop the watermark sentinels from EITHER side (unmatched sentinel
     # rows surface with the id on their own side and NULL on the other).
@@ -866,7 +896,7 @@ def streaming_static_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame
     import pandas as pd
 
     if not batches:
-        return spark.createDataFrame([], _ENRICH_SCHEMA)
+        return local_frame(spark, [], _ENRICH_SCHEMA)
     all_updates = pd.concat(batches, ignore_index=True)
     last = (
         all_updates.sort_values("batch_id", kind="stable")
@@ -956,7 +986,7 @@ def streaming_hopping_window_drain(spark: SparkSession, sf_dir: str) -> DataFram
     import pandas as pd
 
     if not batches:
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [],
             T.StructType(
                 [
@@ -1049,7 +1079,7 @@ def _run_ingest_dlq(
     # here and rebuild it as a literal DataFrame, so the per-micro-batch
     # broadcast join below never re-scans the base table to re-derive the
     # distinct() — the join side is a LocalTableScan every batch.
-    type_dim = spark.createDataFrame(
+    type_dim = local_frame(spark, 
         ev.select("event_type").distinct().collect(), "event_type string"
     )
 
@@ -1324,7 +1354,7 @@ def _run_late_data_recon(
                 drain()
 
         # provisional = last update per key across all drains
-        prov = spark.createDataFrame(
+        prov = local_frame(spark, 
             latest_per_key(updates),
             "event_date date, event_type string, n long, cents long",
         )
@@ -1487,7 +1517,7 @@ def streaming_custom_state_sessionizer(spark: SparkSession, sf_dir: str) -> Data
     import pandas as pd
 
     if not batches:
-        return spark.createDataFrame([], _SESSIONW_SCHEMA)
+        return local_frame(spark, [], _SESSIONW_SCHEMA)
     out = pd.concat(batches, ignore_index=True)
     out = out[out["user_id"] >= 0].copy()  # drop the watermark sentinel
     out["session_value"] = (out["sv"] / 1e6).round(2)
@@ -1626,7 +1656,7 @@ def streaming_hll_distinct_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupby(["day", "bucket"], as_index=False)
         .last()[["day", "bucket", "reg"]]
     )
-    regs_df = spark.createDataFrame(final_regs, "day date, bucket long, reg long")
+    regs_df = local_frame(spark, final_regs, "day date, bucket long, reg long")
     est = hll_finalize_by(regs_df, ["day"], b).withColumnRenamed(
         "hll_estimate", "hll_users"
     )

@@ -60,7 +60,10 @@ class ProgressCollector(StreamingQueryListener):
     def as_dataframe(self, spark: SparkSession) -> DataFrame:
         with self._lock:
             rows = list(self.progress)
-        return spark.createDataFrame(
+        from event_streaming_spark.functions.localframe import local_frame
+
+        return local_frame(
+            spark,
             rows or [],
             "query_id STRING, name STRING, batch_id LONG, num_input_rows LONG, "
             "batch_duration_ms LONG",
