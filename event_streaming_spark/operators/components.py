@@ -61,7 +61,13 @@ def connected_components(
     """
     n_col = nodes.columns[0]
     s_col, d_col = edges.columns[0], edges.columns[1]
-    fwd = edges.select(F.col(s_col).alias("src"), F.col(d_col).alias("dst"))
+    # pin-before-union (the r10 edge-list lesson): the bidirectional
+    # union references the edge subplan twice — in near-dup callers that
+    # subplan is the whole LSH candidate pipeline, so pin it once first.
+    fwd = materialize(
+        edges.select(F.col(s_col).alias("src"), F.col(d_col).alias("dst")),
+        "cc-edges-raw",
+    )
     bidir = materialize(
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct(),
         "cc-edges",

@@ -52,11 +52,16 @@ def pagerank_integer(
     """
     n_col = nodes.columns[0]
     s, d = edges.columns[0], edges.columns[1]
-    fwd = edges.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+    # Pin the raw edge projection BEFORE the bidirectional union: the
+    # union references the edge subplan twice, and in every near-dup
+    # caller that subplan is the whole LSH candidate pipeline — pinning
+    # first evaluates it once (the r10 edge-list lesson).
+    raw = materialize(
+        edges.select(F.col(s).alias("src"), F.col(d).alias("dst")), "pr-edges-raw"
+    )
+    fwd = raw
     if not directed:
-        fwd = fwd.union(
-            edges.select(F.col(d).alias("src"), F.col(s).alias("dst"))
-        )
+        fwd = fwd.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = materialize(fwd.distinct(), "pr-edges")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.select(
@@ -135,8 +140,13 @@ def ppr_integer(
     Non-seed sinks decay toward 0; mass concentrates around the seeds'
     neighborhoods.  Every op is int64, bit-identical across engines.
     """
-    e = edges.select(
-        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    # pin-before-union: see pagerank_integer (one evaluation of the
+    # edge-producing subplan instead of two)
+    e = materialize(
+        edges.select(
+            F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+        ),
+        "ppr-edges-raw",
     )
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -230,13 +240,20 @@ def triangles(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame
     orientations and may contain duplicates; they are canonicalized
     first.
     """
-    und = (
+    # Pin the canonical edge list: it feeds the degree aggregate AND the
+    # orientation join, and `orient` below feeds THREE consumers (both
+    # wedge sides + the closing join) — without the pins an expensive
+    # edge-producing subplan (the LSH candidate pipeline in every
+    # near-dup caller) re-evaluates once per consumer (the r10
+    # "3 consumers re-ran the panel² pass" lesson, applied here).
+    und = materialize(
         edges.select(
             F.least(F.col(a), F.col(b)).alias("u"),
             F.greatest(F.col(a), F.col(b)).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
-        .distinct()
+        .distinct(),
+        "tri-und",
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -250,10 +267,13 @@ def triangles(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    orient = e.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
+    orient = materialize(
+        e.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
+        ),
+        "tri-orient",
     )
     o1 = orient.alias("o1")
     o2 = orient.alias("o2")
@@ -314,9 +334,12 @@ def bfs_layers(
     Exact integer distances: bit-identical on any partitioning/engine.
     """
     s, d = edges.columns[0], edges.columns[1]
-    fwd = edges.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+    # pin-before-union: see pagerank_integer
+    fwd = materialize(
+        edges.select(F.col(s).alias("src"), F.col(d).alias("dst")), "bfs-edges-raw"
+    )
     if not directed:
-        fwd = fwd.union(edges.select(F.col(d).alias("src"), F.col(s).alias("dst")))
+        fwd = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = materialize(fwd.distinct(), "bfs-edges")
     n_col = seeds.columns[0]
     visited = materialize(
