@@ -1794,11 +1794,23 @@ def _run_heavy_hitters(spark: SparkSession, sf_dir: str, restart: bool) -> DataF
     cand = spark.createDataFrame(final[["term"]].drop_duplicates(), "term string")
 
     # exact rescan of candidates only; global top-20 via TakeOrdered,
-    # rank window applied post-limit on 20 rows
-    stream = spread(load(spark, sf_dir, "documents")).select(
-        F.explode(tok_fn(F.col("text"))).alias("term")
+    # rank window applied post-limit on 20 rows.  The stream-token total
+    # needed by the conservation proof below rides this SAME pass as an
+    # observed metric (CollectMetrics above the candidate join, which a
+    # filter cannot be pushed through) — previously a separate
+    # stream.count() re-tokenized the whole corpus a second time
+    # (guide §1.2: don't compute a full pass for a scalar a running pass
+    # already produces).  If the observation ever under-counted (e.g. a
+    # pushdown through the metrics node), the conservation assert below
+    # fails loudly — the proof guards its own instrumentation.
+    from pyspark.sql import Observation
+
+    tok_obs = Observation("shh-total-tokens")
+    stream = (
+        spread(load(spark, sf_dir, "documents"))
+        .select(F.explode(tok_fn(F.col("text"))).alias("term"))
+        .observe(tok_obs, F.count(F.lit(1)).alias("n"))
     )
-    total_tokens = stream.count()
     exact = (
         stream.join(F.broadcast(cand), "term")
         .groupBy("term")
@@ -1812,6 +1824,8 @@ def _run_heavy_hitters(spark: SparkSession, sf_dir: str, restart: bool) -> DataF
         .over(Window.orderBy(F.col("n").desc(), F.col("term")))
         .alias("rnk"),
     ).cache()
+    ranked_rows = ranked.collect()  # one action: exact pass + observation
+    total_tokens = int(tok_obs.get["n"])
 
     # TOKEN-CONSERVATION proof: summed over salt groups, the final
     # snapshots' running n_seen must equal the batch-leg token count
@@ -1846,7 +1860,7 @@ def _run_heavy_hitters(spark: SparkSession, sf_dir: str, restart: bool) -> DataF
                 f"expected exactly the post-kill delta {wave2}"
             )
 
-    floor = min(r["n"] for r in ranked.collect())
+    floor = min(r["n"] for r in ranked_rows)
     if floor <= maxdec:  # -O-safe
         raise AssertionError(
             f"MG capacity {_SHH_CAPACITY}x{_SHH_SALTS} cannot prove top-20 "
