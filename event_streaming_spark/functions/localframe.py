@@ -75,6 +75,14 @@ def local_frame(
             data = [tuple(r.get(n) for n in names) for r in rows]
         else:
             data = [tuple(r) for r in rows]
+        # pandas→Arrow treats a float NaN cell as MISSING (it becomes
+        # NULL on the Spark side), while the pickle path preserves it as
+        # NaN — a value change the oracle hash would catch.  NaN rows
+        # take the classic path; everything else rides Arrow.
+        if any(
+            isinstance(c, float) and c != c for row in data for c in row
+        ):
+            return spark.createDataFrame(rows, st)
         pdf = pd.DataFrame(data, columns=names, dtype=object)
         return spark.createDataFrame(pdf, st)
     except Exception:  # pragma: no cover — conversion edge case
