@@ -61,22 +61,33 @@ def connected_components(
     """
     n_col = nodes.columns[0]
     s_col, d_col = edges.columns[0], edges.columns[1]
-    # pin-before-union (the r10 edge-list lesson): the bidirectional
-    # union references the edge subplan twice — in near-dup callers that
-    # subplan is the whole LSH candidate pipeline, so pin it once first.
-    fwd = materialize(
-        edges.select(F.col(s_col).alias("src"), F.col(d_col).alias("dst")),
-        "cc-edges-raw",
-    )
+    # Symmetrize with ONE evaluation of the edge subplan (in near-dup
+    # callers that subplan is the whole LSH candidate pipeline): each raw
+    # edge explodes into both directions inside the same pass, so the
+    # former pin-then-union-then-pin (2 materialization jobs + 1 count
+    # job) collapses to a single pinned job whose edge count rides along
+    # as an OBSERVED metric (r11: 3 setup jobs → 1; guide §1.2 remove
+    # passes first).
+    obs = Observation("cc-n-edges")
     bidir = materialize(
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct(),
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(s_col).alias("src"), F.col(d_col).alias("dst")),
+                    F.struct(F.col(d_col).alias("src"), F.col(s_col).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n")),
         "cc-edges",
     )
-    # Size every iteration shuffle to the measured edge volume (the O(1)
-    # count rides the pinned frame), clamped to the cluster's parallelism
-    # band — small graphs stop paying per-task floors 2×/round, huge ones
-    # get partitions that fit in executor memory.
-    n_edges = bidir.count()
+    # Size every iteration shuffle to the measured edge volume, clamped
+    # to the cluster's parallelism band — small graphs stop paying
+    # per-task floors 2×/round, huge ones get partitions that fit in
+    # executor memory.
+    n_edges = obs.get["n"]
     sc = bidir.sparkSession.sparkContext
     p = int(max(2, min(sc.defaultParallelism * 4, n_edges // _CC_ROWS_PER_PARTITION + 2)))
     bidir = materialize(bidir.repartition(p, "src"), "cc-edges")
@@ -86,7 +97,7 @@ def connected_components(
         "cc-labels",
     )
 
-    def _step(labels: DataFrame, with_hop: bool) -> DataFrame:
+    def _step(labels: DataFrame, with_hop: bool, identity: bool = False) -> DataFrame:
         """One min-label propagation step (edge push + pointer doubling).
 
         Pointer doubling: a node whose label points at an intermediate
@@ -98,10 +109,18 @@ def connected_components(
         each step after the first — measured net-positive across all CC
         consumers in r5 (deep components dominate wall time; the
         shallow-graph overhead is one node-count-sized equi-join).
+
+        ``identity=True`` (the very first step only): labels are still
+        the node⇒node identity, so edges⋈labels is just the edge list
+        renamed — skip the join outright (one fewer shuffle join in
+        round 0).
         """
-        nbr = bidir.join(labels, bidir.src == labels.node).select(
-            F.col("dst").alias("node"), "component"
-        )
+        if identity:
+            nbr = bidir.select(F.col("dst").alias("node"), F.col("src").alias("component"))
+        else:
+            nbr = bidir.join(labels, bidir.src == labels.node).select(
+                F.col("dst").alias("node"), "component"
+            )
         cand = labels.union(nbr)
         if with_hop:
             l2 = labels.select(F.col("node").alias("c2n"), F.col("component").alias("c2"))
@@ -128,7 +147,9 @@ def connected_components(
         # its three consumers, so ReuseExchange computes it once.
         # Labels only ever decrease, so "unchanged over a double step"
         # still ⟺ fixpoint — convergence detection is unaffected.
-        cand = _step(_step(labels, with_hop=rnd >= 1), with_hop=True)
+        cand = _step(
+            _step(labels, with_hop=rnd >= 1, identity=rnd == 0), with_hop=True
+        )
         # Overflow- and type-safe convergence checksum (the pattern
         # connected_components_star already uses): COUNT plus bit_xor of
         # xxhash64(node, component).  A plain SUM(component) silently
@@ -230,19 +251,20 @@ def connected_components_star(
     """
     n_col = nodes.columns[0]
     s_col, d_col = edges.columns[0], edges.columns[1]
+    # The initial checksum rides the canonicalization job as an observed
+    # metric (r11: one setup job instead of two — the same move the loop
+    # below already makes per round).
+    obs0 = Observation("ccstar-sig-init")
     cur = materialize(
-        _canon(edges.select(F.col(s_col).alias("a"), F.col(d_col).alias("b"))),
+        _canon(edges.select(F.col(s_col).alias("a"), F.col(d_col).alias("b"))).observe(
+            obs0,
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("lo", "hi")).alias("h"),
+        ),
         "ccstar-edges",
     )
-
-    def _checksum(df: DataFrame):
-        # bit_xor: order-independent and overflow-free under ANSI mode
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("lo", "hi")).alias("h")
-        ).collect()[0]
-        return (row["n"], row["h"])
-
-    prev = _checksum(cur)
+    m0 = obs0.get
+    prev = (m0["n"], m0["h"])
     for rnd in range(max_iters):
         # Checksum observed during the materialization job itself (one
         # job per round, not two) — same count+bit_xor values, collected

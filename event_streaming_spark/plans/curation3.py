@@ -726,11 +726,24 @@ ORDER BY vec_id
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cells → exact-integer cosine gate (τ=0.35,
-    corpus-calibrated) within cells → connected components → keep flag."""
-    from event_streaming_spark.operators.components import connected_components
+    corpus-calibrated) within cells → per-cell connected components →
+    keep flag.
 
+    The similarity graph is a DISJOINT UNION of per-cell subgraphs by
+    construction (pairs are only gated within a cell), so transitive
+    closure never crosses a cell boundary — the generic distributed CC
+    loop (operators/components.py, ~8 materialized rounds of driver-side
+    fixed floors on this graph) is replaced by an exact union-find run
+    INSIDE the same per-cell gram task (r11 optimization; guide §1.2:
+    problem knowledge the optimizer doesn't have).  Cells are ~10⁴
+    vectors whatever the corpus size (data-driven k), so the in-task
+    union-find is bounded and the whole labeling is ONE shuffle keyed by
+    cell — strictly fewer global barriers than the loop at any scale.
+    Labels are min-reachable-vec-id, identical to connected_components'
+    contract (union order cannot change a component's min)."""
     emb = load(spark, sf_dir, "embeddings")
     cells = _kmeans_final_assignment(spark, sf_dir).select("vec_id", "cluster")
+
     q8 = emb.select(
         "vec_id",
         F.transform(
@@ -739,64 +752,65 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
     )
 
-    from event_streaming_spark.operators.materialize import materialize
-
-    # Cells are consumed twice (edge generation + final labeling); pin the
-    # fixed-schedule Lloyd\'s pass once.
-    cells = materialize(cells, "semdedup-cells")
-
     # (vec_id, cell, q): vectors shuffle ONCE, keyed by cell.  The pair
     # gate runs as a per-cell gram matrix (applyInPandas → one int64
     # numpy matmul per cell) instead of a self-join — a join would copy
     # BOTH 64-long arrays into every candidate pair row (|cell|² array
-    # materializations); the gram shape moves each vector once and emits
-    # only the surviving (va, vb) pairs.  Exact by bounds: dot ≤ 64·127²
-    # ⇒ dot²·10⁶ < 2⁶³ and τ²ppm·‖a‖²·‖b‖² < 2⁶³, so int64 never wraps.
+    # materializations); the gram shape moves each vector once.  Exact
+    # by bounds: dot ≤ 64·127² ⇒ dot²·10⁶ < 2⁶³ and τ²ppm·‖a‖²·‖b‖²
+    # < 2⁶³, so int64 never wraps.
     vecs = q8.join(cells, "vec_id").select(
         "vec_id", F.col("cluster").alias("cell"), "q"
     )
 
-    def cell_edges(pdf):
+    def cell_components(pdf):
         import numpy as np
         import pandas as pd
 
         ids = pdf["vec_id"].to_numpy()
+        cell = pdf["cell"].to_numpy()
         m = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]], dtype=np.int64)
         n = len(ids)
         n2 = np.einsum("ij,ij->i", m, m)
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
         # Block-wise gram: memory stays O(B²) per block pair however big
         # the cell grows (a whole-cell |cell|² int64 gram would be the
         # OOM at production cell sizes); CPU is the same exact matmuls.
+        # Surviving pairs (~0.2% at τ=0.35) are unioned immediately —
+        # no edge list ever leaves the task.
         B = 4096
-        los, his = [], []
         for i0 in range(0, n, B):
-            mi, ni, idi = m[i0 : i0 + B], n2[i0 : i0 + B], ids[i0 : i0 + B]
+            mi, ni = m[i0 : i0 + B], n2[i0 : i0 + B]
             for j0 in range(i0, n, B):
                 g = mi @ m[j0 : j0 + B].T  # exact int64 block gram
                 ok = (g > 0) & (g * g * 1000000 >= _SEM_TAU_SQ_PPM * np.outer(ni, n2[j0 : j0 + B]))
                 if i0 == j0:
                     ok &= np.tri(*ok.shape, k=-1, dtype=bool).T  # strict upper
                 ii, jj = np.nonzero(ok)
-                va, vb = idi[ii], ids[j0 + jj]
-                los.append(np.minimum(va, vb))
-                his.append(np.maximum(va, vb))
-        lo = np.concatenate(los) if los else np.array([], dtype=np.int64)
-        hi = np.concatenate(his) if his else np.array([], dtype=np.int64)
-        return pd.DataFrame({"va": lo, "vb": hi})
+                for a, b in zip(ii + i0, jj + j0):
+                    ra, rb = find(int(a)), find(int(b))
+                    if ra != rb:
+                        parent[rb] = ra
+        roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+        comp = pd.Series(ids).groupby(roots).transform("min").to_numpy()
+        return pd.DataFrame({"vec_id": ids, "cell": cell, "sem_cluster_id": comp})
 
-    edges = vecs.groupBy("cell").applyInPandas(cell_edges, "va long, vb long")
-    labels = connected_components(emb.select("vec_id"), edges)
-    return (
-        labels.select(F.col("node").alias("vec_id"), F.col("component").alias("sem_cluster_id"))
-        .join(cells, "vec_id")
-        .select(
-            "vec_id",
-            F.col("cluster").alias("cell"),
-            "sem_cluster_id",
-            (F.col("vec_id") == F.col("sem_cluster_id")).cast("long").alias("keep"),
-        )
-        .orderBy("vec_id")
+    labeled = vecs.groupBy("cell").applyInPandas(
+        cell_components, "vec_id long, cell int, sem_cluster_id long"
     )
+    return labeled.select(
+        "vec_id",
+        "cell",
+        "sem_cluster_id",
+        (F.col("vec_id") == F.col("sem_cluster_id")).cast("long").alias("keep"),
+    ).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------
