@@ -29,7 +29,7 @@ coalesces; rounds are fixed (iters), not data-dependent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from event_streaming_spark.operators.materialize import materialize
@@ -37,6 +37,25 @@ from event_streaming_spark.operators.materialize import materialize
 SCALE = 1_000_000
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 BASE = ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN
+
+
+def _symmetrized(edges: DataFrame, s: str, d: str, directed: bool) -> DataFrame:
+    """``(src, dst)`` projection of ``edges``; undirected graphs get both
+    directions from ONE evaluation of the edge subplan — explode a 2-array
+    of structs instead of union-ing two references to the subplan (which
+    would re-run it, or force an extra pin job before the union)."""
+    if directed:
+        return edges.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(s).alias("src"), F.col(d).alias("dst")),
+                    F.struct(F.col(d).alias("src"), F.col(s).alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+    )
 
 
 def pagerank_integer(
@@ -52,17 +71,11 @@ def pagerank_integer(
     """
     n_col = nodes.columns[0]
     s, d = edges.columns[0], edges.columns[1]
-    # Pin the raw edge projection BEFORE the bidirectional union: the
-    # union references the edge subplan twice, and in every near-dup
-    # caller that subplan is the whole LSH candidate pipeline — pinning
-    # first evaluates it once (the r10 edge-list lesson).
-    raw = materialize(
-        edges.select(F.col(s).alias("src"), F.col(d).alias("dst")), "pr-edges-raw"
-    )
-    fwd = raw
-    if not directed:
-        fwd = fwd.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = materialize(fwd.distinct(), "pr-edges")
+    # ONE evaluation of the edge subplan (in every near-dup caller it is
+    # the whole LSH candidate pipeline) and ONE materialization job: the
+    # bidirectional expansion rides the same pass as explode(array(fwd,
+    # rev)) instead of pin-then-union-then-pin (r11: 2 setup jobs → 1).
+    e = materialize(_symmetrized(edges, s, d, directed).distinct(), "pr-edges")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.select(
         F.col(n_col).alias("node"), F.lit(SCALE).cast("long").alias("pr_scaled")
@@ -140,17 +153,12 @@ def ppr_integer(
     Non-seed sinks decay toward 0; mass concentrates around the seeds'
     neighborhoods.  Every op is int64, bit-identical across engines.
     """
-    # pin-before-union: see pagerank_integer (one evaluation of the
-    # edge-producing subplan instead of two)
+    # one evaluation of the edge-producing subplan, one setup job: see
+    # _symmetrized (r11)
     e = materialize(
-        edges.select(
-            F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
-        ),
-        "ppr-edges-raw",
+        _symmetrized(edges, edges.columns[0], edges.columns[1], directed).distinct(),
+        "ppr-edges",
     )
-    if not directed:
-        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = materialize(e.distinct(), "ppr-edges")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     base = nodes.select(
         F.col("node"),
@@ -334,13 +342,9 @@ def bfs_layers(
     Exact integer distances: bit-identical on any partitioning/engine.
     """
     s, d = edges.columns[0], edges.columns[1]
-    # pin-before-union: see pagerank_integer
-    fwd = materialize(
-        edges.select(F.col(s).alias("src"), F.col(d).alias("dst")), "bfs-edges-raw"
-    )
-    if not directed:
-        fwd = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = materialize(fwd.distinct(), "bfs-edges")
+    # one evaluation of the edge subplan, one setup job (r11): see
+    # _symmetrized
+    e = materialize(_symmetrized(edges, s, d, directed).distinct(), "bfs-edges")
     n_col = seeds.columns[0]
     visited = materialize(
         seeds.select(F.col(n_col).alias("node")).distinct().withColumn(
@@ -350,17 +354,24 @@ def bfs_layers(
     )
     frontier = visited.select("node")
     for depth in range(1, max_depth + 1):
+        # The emptiness probe rides the layer's materialization job as an
+        # observed count, and the growing visited set stays an UNPINNED
+        # union of already-pinned layers (each piece is a checkpoint, so
+        # re-reading the union costs no recompute) — 3 jobs/round → 1
+        # (r11; guide §1.2 remove passes first).
+        obs = Observation(f"bfs-n{depth}")
         nxt = materialize(
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .withColumn("dist", F.lit(depth).cast("int")),
+            .withColumn("dist", F.lit(depth).cast("int"))
+            .observe(obs, F.count(F.lit(1)).alias("n")),
             f"bfs-layer{depth}",
         )
-        if nxt.isEmpty():
+        if obs.get["n"] == 0:
             break
-        visited = materialize(visited.union(nxt), f"bfs-visited{depth}")
+        visited = visited.union(nxt)
         frontier = nxt.select("node")
     return visited
 
@@ -387,21 +398,31 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     partitioning/engine yields the same node set.
     """
     s, d = edges.columns[0], edges.columns[1]
-    und = edges.select(F.col(s).alias("src"), F.col(d).alias("dst")).where(
-        F.col(s) != F.col(d)
-    )
+    # one evaluation of the edge subplan, one setup job (r11): see
+    # _symmetrized (self-loops dropped before the expansion)
     e = materialize(
-        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct(),
+        _symmetrized(
+            edges.where(F.col(s) != F.col(d)), s, d, directed=False
+        ).distinct(),
         "kcore-edges",
     )
     for rnd in range(max_rounds):
+        # Both convergence scalars ride the degree materialization as
+        # observed metrics (3 jobs/round → 2; r11).
+        obs = Observation(f"kcore-n{rnd}")
         deg = materialize(
-            e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), f"kcore-deg{rnd}"
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_all"),
+                F.sum((F.col("deg") >= k).cast("long")).alias("n_keep"),
+            ),
+            f"kcore-deg{rnd}",
         )
         keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("node"))
-        n_all = deg.count()  # O(#nodes) pinned frame, driver scalar
-        n_keep = keep.count()
+        m = obs.get
+        n_all, n_keep = m["n_all"], m["n_keep"] or 0
         if n_keep == n_all or n_keep == 0:
             return keep.orderBy("node") if n_keep else keep
         e = materialize(
@@ -455,15 +476,25 @@ def sssp_bounded(
     nodes.  Integer weights ⇒ bit-identical on any partitioning/engine.
     """
     s, d, w = weighted_edges.columns[:3]
-    fwd = weighted_edges.select(
-        F.col(s).alias("src"), F.col(d).alias("dst"), F.col(w).alias("w")
-    )
-    if not directed:
-        fwd = fwd.union(
-            weighted_edges.select(
-                F.col(d).alias("src"), F.col(s).alias("dst"), F.col(w).alias("w")
-            )
+    if directed:
+        fwd = weighted_edges.select(
+            F.col(s).alias("src"), F.col(d).alias("dst"), F.col(w).alias("w")
         )
+    else:
+        # both directions from ONE evaluation of the (possibly heavy)
+        # edge subplan — the weighted twin of _symmetrized (r11)
+        fwd = weighted_edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(s).alias("src"), F.col(d).alias("dst"), F.col(w).alias("w")
+                    ),
+                    F.struct(
+                        F.col(d).alias("src"), F.col(s).alias("dst"), F.col(w).alias("w")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst", "e.w")
     e = materialize(fwd.distinct(), "sssp-edges")
     n_col = seeds.columns[0]
     dist = materialize(
@@ -477,18 +508,27 @@ def sssp_bounded(
             dist.join(e, dist["node"] == e["src"])
             .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         )
-        nxt = materialize(
-            dist.union(relax).groupBy("node").agg(F.min("dist").alias("dist")),
-            f"sssp-d{t}",
+        # Convergence probe rides the round's materialization: each node's
+        # OLD distance travels through the min-aggregate (a node has at
+        # most one row in `dist`, so max() of the tagged copy recovers it;
+        # newly-reached nodes have old=NULL), and the improved-node count
+        # is an observed metric — 2 jobs/round → 1 (r11).
+        obs = Observation(f"sssp-chg{t}")
+        agg = (
+            dist.withColumn("old", F.col("dist"))
+            .unionByName(relax.withColumn("old", F.lit(None).cast("long")))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"), F.max("old").alias("old"))
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("old").isNull() | (F.col("dist") < F.col("old"))).cast("long")
+                ).alias("changed"),
+            )
         )
-        # O(1) convergence probe: any node improved or newly reached?
-        changed = (
-            nxt.join(dist.withColumnRenamed("dist", "old"), "node", "left")
-            .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .limit(1)
-            .count()
-        )
-        dist = nxt
+        nxt = materialize(agg, f"sssp-d{t}")
+        changed = obs.get["changed"] or 0
+        dist = nxt.select("node", "dist")
         if changed == 0:
             break
     return dist
