@@ -549,11 +549,24 @@ class VersionedStore:
         if txn is not None and txn in self.committed_txns():
             return self.latest_version()
         base_v = self.latest_version()
-        keys = updates.select(key).distinct()
         if base_v < 0:
             new = self._stage_files(updates, "merge")
             return self._commit(lambda prev: prev + new, "merge", txn=txn)
         df = self.read(base_v)
+        # Stage the update batch FIRST: the staged parquet is the pinned
+        # copy every later probe reads, so the update subplan (behind a
+        # dropDuplicates shuffle on the streaming path) evaluates exactly
+        # ONCE instead of once per probe job (r11).  Crash between staging
+        # and commit leaves orphans, same as before — vacuum sweeps them.
+        upd_files = self._stage_files(updates.select(*df.columns), "merge")
+        if not self._manifest(base_v)["files"]:
+            # empty base (e.g. the cursor-origin v0): nothing can match —
+            # skip the probe job outright
+            return self._commit(lambda prev: prev + upd_files, "merge", txn=txn)
+        staged = self.spark.read.parquet(
+            *[os.path.join(self.data_dir, f) for f in upd_files]
+        )
+        keys = staged.select(key).distinct()
         # _metadata.file_path resolves only on the scan itself — pin it
         # as an ordinary column before any join drops the pseudo-column
         with_f = df.withColumn(
@@ -578,7 +591,7 @@ class VersionedStore:
                     new += self._stage_files(survivors, "merge")
             finally:
                 survivors.unpersist()
-        new += self._stage_files(updates.select(*df.columns), "merge")
+        new += upd_files
 
         def compute(prev: list[str]) -> list[str]:
             missing = hit_files - set(prev)
