@@ -54,6 +54,12 @@ def connected_components(
     ``edges``: two-column DataFrame of endpoints (same type).
     Returns ``(node, component)`` where component = min node id reachable.
 
+    Precondition: edge endpoints ⊆ ``nodes`` (every caller here builds
+    edges as pairs of existing ids).  Endpoints absent from ``nodes``
+    are labeled too (they enter through the round-0 identity step), but
+    for such graphs a component's label can be an edge-only id — callers
+    relying on keep=(id==component) must not pass dangling endpoints.
+
     Rounds propagate labels along edges AND through the label graph
     itself (``component(component(v))`` — pointer doubling), so a chain
     of diameter d converges in O(log d) rounds instead of O(d); each
@@ -97,7 +103,12 @@ def connected_components(
         "cc-labels",
     )
 
-    def _step(labels: DataFrame, with_hop: bool, identity: bool = False) -> DataFrame:
+    def _step(
+        labels: DataFrame,
+        with_hop: bool,
+        identity: bool = False,
+        track_changes: bool = False,
+    ) -> DataFrame:
         """One min-label propagation step (edge push + pointer doubling).
 
         Pointer doubling: a node whose label points at an intermediate
@@ -114,6 +125,17 @@ def connected_components(
         the node⇒node identity, so edges⋈labels is just the edge list
         renamed — skip the join outright (one fewer shuffle join in
         round 0).
+
+        ``track_changes=True`` (the round's FINAL step): each node's
+        pre-step label rides the aggregate as ``__old`` (the labels
+        branch has exactly one row per node, so max() recovers it; the
+        min-label candidates carry NULL), and the step's changed-node
+        count is returned alongside for the caller to observe.  A step
+        that changes nothing IS the fixpoint (labels only decrease), so
+        observing the last step's change count stops the loop the moment
+        any step is an identity — up to one whole materialized round
+        earlier than the r11 across-round checksum, which could only
+        compare round OUTPUTS (guide §1.2: remove passes/rounds first).
         """
         if identity:
             nbr = bidir.select(F.col("dst").alias("node"), F.col("src").alias("component"))
@@ -121,20 +143,30 @@ def connected_components(
             nbr = bidir.join(labels, bidir.src == labels.node).select(
                 F.col("dst").alias("node"), "component"
             )
-        cand = labels.union(nbr)
+        if track_changes:
+            tag = lambda df, old: df.withColumn(  # noqa: E731
+                "__old", old.cast(labels.schema["component"].dataType)
+            )
+            cand = tag(labels, F.col("component")).union(tag(nbr, F.lit(None)))
+        else:
+            cand = labels.union(nbr)
         if with_hop:
             l2 = labels.select(F.col("node").alias("c2n"), F.col("component").alias("c2"))
             hop = labels.join(l2, labels.component == F.col("c2n")).select(
                 "node", F.col("c2").alias("component")
             )
-            cand = cand.union(hop)
+            cand = cand.union(
+                tag(hop, F.lit(None)) if track_changes else hop
+            )
+        agg_cols = [F.min("component").alias("component")]
+        if track_changes:
+            agg_cols.append(F.max("__old").alias("__old"))
         return (
             cand.repartition(p, "node")
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(*agg_cols)
         )
 
-    prev_sig = None
     for rnd in range(max_iters):
         # TWO propagation steps per materialized round: the per-round
         # fixed floors (localCheckpoint job, AQE sub-jobs per exchange,
@@ -145,40 +177,36 @@ def connected_components(
         # first).  The middle step stays unmaterialized inside the same
         # job; its repartition exchange is canonical-identical across
         # its three consumers, so ReuseExchange computes it once.
-        # Labels only ever decrease, so "unchanged over a double step"
-        # still ⟺ fixpoint — convergence detection is unaffected.
-        cand = _step(
-            _step(labels, with_hop=rnd >= 1, identity=rnd == 0), with_hop=True
-        )
-        # Overflow- and type-safe convergence checksum (the pattern
-        # connected_components_star already uses): COUNT plus bit_xor of
-        # xxhash64(node, component).  A plain SUM(component) silently
-        # broke non-numeric node ids (SUM over strings is NULL → "equal"
-        # after round 0 → wrong clusters) and could overflow int64 under
-        # ANSI mode on full-range hash ids.
         #
-        # The checksum rides the materialization job as an OBSERVED
-        # metric (CollectMetrics over the aggregated rows) instead of a
-        # second .agg().collect() action: each round previously paid TWO
-        # driver-synchronized jobs, and on a 15-round graph the extra
-        # job's fixed floor (scheduling + plan analysis) was pure wall
-        # overhead — same values, one job per round (guide §1.2: remove
-        # passes before tuning inside them).
-        obs = Observation(f"cc-sig-{rnd}")
+        # Convergence is the FINAL step's exact changed-label count,
+        # riding the materialization job as an OBSERVED metric
+        # (CollectMetrics over the aggregated rows — one job per round,
+        # no second action): a propagation step that changes no label IS
+        # the fixpoint (labels only decrease), so the loop stops the
+        # round convergence happens instead of paying an extra
+        # confirmation round for an across-round checksum to turn equal
+        # (r12; the r11 checksum always ran one round past fixpoint).
+        cand = _step(
+            _step(labels, with_hop=rnd >= 1, identity=rnd == 0),
+            with_hop=True,
+            track_changes=True,
+        )
+        obs = Observation(f"cc-chg-{rnd}")
         new_labels = materialize(
             cand.observe(
                 obs,
-                F.count(F.lit(1)).alias("n"),
-                F.bit_xor(F.xxhash64("node", "component")).alias("sig"),
-            ),
+                F.sum(
+                    (
+                        F.col("__old").isNull()
+                        | (F.col("component") < F.col("__old"))
+                    ).cast("long")
+                ).alias("n_changed"),
+            ).select("node", "component"),
             "cc-labels",
         )
-        m = obs.get
-        cur = (m["n"], m["sig"])
         labels = new_labels
-        if cur == prev_sig:
+        if (obs.get["n_changed"] or 0) == 0:
             break
-        prev_sig = cur
     return labels
 
 

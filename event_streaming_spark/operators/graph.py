@@ -38,6 +38,16 @@ SCALE = 1_000_000
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 BASE = ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN
 
+#: PageRank/PPR iterations chained UNMATERIALIZED before a lineage cut.
+#: Safe because the recurrence references the previous ranks exactly
+#: ONCE per iteration (the update joins the pinned node universe, not
+#: the ranks frame), so plan size grows linearly in the chunk — r11's
+#: shape referenced ranks twice per iteration, which would re-evaluate
+#: the whole chain once per reference if left unmaterialized.  Catalog
+#: callers run 3-4 iterations → the loop body costs ZERO checkpoint
+#: jobs; longer schedules cut lineage every 4th round.
+_PR_CHUNK = 4
+
 
 def _symmetrized(edges: DataFrame, s: str, d: str, directed: bool) -> DataFrame:
     """``(src, dst)`` projection of ``edges``; undirected graphs get both
@@ -77,10 +87,15 @@ def pagerank_integer(
     # rev)) instead of pin-then-union-then-pin (r11: 2 setup jobs → 1).
     e = materialize(_symmetrized(edges, s, d, directed).distinct(), "pr-edges")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = nodes.select(
-        F.col(n_col).alias("node"), F.lit(SCALE).cast("long").alias("pr_scaled")
-    )
-    for _ in range(iters):
+    # Pin the node universe once: the per-iteration update joins IT (the
+    # new rank is BASE + damped contribution — it never reads the old
+    # rank directly), so the previous ranks frame is referenced exactly
+    # once per iteration (inside contrib) and iterations chain
+    # unmaterialized (see _PR_CHUNK) — r12: 3 per-iteration checkpoint
+    # jobs + driver gaps removed from every catalog caller.
+    univ = materialize(nodes.select(F.col(n_col).alias("node")), "pr-nodes")
+    ranks = univ.withColumn("pr_scaled", F.lit(SCALE).cast("long"))
+    for it in range(iters):
         contrib = (
             ranks.join(deg, ranks.node == deg.src, "inner")
             .select("src", F.expr("pr_scaled div outdeg").alias("c"))
@@ -88,17 +103,19 @@ def pagerank_integer(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = materialize(
-            ranks.join(contrib, ranks.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(BASE)
-                    + F.expr(f"({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}")
-                ).cast("long").alias("pr_scaled"),
-            ),
-            "pr-ranks",
+        ranks = univ.join(contrib, univ.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(BASE)
+                + F.expr(f"({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}")
+            ).cast("long").alias("pr_scaled"),
         )
+        if (it + 1) % _PR_CHUNK == 0 or it + 1 == iters:
+            # middle iterations chain unmaterialized; the FINAL frame is
+            # pinned so every consumer (often several joins downstream)
+            # reads a checkpoint, not the whole unrolled chain (r12:
+            # 3 checkpoint jobs/run -> 1)
+            ranks = materialize(ranks, "pr-ranks")
     return ranks
 
 
@@ -160,13 +177,20 @@ def ppr_integer(
         "ppr-edges",
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    base = nodes.select(
-        F.col("node"),
-        F.col("is_seed").cast("long").alias("is_seed"),
-        (F.col("is_seed") * SCALE).cast("long").alias("pr_scaled"),
+    # Pinned node universe + once-per-iteration ranks reference, exactly
+    # as pagerank_integer: iterations chain unmaterialized (_PR_CHUNK),
+    # so the default 4-iteration schedule runs with zero per-iteration
+    # checkpoint jobs (r12).
+    base = materialize(
+        nodes.select(
+            F.col("node"), F.col("is_seed").cast("long").alias("is_seed")
+        ),
+        "ppr-nodes",
     )
-    ranks = base
-    for _ in range(iters):
+    ranks = base.withColumn(
+        "pr_scaled", (F.col("is_seed") * SCALE).cast("long")
+    )
+    for it in range(iters):
         contrib = (
             ranks.join(deg, ranks.node == deg.src, "inner")
             .select("src", F.expr("pr_scaled div outdeg").alias("c"))
@@ -174,21 +198,19 @@ def ppr_integer(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = materialize(
-            base.select("node", "is_seed")
-            .join(contrib, F.col("node") == contrib.dst, "left")
-            .select(
-                "node",
-                "is_seed",
-                (
-                    F.col("is_seed") * F.lit(BASE)
-                    + F.expr(f"({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}")
-                )
-                .cast("long")
-                .alias("pr_scaled"),
-            ),
-            "ppr-ranks",
+        ranks = base.join(contrib, base.node == contrib.dst, "left").select(
+            "node",
+            "is_seed",
+            (
+                F.col("is_seed") * F.lit(BASE)
+                + F.expr(f"({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}")
+            )
+            .cast("long")
+            .alias("pr_scaled"),
         )
+        if (it + 1) % _PR_CHUNK == 0 or it + 1 == iters:
+            # same device as pagerank_integer: chain middles, pin the end
+            ranks = materialize(ranks, "ppr-ranks")
     return ranks
 
 
