@@ -238,10 +238,18 @@ def main() -> None:
         "queries_warm": warm,
         "sf": sf_val,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
-    print("# per-query detail written to " + detail_path, file=sys.stderr)
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail["cpus"] = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    # r12 (VERDICT r11 #2): ALSO write a per-core-count detail file so a
+    # later run at a different $SPARK_GRAFT_CPUS (the driver's scaling
+    # probe) no longer clobbers the 32-core per-query evidence.
+    for detail_path in (
+        os.path.join(here, "BENCH_DETAIL.json"),
+        os.path.join(here, f"BENCH_DETAIL_c{detail['cpus']}.json"),
+    ):
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+        print("# per-query detail written to " + detail_path, file=sys.stderr)
     print("# " + json.dumps({"queries_warm": warm}, separators=(",", ":")), file=sys.stderr)
 
     out = {
@@ -258,6 +266,15 @@ def main() -> None:
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()
+    # Per-query visibility (VERDICT r11 #2): the FULL detail (incl. the
+    # contract's `queries` map) goes out as a stdout JSON line too, so a
+    # driver that reads whole stdout gets per-query data.  It is printed
+    # BEFORE the short totals line because the driver's tail window is
+    # 2000 chars (measured from BENCH_r11.json) and a 59-entry queries
+    # map is ~2.1 KB — embedding it in the LAST line would front-truncate
+    # that line inside the tail and reproduce the r2/r3 `parsed: null`
+    # failures.  The final line stays the guaranteed-parseable totals.
+    print(json.dumps(detail, separators=(",", ":")), flush=True)
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) < 1024, f"bench JSON line too long for driver tail: {len(line)}"
     print(line, flush=True)

@@ -124,9 +124,13 @@ def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * _KM_SCALE + F.lit(0.5)).cast("long"),
         ).alias("q"),
     )
-    # One corpus materialization reused by both rounds (at real scale this
-    # would go through operators/materialize.py; here the table is small).
-    qdf = qdf.cache()
+    # One corpus materialization reused by both rounds — pinned via the
+    # materializer, not .cache(): a leaked cache entry is plan-matched by
+    # the next invocation in the same session, quietly skipping the work
+    # it should re-measure (cache hygiene, VERDICT r11).
+    from event_streaming_spark.operators.materialize import materialize
+
+    qdf = materialize(qdf, "km-qdf")
 
     k = _km_k(emb.count())
     init = qdf.filter(F.col("vec_id") < k).select(

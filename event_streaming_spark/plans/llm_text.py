@@ -356,9 +356,20 @@ def text_heavy_hitters_mg_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    top = topk_per_group(
-        exact, "source", [F.col("n").desc(), F.col("term")], 5, rn_col="rnk"
-    ).select("source", "term", "n", "rnk").cache()
+    # Pinned via the materializer, NOT .cache(): a leaked cache entry is
+    # plan-matched by the NEXT invocation's identical plan, so repeated
+    # runs in one session silently skip the work (and accumulate cache
+    # entries) — VERDICT r11 #2 cache-hygiene item.  The checkpoint pins
+    # the rows for the proof collect below and the caller alike, and a
+    # fresh invocation always recomputes.
+    from event_streaming_spark.operators.materialize import materialize
+
+    top = materialize(
+        topk_per_group(
+            exact, "source", [F.col("n").desc(), F.col("term")], 5, rn_col="rnk"
+        ).select("source", "term", "n", "rnk"),
+        "mg-top",
+    )
 
     # completeness proof: min top-5 exact count must clear the MG survival
     # bound N_source/(cap+1).  Totals come from the pass-1 markers (no
@@ -385,9 +396,9 @@ def text_heavy_hitters_mg_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"MG capacity {cap} cannot prove top-5 completeness for {thin}; "
             "raise _MG_CAPACITY"
         )
-    # top is materialized (collected above) and stays cached for the
-    # caller; the pass-1 summary served both legs and can release its
-    # executors' memory now.
+    # top is checkpoint-pinned (computed above) for the caller; the
+    # pass-1 summary served both legs and can release its executors'
+    # memory now.
     summary.unpersist()
     return top
 

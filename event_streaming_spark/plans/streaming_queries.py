@@ -1817,14 +1817,23 @@ def _run_heavy_hitters(spark: SparkSession, sf_dir: str, restart: bool) -> DataF
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     top = exact.orderBy(F.col("n").desc(), "term").limit(20)
-    ranked = top.select(
-        "term",
-        "n",
-        F.row_number()
-        .over(Window.orderBy(F.col("n").desc(), F.col("term")))
-        .alias("rnk"),
-    ).cache()
-    ranked_rows = ranked.collect()  # one action: exact pass + observation
+    # materializer pin, not .cache(): a leaked cache entry would be
+    # plan-matched by the next invocation in the same session (cache
+    # hygiene, VERDICT r11) — the checkpoint pins the 20 rows for the
+    # proof reads below and the caller, and a rerun always recomputes.
+    from event_streaming_spark.operators.materialize import materialize
+
+    ranked = materialize(
+        top.select(
+            "term",
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("term")))
+            .alias("rnk"),
+        ),
+        "shh-ranked",
+    )
+    ranked_rows = ranked.collect()  # exact pass + observation ran at the pin
     total_tokens = int(tok_obs.get["n"])
 
     # TOKEN-CONSERVATION proof: summed over salt groups, the final
