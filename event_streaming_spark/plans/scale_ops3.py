@@ -174,16 +174,42 @@ def docs_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
         "rn",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("dfc", "sh")),
     )
-    # prefix length: n - ceil(t*n) + 1
+    # prefix length: n - ceil(t*n) + 1.  Keep the rarity RANK (rn) and
+    # the set size alongside each prefix shingle: both power per-match
+    # pruning at the candidate join below.
     plen = F.col("n") - F.expr(f"({_T_NUM} * n + {_T_DEN} - 1) div {_T_DEN}") + 1
-    prefix = ranked.where(F.col("rn") <= plen).select("doc_id", "sh")
+    prefix = ranked.where(F.col("rn") <= plen).select("doc_id", "sh", "rn", "n")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # PPJoin pruning AT the match (r12, guide §2.3 — shrink the verify
+    # input before the exchanges that carry whole shingle arrays):
+    # 1. LENGTH filter moved from post-candidate to per-match: both
+    #    sides carry n, so size-incompatible pairs never reach the
+    #    distinct, let alone the two array joins.
+    # 2. POSITIONAL filter (Xiao et al., PPJoin): every doc's shingles
+    #    are ranked by the SAME global (rarity, hash) total order, so a
+    #    match A[i] = B[j] = w splits any common element into <w (at
+    #    most min(i-1, j-1) of them), w itself, and >w (at most
+    #    min(n_a - i, n_b - j)).  J >= t needs |A∩B| >= t/(1+t)·(na+nb);
+    #    a match whose upper bound can't reach that is dropped.  A pair
+    #    survives if ANY of its matches passes — each bound is valid per
+    #    match, so a pair with all matches pruned provably fails.
+    ubound = (
+        F.least(F.col("a.rn"), F.col("b.rn"))  # min(i-1, j-1) + 1
+        + F.least(
+            F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
+        )
+    )
     cand = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                _T_DEN * F.least(F.col("a.n"), F.col("b.n"))
+                >= _T_NUM * F.greatest(F.col("a.n"), F.col("b.n"))
+            )
+            & ((_T_NUM + _T_DEN) * ubound >= _T_NUM * (F.col("a.n") + F.col("b.n"))),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -193,7 +219,8 @@ def docs_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
     # Verify: join the two shingle ARRAYS to each candidate pair and
     # count the overlap with one codegen array_intersect — the shuffle
     # carries one array row per pair side (not |set| token rows), and
-    # there is no verify groupBy at all.
+    # there is no verify groupBy at all.  The length filter already ran
+    # per-match above.
     sized = (
         cand.join(
             sets.select(
@@ -211,7 +238,6 @@ def docs_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
             ),
             "doc_b",
         )
-        .where(_T_DEN * F.least("na", "nb") >= _T_NUM * F.greatest("na", "nb"))
     )
     inter = sized.select(
         "doc_a",
