@@ -849,47 +849,102 @@ ORDER BY d.event_type
 
 @register("events_mad_outliers", _MAD_ORACLE, tags=("agg", "stats", "robust"), bench=True)
 def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and MAD from ONE rank skeleton (r12; guide §2.4 — remove
+    the second range shuffle outright).
+
+    The r11 plan ranked the corpus twice: once on the value for the
+    median, then again on the derived deviation |100·v − med| for the
+    MAD — two full range-partitioned order-statistic passes.  But the
+    deviation's order statistics are recoverable from the VALUE
+    skeleton: deviations over rank order form a (weak) V around the
+    median, so the j+1 elements closest to the median are a contiguous
+    rank window whose max deviation sits at an endpoint — the (j+1)-th
+    smallest deviation is exactly
+
+        d_(j) = min over i of max(|100·v_i − med|, |100·v_{i+j} − med|)
+
+    (any j+1 elements have max ≥ d_(j); the contiguous run of
+    deviations ≤ d_(j) yields a window achieving it).  So the MAD's two
+    interpolation values come from ONE shifted self-join on the pinned
+    skeleton instead of a second bucketize+offsets+window pass, and the
+    events table is scanned exactly once (inside the skeleton's range
+    shuffle) — every later consumer reads the checkpoint."""
+    from event_streaming_spark.operators.materialize import materialize
     from event_streaming_spark.operators.ranks import with_group_rank
 
     ev = load(spark, sf_dir, "events")
     v = ev.select(
         "event_type", F.round(F.col("value") * 1e6).cast("long").alias("v6")
     )
+    # per-group rank via the range-partitioned global-rn skeleton — a
+    # PARTITION BY event_type sort window would put each type's ENTIRE
+    # value set through one task (the low-cardinality trap; see
+    # operators/ranks.py:with_group_rank).  Pinned once: FOUR consumers
+    # below (median agg, both self-join sides, the outlier count).
+    pos = materialize(with_group_rank(v, "event_type", "v6"), "mad-ranked")
 
-    def interp_num(df, col):  # type-7 p50 numerator at 100× the input scale
-        # per-group rank via the range-partitioned global-rn skeleton —
-        # a PARTITION BY event_type sort window would put each type's
-        # ENTIRE value set through one task (the low-cardinality trap;
-        # see operators/ranks.py:with_group_rank).
-        pos = with_group_rank(df, "event_type", col)
-        lo = F.max(F.when(F.expr("rv - 1 = ((n - 1) * 50) div 100"), F.col(col)))
-        hi = F.max(F.when(F.expr("rv - 1 = ((n - 1) * 50) div 100 + 1"), F.col(col)))
-        f_ = F.max(F.expr("((n - 1) * 50) % 100"))
-        carry = [
-            F.max(c).alias(c)
-            for c in df.columns
-            if c not in ("event_type", col)
-        ]
-        return pos.groupBy("event_type").agg(
-            F.max("n").alias("n"),
-            (lo * (100 - f_) + F.coalesce(hi, lo) * f_).alias("num"),
-            *carry,
-        )
-
-    med = interp_num(v, "v6").select(
-        "event_type", "n", F.col("num").alias("med_num")
+    lo = F.max(F.when(F.expr("rv - 1 = ((n - 1) * 50) div 100"), F.col("v6")))
+    hi = F.max(F.when(F.expr("rv - 1 = ((n - 1) * 50) div 100 + 1"), F.col("v6")))
+    f_ = F.max(F.expr("((n - 1) * 50) % 100"))
+    med = pos.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (lo * (100 - f_) + F.coalesce(hi, lo) * f_).alias("med_num"),
     )
-    dev = v.join(med, "event_type").select(
+
+    # type-7 p50 of the deviations needs positions k1 and k1+1
+    # (0-indexed); each left row probes both window shifts.
+    meta = med.select(
         "event_type",
-        (F.abs(100 * F.col("v6") - F.col("med_num"))).alias("d8"),
         "med_num",
+        F.expr("((n - 1) * 50) div 100").alias("k1"),
     )
-    mad = interp_num(dev.select("event_type", "d8", "med_num"), "d8").select(
-        "event_type", F.col("med_num"), F.col("num").alias("mad_num")
+    left = (
+        pos.join(meta, "event_type")
+        .select(
+            "event_type",
+            "rv",
+            "k1",
+            F.abs(100 * F.col("v6") - F.col("med_num")).alias("d_i"),
+            F.col("med_num"),
+            F.explode(F.array(F.col("k1"), F.col("k1") + 1)).alias("s"),
+        )
+    )
+    right = pos.select(
+        F.col("event_type").alias("et2"),
+        F.col("rv").alias("rv2"),
+        F.col("v6").alias("v62"),
+    )
+    win = left.join(
+        right,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("rv2") == F.col("rv") + F.col("s")),
+    ).select(
+        "event_type",
+        (F.col("s") == F.col("k1")).alias("is_lo"),
+        F.greatest(
+            F.col("d_i"), F.abs(100 * F.col("v62") - F.col("med_num"))
+        ).alias("w"),
+    )
+    dstat = win.groupBy("event_type").agg(
+        F.min(F.when(F.col("is_lo"), F.col("w"))).alias("mad_lo"),
+        F.min(F.when(~F.col("is_lo"), F.col("w"))).alias("mad_hi"),
+    )
+    mad = med.join(dstat, "event_type").select(
+        "event_type",
+        "med_num",
+        (
+            F.col("mad_lo") * (100 - F.expr("((n - 1) * 50) % 100"))
+            + F.coalesce("mad_hi", "mad_lo") * F.expr("((n - 1) * 50) % 100")
+        ).alias("mad_num"),
     )
     return (
-        dev.select("event_type", "d8")
-        .join(mad, "event_type")
+        pos.join(mad, "event_type")
+        .select(
+            "event_type",
+            F.abs(100 * F.col("v6") - F.col("med_num")).alias("d8"),
+            "med_num",
+            "mad_num",
+        )
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -108,3 +108,47 @@ def test_ppr_matches_unrolled_recurrence(spark):
         r["node"]: r["pr_scaled"] for r in ppr_integer(n, e, iters=4).collect()
     }
     assert got == _pr_reference(nodes, edges, 4, seeds=seeds)
+
+
+def test_mad_outliers_window_identity_edge_shapes(spark, tmp_path):
+    """events_mad_outliers now derives the MAD's order statistics from the
+    value rank skeleton (k-closest contiguous-window identity) — pin the
+    identity on shapes the fixtures don't cover: n=1, n=2, heavy ties,
+    odd/even group sizes."""
+    import math
+
+    from event_streaming_spark.plans import REGISTRY
+
+    rows = (
+        [("solo", 3.25)]
+        + [("pair", 1.0), ("pair", 2.0)]
+        + [("ties", v) for v in [5.0, 5.0, 5.0, 1.0, 9.0]]
+        + [("odd", v) for v in [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0]]
+        + [("even", v) for v in [0.5, 1.5, 1.5, 2.5, 10.0, -3.0]]
+    )
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    def ref(vals):
+        v6 = sorted(round(x * 1e6) for x in vals)
+        n = len(v6)
+        k1, f = ((n - 1) * 50) // 100, ((n - 1) * 50) % 100
+        med = v6[k1] * (100 - f) + (v6[k1 + 1] if k1 + 1 < n else v6[k1]) * f
+        d8 = sorted(abs(100 * x - med) for x in v6)
+        mad = d8[k1] * (100 - f) + (d8[k1 + 1] if k1 + 1 < n else d8[k1]) * f
+        n_out = sum(1 for d in d8 if d * 100 > 3 * mad)
+        return (n, round(med / 1e8, 6), round(mad / 1e10, 6), n_out)
+
+    got = {
+        r["event_type"]: (r["n"], r["med_value"], r["mad_value"], r["n_outliers"])
+        for r in REGISTRY["events_mad_outliers"].fn(spark, str(tmp_path)).collect()
+    }
+    want = {}
+    for t, v in rows:
+        want.setdefault(t, []).append(v)
+    want = {t: ref(vs) for t, vs in want.items()}
+    for t in want:
+        assert got[t][0] == want[t][0], (t, got[t], want[t])
+        assert math.isclose(got[t][1], want[t][1], abs_tol=1e-9), (t, got[t], want[t])
+        assert math.isclose(got[t][2], want[t][2], abs_tol=1e-9), (t, got[t], want[t])
+        assert got[t][3] == want[t][3], (t, got[t], want[t])
