@@ -36,7 +36,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -556,50 +556,77 @@ class VersionedStore:
         # Stage the update batch FIRST: the staged parquet is the pinned
         # copy every later probe reads, so the update subplan (behind a
         # dropDuplicates shuffle on the streaming path) evaluates exactly
-        # ONCE instead of once per probe job (r11).  Crash between staging
-        # and commit leaves orphans, same as before — vacuum sweeps them.
+        # ONCE instead of once per probe job (r11).
         upd_files = self._stage_files(updates.select(*df.columns), "merge")
-        if not self._manifest(base_v)["files"]:
-            # empty base (e.g. the cursor-origin v0): nothing can match —
-            # skip the probe job outright
-            return self._commit(lambda prev: prev + upd_files, "merge", txn=txn)
-        staged = self.spark.read.parquet(
-            *[os.path.join(self.data_dir, f) for f in upd_files]
-        )
-        keys = staged.select(key).distinct()
-        # _metadata.file_path resolves only on the scan itself — pin it
-        # as an ordinary column before any join drops the pseudo-column
-        with_f = df.withColumn(
-            "__f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-        )
-        hit_files = {
-            r["__f"]
-            for r in with_f.join(keys, key, "left_semi")
-            .select("__f")
-            .distinct()
-            .collect()
-        }
-        new = []
-        if hit_files:
-            survivors = (
-                with_f.filter(F.col("__f").isin(*hit_files))
-                .join(keys, key, "left_anti")
-                .drop("__f")
-            ).persist()  # count + stage share ONE computation
-            try:
-                if survivors.count():
-                    new += self._stage_files(survivors, "merge")
-            finally:
-                survivors.unpersist()
-        new += upd_files
+        # Every file staged below is tracked so a failure AFTER staging
+        # (probe error, CommitConflict, retried streaming batch) deletes
+        # its orphans instead of leaving a full batch copy per attempt
+        # for vacuum to find (ADVICE r11).  A hard crash still leaves
+        # orphans — vacuum remains the backstop for that.
+        staged_files = list(upd_files)
+        try:
+            if not self._manifest(base_v)["files"]:
+                # empty base (e.g. the cursor-origin v0): nothing can
+                # match — skip the probe job outright
+                return self._commit(lambda prev: prev + upd_files, "merge", txn=txn)
+            staged = self.spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in upd_files]
+            )
+            keys = staged.select(key).distinct()
+            # _metadata.file_path resolves only on the scan itself — pin
+            # it as an ordinary column before any join drops the
+            # pseudo-column
+            with_f = df.withColumn(
+                "__f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            )
+            hit_files = {
+                r["__f"]
+                for r in with_f.join(keys, key, "left_semi")
+                .select("__f")
+                .distinct()
+                .collect()
+            }
+            new = []
+            if hit_files:
+                survivors = (
+                    with_f.filter(F.col("__f").isin(*hit_files))
+                    .join(keys, key, "left_anti")
+                    .drop("__f")
+                )
+                # The survivor count rides the staging WRITE as an
+                # observed metric (r12) — the r11 shape persisted the
+                # survivors and ran a separate count job first, one
+                # extra driver-synchronized pass (and an executor-memory
+                # pin of a base-table-sized frame) per merge.  An
+                # all-matched rewrite just deletes the 0-row files it
+                # staged.
+                obs = Observation(f"merge-surv-{uuid.uuid4().hex[:8]}")
+                surv_files = self._stage_files(
+                    survivors.observe(obs, F.count(F.lit(1)).alias("n")), "merge"
+                )
+                staged_files += surv_files
+                if (obs.get["n"] or 0) > 0:
+                    new += surv_files
+                else:
+                    for f in surv_files:
+                        os.remove(os.path.join(self.data_dir, f))
+                    staged_files = list(upd_files)
+            new += upd_files
 
-        def compute(prev: list[str]) -> list[str]:
-            missing = hit_files - set(prev)
-            if missing:
-                raise CommitConflict(f"files vanished mid-merge: {sorted(missing)}")
-            return [f for f in prev if f not in hit_files] + new
+            def compute(prev: list[str]) -> list[str]:
+                missing = hit_files - set(prev)
+                if missing:
+                    raise CommitConflict(f"files vanished mid-merge: {sorted(missing)}")
+                return [f for f in prev if f not in hit_files] + new
 
-        return self._commit(compute, "merge", txn=txn)
+            return self._commit(compute, "merge", txn=txn)
+        except BaseException:
+            for f in staged_files:
+                try:
+                    os.remove(os.path.join(self.data_dir, f))
+                except OSError:
+                    pass
+            raise
 
     def compact(
         self,
@@ -796,12 +823,29 @@ class VersionedStore:
             .withColumn("_change", F.lit("insert"))
         )
 
-    def _ledgered_sink(self, stream_df: DataFrame, checkpoint: str, ledger_name: str, commit_batch):
+    def _ledgered_sink(
+        self,
+        stream_df: DataFrame,
+        checkpoint: str,
+        ledger_name: str,
+        commit_batch,
+        available_now: bool = True,
+    ):
         """Shared foreachBatch skeleton for the streaming sinks: per
         micro-batch, skip if the checkpoint-local ledger marks the batch
         done, else run ``commit_batch(batch_df, batch_id, txn_scope)``
         (whose in-manifest txn token is the real idempotency record —
-        the ledger is only a fast-path cache) and write the mark."""
+        the ledger is only a fast-path cache) and write the mark.
+
+        ``available_now=False`` keeps ONE long-lived micro-batch query
+        instead of drain-and-terminate: a caller interleaving publishes
+        with derived-view maintenance synchronizes on
+        ``query.processAllAvailable()`` per wave and stops the query at
+        the end — each wave then costs zero query-startup/teardown
+        (checkpoint resolution, offset-log replay, trigger spin-up),
+        which on the continuous CDC→IVM loop was a restart per wave
+        (r12; the micro-batch engine fires no batch while no new files
+        exist, so idle periods between waves commit nothing)."""
         ledger = os.path.join(checkpoint, ledger_name)
         txn_scope = os.path.abspath(checkpoint)
 
@@ -814,12 +858,15 @@ class VersionedStore:
             with open(mark, "w") as fh:
                 fh.write(str(v))
 
-        return (
-            stream_df.writeStream.foreachBatch(_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
+        writer = stream_df.writeStream.foreachBatch(_batch).option(
+            "checkpointLocation", checkpoint
         )
+        writer = (
+            writer.trigger(availableNow=True)
+            if available_now
+            else writer.trigger(processingTime="0 seconds")
+        )
+        return writer.start()
 
     def sink(self, stream_df: DataFrame, checkpoint: str):
         """Streaming append: each micro-batch commits ONE new version
@@ -837,7 +884,13 @@ class VersionedStore:
             lambda df, bid, scope: self.append(df, txn=f"{scope}#append#{bid}"),
         )
 
-    def upsert_sink(self, stream_df: DataFrame, key: str, checkpoint: str):
+    def upsert_sink(
+        self,
+        stream_df: DataFrame,
+        key: str,
+        checkpoint: str,
+        available_now: bool = True,
+    ):
         """Streaming CDC apply: each micro-batch MERGEs by key — the
         versioned table continuously tracks the latest row per key,
         every batch an atomic, time-travelable version.  Replay-safe via
@@ -851,6 +904,7 @@ class VersionedStore:
             lambda df, bid, scope: self.merge(
                 df.dropDuplicates([key]), key, txn=f"{scope}#merge#{bid}"
             ),
+            available_now=available_now,
         )
 
     def vacuum(self, keep_last: int = 2, min_age_s: float = 3600.0) -> list[str]:
