@@ -357,11 +357,14 @@ def bfs_layers(
     Scale shape: textbook frontier BFS as joins — each round is ONE
     equi-join (frontier ⋈ edges on src), a distinct (shuffle bounded by
     the frontier's neighborhood, never the graph), and a left-anti
-    against the visited set; every frame is pinned through the
+    against the visited set; each LAYER is pinned through the
     fault-tolerant materializer so round k+1 reads round k's output, not
-    its lineage.  Rounds are bounded by ``max_depth``; the convergence
-    probe is an ``isEmpty()`` on the pinned frontier — O(1) driver work.
-    Exact integer distances: bit-identical on any partitioning/engine.
+    its lineage, while ``visited`` stays an UNPINNED union of the pinned
+    layers (re-reading the union costs no recompute; its anti-join plan
+    grows linearly with depth).  Rounds are bounded by ``max_depth``;
+    the convergence probe is the layer's row count, observed on the
+    materialization job itself (no extra action per round).  Exact
+    integer distances: bit-identical on any partitioning/engine.
     """
     s, d = edges.columns[0], edges.columns[1]
     # one evaluation of the edge subplan, one setup job (r11): see
@@ -421,37 +424,44 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     """
     s, d = edges.columns[0], edges.columns[1]
     # one evaluation of the edge subplan, one setup job (r11): see
-    # _symmetrized (self-loops dropped before the expansion)
+    # _symmetrized (self-loops dropped before the expansion).  The
+    # initial edge count rides the setup pin as an observed metric —
+    # it seeds the edge-count fixpoint test below.
+    obs0 = Observation("kcore-n-init")
     e = materialize(
         _symmetrized(
             edges.where(F.col(s) != F.col(d)), s, d, directed=False
-        ).distinct(),
+        )
+        .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n")),
         "kcore-edges",
     )
+    prev_edges = obs0.get["n"] or 0
     for rnd in range(max_rounds):
-        # Both convergence scalars ride the degree materialization as
-        # observed metrics (3 jobs/round → 2; r11).
+        # ONE materialized job per peeling round (r12; was two — a deg
+        # pin plus an edge pin): the degree aggregate feeds both
+        # semi-joins unmaterialized (its exchange subplans are
+        # canonical-identical, so ReuseExchange computes it once inside
+        # the job), and convergence is the EDGE-COUNT fixpoint observed
+        # on the round's own materialization — peeling is monotone, so
+        # a round that drops zero edges dropped zero nodes and the
+        # surviving subgraph IS the k-core (every src of the
+        # symmetrized fixpoint has degree ≥ k by construction).
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("src")
         obs = Observation(f"kcore-n{rnd}")
-        deg = materialize(
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n_all"),
-                F.sum((F.col("deg") >= k).cast("long")).alias("n_keep"),
-            ),
-            f"kcore-deg{rnd}",
-        )
-        keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("node"))
-        m = obs.get
-        n_all, n_keep = m["n_all"], m["n_keep"] or 0
-        if n_keep == n_all or n_keep == 0:
-            return keep.orderBy("node") if n_keep else keep
         e = materialize(
-            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi"),
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .observe(obs, F.count(F.lit(1)).alias("n")),
             f"kcore-e{rnd}",
         )
+        n = obs.get["n"] or 0
+        if n == 0:
+            return e.select(F.col("src").alias("node")).distinct()
+        if n == prev_edges:
+            return e.select(F.col("src").alias("node")).distinct().orderBy("node")
+        prev_edges = n
     # max_rounds exhausted without a fixpoint: the surviving edge set may
     # still contain nodes of degree < k, so returning its node set verbatim
     # would be a silently wrong "k-core" (ADVICE r4).  Apply one final

@@ -674,6 +674,10 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_SCALE = 127  # int8-style quantization: |dot| ≤ 64·127², dot²·10⁶ < 2⁶³
 _SEM_TAU_SQ_PPM = 122500  # τ = 0.35 → τ²·10⁶ (see threshold note above)
+#: Whole-cell-per-task ceiling for the SemDeDup gram pass (ADVICE r11):
+#: 200k 64-dim int64 vectors is ~100 MB of pandas frame per task - beyond
+#: that the k-means init has degenerated and the task raises with the fix.
+_SEM_MAX_CELL = 200_000
 
 
 def _semdedup_oracle() -> str:
@@ -773,8 +777,21 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         ids = pdf["vec_id"].to_numpy()
         cell = pdf["cell"].to_numpy()
-        m = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]], dtype=np.int64)
         n = len(ids)
+        # Guard the whole-cell-per-task assumption (ADVICE r11): the
+        # data-driven k keeps cells ~10⁴ vectors, but a degenerate
+        # k-means init could concentrate the corpus in one cell and turn
+        # this task into a silent straggler/OOM.  The gram pass itself
+        # is block-bounded; the per-task pandas frame is not — fail
+        # loudly with the remedy instead.
+        if n > _SEM_MAX_CELL:  # pragma: no cover - degenerate clustering
+            raise ValueError(
+                f"SemDeDup cell {int(cell[0])} holds {n} vectors "
+                f"(> {_SEM_MAX_CELL}): k-means collapsed; raise k or fall "
+                "back to operators/components.connected_components for "
+                "this corpus"
+            )
+        m = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]], dtype=np.int64)
         n2 = np.einsum("ij,ij->i", m, m)
         parent = np.arange(n)
 
