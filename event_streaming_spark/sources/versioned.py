@@ -864,7 +864,7 @@ class VersionedStore:
         writer = (
             writer.trigger(availableNow=True)
             if available_now
-            else writer.trigger(processingTime="0 seconds")
+            else writer.trigger(processingTime="50 milliseconds")
         )
         return writer.start()
 
