@@ -391,10 +391,18 @@ def test_phrase_search_broadcasts_query_set(spark):
     assert "CartesianProduct" not in p
 
 
-def test_mg_rescan_is_arrow_batched_not_row_at_a_time(spark):
+def test_mg_rescan_is_arrow_batched_not_row_at_a_time(spark, monkeypatch):
     """text_heavy_hitters_mg_rescan: the Misra-Gries pass must ride Arrow
     (MapInPandas), never a row-at-a-time Python UDF, and the exact rescan
-    must keep whole-stage codegen on the count path."""
+    must keep whole-stage codegen on the count path.
+
+    The returned frame is checkpoint-pinned since r12 (cache hygiene), and
+    a localCheckpoint truncates lineage to a `Scan ExistingRDD` — so this
+    test bypasses the materializer (identity) to keep the construction
+    plan inspectable.  The properties under guard live in that plan."""
+    from event_streaming_spark.operators import materialize as _mat
+
+    monkeypatch.setattr(_mat, "materialize", lambda df, name=None, **kw: df)
     p = _plan(spark, "text_heavy_hitters_mg_rescan", "extended")
     assert "MapInPandas" in p or "mapInPandas" in p
     assert "BatchEvalPython" not in p
