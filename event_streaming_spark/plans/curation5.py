@@ -158,13 +158,20 @@ def docs_exact_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFr
         ),
         name="substr-dedup-shingles",
     )
-    duph = (
-        sh.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("h")
+    # r12 (guide §2.4): "shared by ≥2 distinct docs" ⟺ min(doc_id) ≠
+    # max(doc_id) over the h-partition — ONE window exchange of the
+    # positional table replaces the countDistinct aggregate PLUS the
+    # join-back (which re-shuffled the corpus-linear sh frame by h a
+    # second time).  Same task placement per h as the join's shuffle;
+    # per-task state is one hash's postings, bounded as before.
+    wdup = Window.partitionBy("h")
+    flagged = (
+        sh.select("doc_id", "pos", "h")
+        .withColumn("_mn", F.min("doc_id").over(wdup))
+        .withColumn("_mx", F.max("doc_id").over(wdup))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", "pos")
     )
-    flagged = sh.join(duph, "h").select("doc_id", "pos")
     wlag = Window.partitionBy("doc_id").orderBy("pos")
     wrun = (
         Window.partitionBy("doc_id")

@@ -145,10 +145,19 @@ def docs_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
     exact rewrite of it."""
     docs = spread(load(spark, sf_dir, "documents"))
     # Exact-dup groups: representative = min doc_id per distinct text.
+    # r12 (guide §2.4): the rep is a per-group MIN — one min() window
+    # over the g-partitioned rows instead of groupBy + join-back (the
+    # join re-shuffled the full grp frame by g a second time and paid a
+    # sort-merge; the window is ONE exchange + one pass).  Per-task
+    # state is one md5 group's rows — bounded by the duplicate-clique
+    # size, same as the join's build side before.
     grp = docs.select("doc_id", F.md5(F.col("text")).alias("g"))
-    reps = grp.groupBy("g").agg(F.min("doc_id").alias("rep"))
     members = materialize(
-        grp.join(reps, "g").select("doc_id", "rep"), name="ppjoin-members"
+        grp.select(
+            "doc_id",
+            F.min("doc_id").over(Window.partitionBy("g")).alias("rep"),
+        ),
+        name="ppjoin-members",
     )
     uniq = docs.join(
         members.where(F.col("doc_id") == F.col("rep")).select("rep"),
@@ -169,8 +178,15 @@ def docs_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
         name="ppjoin-sets",
     )
     tok = sets.select("doc_id", "n", F.explode("hs").alias("sh"))
-    dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
-    ranked = tok.join(dfreq, "sh").withColumn(
+    # r12 (guide §2.4): document frequency as a COUNT window over the
+    # sh-partitioned token stream — the groupBy + join-back shuffled the
+    # corpus-linear tok frame by sh twice (once under the aggregate,
+    # once as the join probe); the window pays that exchange ONCE.
+    # Each sh's rows (≤ one per doc, hs is array_distinct) share a task,
+    # the same placement the join's shuffle produced.
+    ranked = tok.withColumn(
+        "dfc", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    ).withColumn(
         "rn",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("dfc", "sh")),
     )

@@ -311,20 +311,35 @@ def text_textrank_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") >= _TR_FLOOR)
         .select(F.col("tok").alias("node"))
     )
-    # Shift the sequence by 1 and 2 and equi-join on (doc_id, pos): the
-    # window-2 adjacency becomes a co-partitionable equi-join — LINEAR in
-    # tokens.  (Keying on doc_id alone with a position post-filter would
-    # square each document's token count inside the join.)
-    shifted = pos.select(
-        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("tok_b")
-    ).unionAll(
-        pos.select(
-            "doc_id", (F.col("pos") - 2).alias("pos"), F.col("tok").alias("tok_b")
-        )
+    # Window-2 adjacency via lead() over the per-doc position order
+    # (r12, guide §2.4): ONE doc_id exchange + a linear window pass
+    # replaces the previous (doc_id, pos) self-join, whose shifted side
+    # was a 2× union of the token stream — three token-stream exchanges
+    # down to one, still LINEAR in tokens (never a per-doc quadratic
+    # join).  Positions can have gaps (the '' filter above), so each
+    # lead is gated on the ORIGINAL position distance: a neighbour at
+    # original distance ≤2 is at most 2 surviving rows ahead (at most
+    # one filtered row fits between), distance-1 can only be the first.
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    nb = pos.select(
+        "pos",
+        "tok",
+        F.lead("tok", 1).over(w2).alias("t1"),
+        F.lead("pos", 1).over(w2).alias("p1"),
+        F.lead("tok", 2).over(w2).alias("t2"),
+        F.lead("pos", 2).over(w2).alias("p2"),
     )
     pairs = (
-        pos.join(shifted, ["doc_id", "pos"])
-        .where(F.col("tok") != F.col("tok_b"))
+        nb.select(
+            "tok",
+            F.explode(
+                F.array(
+                    F.when(F.col("p1") - F.col("pos") <= 2, F.col("t1")),
+                    F.when(F.col("p2") - F.col("pos") == 2, F.col("t2")),
+                )
+            ).alias("tok_b"),
+        )
+        .where(F.col("tok_b").isNotNull() & (F.col("tok") != F.col("tok_b")))
         .select(
             F.least("tok", "tok_b").alias("src"),
             F.greatest("tok", "tok_b").alias("dst"),

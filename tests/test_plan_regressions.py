@@ -548,14 +548,15 @@ def test_langid_confusion_single_classify_pass(spark):
         raise AssertionError("classify pass re-ran per consumer (fact re-scan)")
 
 
-def test_textrank_adjacency_is_pos_equi_join(spark):
-    """TextRank's co-occurrence build must equi-join on (doc_id, pos) —
-    keying on doc_id alone with a position post-filter squares each
-    document's token count inside the join (measured 7.2× slower at the
-    10× replica).  The pagerank kernel pins its edge input, so the
-    adjacency build's plan is read via the capture hook; the tokenize
-    pass must also be pinned (one corpus scan feeding nodes, pair-left,
-    and both shifted projections)."""
+def test_textrank_adjacency_is_linear_window(spark):
+    """TextRank's co-occurrence build must stay LINEAR in tokens: a lead()
+    window over the per-doc position order (r12; one token-stream
+    exchange), never a join keyed on doc_id alone, whose position
+    post-filter squares each document's token count inside the join
+    (measured 7.2× slower at the 10× replica).  The pagerank kernel pins
+    its edge input, so the adjacency build's plan is read via the capture
+    hook; the tokenize pass must also be pinned (one corpus scan feeding
+    nodes and the window)."""
     import re
 
     from event_streaming_spark.plans import catalog as _catalog
@@ -568,11 +569,17 @@ def test_textrank_adjacency_is_pos_equi_join(spark):
         _catalog.PLAN_SINK = None
     if "Scan parquet" in plan:
         raise AssertionError("tokenize pass re-ran per consumer (corpus re-scan)")
+    # the lead() window over (doc_id / pos) is the adjacency pass
+    win_lines = [ln for ln in plan.splitlines() if re.match(r"\(\d+\) Window", ln)]
+    assert win_lines, "adjacency window node missing:\n" + plan[:800]
+    assert "lead(tok" in plan, "window-2 adjacency must come from lead(tok, ...)"
+    # no quadratic trap: any join keyed on doc_id ALONE would square each
+    # document inside the join
     key_lines = [
-        ln for ln in plan.splitlines() if re.search(r"(Left|Right) keys \[\d+\]", ln)
+        ln for ln in plan.splitlines() if re.search(r"(Left|Right) keys \[1\]", ln)
     ]
-    pos_keyed = [ln for ln in key_lines if "doc_id" in ln and "pos" in ln]
-    assert pos_keyed, "no join keyed on (doc_id, pos):\n" + "\n".join(key_lines)
+    doc_only = [ln for ln in key_lines if "doc_id" in ln]
+    assert not doc_only, "join keyed on doc_id alone:\n" + "\n".join(doc_only)
 
 
 def test_naive_bayes_single_corpus_scan(spark):
