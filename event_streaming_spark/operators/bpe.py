@@ -104,6 +104,16 @@ def bpe_train(
         name="bpe-syms",
     )
     merges: list[tuple[int, str, str, int]] = []
+    # Merges CHAIN unmaterialized between argmax jobs (r12): _merge_once
+    # is a vocabulary-sized narrow fold — exactly what bpe_encode already
+    # chains n_merges deep in ONE expression — so re-deriving ≤3 folds
+    # inside the next argmax job is far cheaper than the per-round
+    # checkpoint job the r11 loop paid (2 driver-synchronized jobs per
+    # merge → 1, plus one pin per chunk).  Lineage is cut every
+    # _TRAIN_CHUNK rounds so the plan stays chunk-sized, mirroring
+    # graph.py's _PR_CHUNK device.
+    _TRAIN_CHUNK = 4
+    since_pin = 0
     for step in range(1, n_merges + 1):
         best = (
             pair_counts(syms)
@@ -114,10 +124,13 @@ def bpe_train(
             break
         l, r = best["l"], best["r"]
         merges.append((step, l, r, int(best["cnt"])))
-        syms = materialize(
-            syms.select(_merge_once(F.col("s"), l, r).alias("s"), "wc"),
-            name=f"bpe-round-{step}",
-        )
+        syms = syms.select(_merge_once(F.col("s"), l, r).alias("s"), "wc")
+        since_pin += 1
+        if since_pin == _TRAIN_CHUNK and step < n_merges:
+            # the post-final-merge state is never read (only the merge
+            # TABLE is returned), so the last chunk needs no pin at all
+            syms = materialize(syms, name=f"bpe-round-{step}")
+            since_pin = 0
     return merges
 
 
